@@ -216,7 +216,7 @@ object SparkEntry {
     "q11_order_assembly" -> (q11 _),
     "q12_excess_marking" -> (q12 _),
     "q13_fragment_merge" -> (q13 _),
-    "q14_usage_fact"     -> (q14 _))
+    "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracles                                                   //
@@ -389,5 +389,5 @@ object SparkEntry {
          |       CAST(SUM(reduceShuffleBytes) AS BIGINT) AS reduceShuffleBytes,
          |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes
          |FROM hours
-         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles
 }

@@ -1,0 +1,289 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries (dedup / similarity / text analysis)
+  * over the `documents` and `embeddings` tables, with DuckDB oracles
+  * where the computation is exactly reproducible in SQL (everything
+  * except the xxhash64-based LSH fast path, which gets the driver's
+  * rows-only check).
+  */
+object TextQueries {
+
+  /** Shared DuckDB CTE: distinct whitespace tokens + polynomial token
+    * hashes (mirror of [[TextFunctions.tokenHashes]]). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tk
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT *,
+      |         list_transform(tk, t ->
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+      |             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      |  FROM toks
+      |)""".stripMargin
+
+  /** DuckDB minhash signature entries generated from the same A/B
+    * constants as the Spark side. */
+  private val sigEntries = TextFunctions.MinHashA.indices.map { j =>
+    s"coalesce(list_min(list_transform(hs, x -> (${MinHashA(j)} * x + ${MinHashB(j)}) % 1000000007)), 1000000007)"
+  }.mkString("[", ",\n           ", "]")
+
+  private val bandEntries = (0 until 4).map { b =>
+    val i = b * 4
+    s"((sig[${i + 1}]*31 + sig[${i + 2}])*31 + sig[${i + 3}])*31 + sig[${i + 4}]"
+  }.mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------------ //
+
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        (expr("aggregate(tk, 0L, (a, t) -> a + length(t))").cast("double") /
+          size(col("tk")).cast("double")).as("avg_token_len"))
+
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_alpha", regexp_count(col("text"), lit("[A-Za-z]")).cast("long"))
+      .withColumn("n_digit", regexp_count(col("text"), lit("[0-9]")).cast("long"))
+      .withColumn("n_space", regexp_count(col("text"), lit("\\s")).cast("long"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / col("n_chars").cast("double"))
+      .withColumn("is_quality",
+        col("n_chars") >= 100 && col("alpha_ratio") >= lit(0.7))
+      .select("doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
+        "alpha_ratio", "is_quality")
+
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("tkset", tokenSet(col("text")))
+    val scored = LangMarkers.foldLeft(base) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l", langScore(col("tkset"), ms).cast("long"))
+    }
+    scored.select(
+      (col("doc_id") +: col("lang") +:
+        predictedLang(col("tkset")).as("predicted_lang") +:
+        LangMarkers.map { case (l, _) => col(s"s_$l") }): _*)
+  }
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      polyFingerprint(col("text")).as("fingerprint"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, d))
+
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      Seq("lang", "source"), 3, 0.5)
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(s, d), 0.6)
+
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashSignatures(Tables.documents(s, d))
+
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
+  }
+
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "label")
+
+  /** xxhash64 LSH — no DuckDB oracle (rows-only driver check). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), dim = 64, nPlanes = 8, k = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_token_stats"    -> (q15 _),
+    "q16_quality_score"  -> (q16 _),
+    "q17_langid"         -> (q17 _),
+    "q18_fingerprint"    -> (q18 _),
+    "q19_exact_dedup"    -> (q19 _),
+    "q20_ngram_jaccard"  -> (q20 _),
+    "q21_minhash_lsh"    -> (q21 _),
+    "q22_simhash"        -> (q22 _),
+    "q23_ann_bruteforce" -> (q23 _),
+    "q24_blocked_nn"     -> (q24 _),
+    "q25_ann_lsh"        -> (q25 _))
+
+  // ------------------------------------------------------------------ //
+
+  /** DuckDB mirror of the double-precision sequential dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  val oracles: Map[String, String] = Map(
+    "q15_token_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       len(tk) AS n_tokens,
+        |       length(text) AS n_chars,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(tk, x -> length(x))), (a, x) -> a + x) AS DOUBLE)
+        |         / len(tk) AS avg_token_len
+        |FROM t""".stripMargin,
+    "q16_quality_score" ->
+      """SELECT doc_id,
+        |       length(text) AS n_chars,
+        |       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        |       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |       len(regexp_extract_all(text, '\s')) AS n_space,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |         / length(text) AS alpha_ratio,
+        |       length(text) >= 100 AND
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) >= 0.7
+        |         AS is_quality
+        |FROM documents""".stripMargin,
+    "q17_langid" ->
+      s"""WITH $toksCte, scored AS (
+         |  SELECT doc_id, lang,
+         |         len(list_intersect(tk, ['table','scan','merge'])) AS s_de,
+         |         len(list_intersect(tk, ['the','a','join'])) AS s_en,
+         |         len(list_intersect(tk, ['row','data','stream'])) AS s_es,
+         |         len(list_intersect(tk, ['window','query','order'])) AS s_fr,
+         |         len(list_intersect(tk, ['spark','batch','column'])) AS s_zh
+         |  FROM hashed
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |            ELSE 'zh' END AS predicted_lang,
+         |       s_de, s_en, s_es, s_fr, s_zh
+         |FROM scored""".stripMargin,
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+        |       length(text) AS n_chars
+        |FROM documents""".stripMargin,
+    "q19_exact_dedup" ->
+      """WITH g AS (
+        |  SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |  FROM documents GROUP BY text
+        |)
+        |SELECT d.doc_id, g.canonical_id, g.dup_count
+        |FROM documents d JOIN g USING (text)""".stripMargin,
+    "q20_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(
+        |           list_transform(range(1, length(text)-1), i -> substr(text, i, 3)),
+        |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+        |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS s
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+    "q21_minhash_lsh" ->
+      s"""WITH shing AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i, 5))) AS tk
+         |  FROM documents
+         |), shashed AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(tk, t ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+         |             (acc, c) -> (acc * 31 + c) % 1000000007))) AS hs
+         |  FROM shing
+         |), sigs AS (
+         |  SELECT doc_id, hs,
+         |         $sigEntries AS sig
+         |  FROM shashed
+         |), banded AS (
+         |  SELECT doc_id, $bandEntries AS bnds FROM sigs
+         |), eb AS (
+         |  SELECT doc_id, unnest([1,2,3,4]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM banded
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM eb a JOIN eb b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+         |           / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+         |  FROM cand c
+         |  JOIN shashed ta ON ta.doc_id = c.doc_a
+         |  JOIN shashed tb ON tb.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.6""".stripMargin,
+    "q22_simhash" ->
+      s"""WITH $toksCte, counts AS (
+         |  SELECT doc_id, tk,
+         |         list_transform(${(0 until 30).map(b => 1L << b).mkString("[", ",", "]")},
+         |           pw -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                   list_transform(hs, h -> ((h // pw) % 2) * 2 - 1)),
+         |                 (a, x) -> a + x)) AS cnts
+         |  FROM hashed
+         |)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_reverse(list_transform(cnts, c -> CASE WHEN c > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))),
+         |         (acc, b) -> acc * 2 + b) AS simhash,
+         |       len(tk) AS n_tokens
+         |FROM counts""".stripMargin,
+    "q23_ann_bruteforce" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
+    "q24_blocked_nn" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT vec_id, neighbor_id, cosine FROM ranked WHERE rk = 1""".stripMargin)
+}

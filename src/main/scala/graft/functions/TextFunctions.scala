@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline
+  * operators (tokenization, fingerprinting, shingling, minhash/simhash,
+  * language scoring, quality metrics).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` / SQL
+  * higher-order functions — codegen'd, no UDFs — so the operators stay
+  * inside whole-stage codegen and scale linearly with input bytes.
+  *
+  * Two hash families:
+  *  - [[tokenHashes]]/[[polyFingerprint]]: a 31-base polynomial rolling
+  *    hash mod 1e9+7 over characters. Deliberately simple integer
+  *    arithmetic so an external SQL engine (the DuckDB oracle) computes
+  *    bit-identical values — this is the cross-engine-checkable path.
+  *  - [[xxMinHashSignature]]: `xxhash64(token, seed)` based — the fast
+  *    production path (one native hash per token per permutation).
+  */
+object TextFunctions {
+
+  /** Mod for the polynomial hash family: fits a*h+b in i64
+    * (a,b < P ⇒ a*h+b < ~1e18 < 2^63). */
+  final val P = 1000000007L
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Distinct non-empty tokens (set semantics for jaccard/minhash). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Character n-gram shingles (1-based substring positions). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Polynomial rolling hash of one string column value:
+    * fold over chars of `acc*31 + codepoint (mod P)` — the document
+    * fingerprint. Exactly reproducible in any SQL engine. */
+  def polyFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  /** Polynomial hash of every element of a string-array column. */
+  def tokenHashes(tokensCol: Column): Column =
+    transform(tokensCol, t => polyFingerprint(t))
+
+  /** Deterministic permutation parameters for the exact minhash family.
+    * Small primes-ish constants; any fixed values work — they only need
+    * to be identical in the oracle. */
+  val MinHashA: IndexedSeq[Long] =
+    IndexedSeq(100003, 100019, 100043, 100057, 100069, 100103, 100109,
+      100129, 100151, 100153, 100169, 100183, 100189, 100193, 100207, 100213)
+  val MinHashB: IndexedSeq[Long] =
+    IndexedSeq(3, 17, 29, 41, 53, 67, 79, 97, 101, 113, 127, 139, 151,
+      163, 179, 191)
+
+  /** Exact-arithmetic minhash signature (k = 16): element j is
+    * `min over token hashes h of (A(j)*h + B(j)) mod P`. Input must be
+    * a column of token-hash arrays ([[tokenHashes]]); empty docs get
+    * P as the sentinel minimum. */
+  def minHashSignature(hashes: Column): Column = {
+    val mins = MinHashA.indices.map { j =>
+      coalesce(
+        array_min(transform(hashes,
+          h => (lit(MinHashA(j)) * h + lit(MinHashB(j))) % P)),
+        lit(P))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band hashes: 4 bands × 4 rows. Band b = exact fold of its 4
+    * signature values (fits i64: P·31³ ≈ 3e13). */
+  def bandHashes(sig: Column): Column = {
+    val bands = (0 until 4).map { b =>
+      val Seq(m0, m1, m2, m3) =
+        (0 until 4).map(r => element_at(sig, b * 4 + r + 1): Column)
+      ((m0 * 31 + m1) * 31 + m2) * 31 + m3
+    }
+    array(bands: _*)
+  }
+
+  /** Fast-path minhash signature using native xxhash64 — one codegen'd
+    * hash per (token, seed). Production variant; not oracle-checked
+    * (DuckDB has no xxhash64) but cross-checked in unit tests for
+    * set-similarity behavior. */
+  def xxMinHashSignature(tokensCol: Column, k: Int): Column = {
+    val mins = (0 until k).map { j =>
+      coalesce(
+        array_min(transform(tokensCol, t => xxhash64(t, lit(j)))),
+        lit(Long.MaxValue))
+    }
+    array(mins: _*)
+  }
+
+  /** 30-bit simhash over token hashes: bit b of the signature is set
+    * when Σ_tokens (±1 by bit b of the token hash) > 0. Bit test via
+    * `h mod 2^(b+1) >= 2^b` — exact integer arithmetic, identical to
+    * the oracle's `(h // 2^b) % 2`. */
+  def simHash30(hashes: Column): Column = {
+    val pows = (0 until 30).map(b => lit(1L << b): Column)
+    val counts = transform(array(pows: _*), pw =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(pmod(h, pw * 2) >= pw, 1L).otherwise(-1L)))
+    aggregate(reverse(counts), lit(0L),
+      (acc, cnt) => acc * 2 + when(cnt > 0, 1L).otherwise(0L))
+  }
+
+  /** Per-language pseudo-stopword sets for the n-gram language-ID
+    * heuristic. The synthetic corpus shares one vocabulary across
+    * langs, so these act as deterministic discriminators exercising the
+    * scoring machinery rather than a real model. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "merge"),
+    "en" -> Seq("the", "a", "join"),
+    "es" -> Seq("row", "data", "stream"),
+    "fr" -> Seq("window", "query", "order"),
+    "zh" -> Seq("spark", "batch", "column"))
+
+  /** Language scores: size of tokenSet ∩ markers per language. */
+  def langScore(tokSet: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokSet,
+      array(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of scores, alphabetical-first tie
+    * break (deterministic in both engines). */
+  def predictedLang(tokSet: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(tokSet, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a documents table (`doc_id`, `text`,
+  * blocking columns). Scale posture for every variant: never an
+  * all-pairs cross join — pairs are generated through hash buckets
+  * (exact), LSH bands (minhash), or explicit block columns (bounded
+  * blocks), so the shuffle key is always a bucket id and the work is
+  * Σ block² over small blocks, not N².
+  */
+object Dedup {
+
+  /** Exact duplicate grouping. Groups by a 256-bit content hash (cheap
+    * shuffle key vs shuffling full texts at 100 TB), keeps min(doc_id)
+    * as the canonical representative, joins group info back to every
+    * row. Output: doc_id, canonical_id, dup_count.
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val groups = hashed.groupBy("h").agg(
+      min("doc_id").as("canonical_id"),
+      count(lit(1)).as("dup_count"))
+    hashed.join(groups, "h")
+      .select("doc_id", "canonical_id", "dup_count")
+  }
+
+  /** Exact-arithmetic MinHash+LSH near-duplicate pairs (the
+    * oracle-checkable variant; see [[graft.functions.TextFunctions]]).
+    *
+    * shingle→minhash→band→bucket-join: docs sharing ≥1 of 4 band
+    * hashes become candidates; candidates are verified with true
+    * token-set jaccard ≥ `threshold`. Output: doc_a, doc_b, jac.
+    */
+  def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // 5-gram char shingles, not token sets: the synthetic corpus shares
+    // one small vocabulary, so token-set jaccard is degenerately high
+    // (~all pairs ≥0.4); shingles capture word order and separate real
+    // near-dups (J≥0.6) from background (J<0.3).
+    // Compute shingle-hash sets + signature ONCE and cache: the
+    // self-join would otherwise re-run the hashing pipeline per side.
+    // Jaccard is verified on the distinct HASH sets, not the string
+    // shingles — integer arrays are ~2× lighter to shuffle/intersect,
+    // and (modulo shared-by-both-engines hash collisions) the ratio is
+    // the same; the oracle mirrors this exactly.
+    val sigs = docs
+      .select(col("doc_id"),
+        array_distinct(tokenHashes(charShingles(col("text"), 5))).as("hs"))
+      .withColumn("bands", bandHashes(minHashSignature(col("hs"))))
+      .cache()
+    // Narrow band relation (3 small cols) for the bucket self-join;
+    // hash arrays are joined back only for surviving candidates.
+    val bandRel = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = bandRel
+      .join(bandRel.withColumnRenamed("doc_id", "doc_b"),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val hsRel = sigs.select("doc_id", "hs")
+    cand
+      .join(hsRel.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hsRel.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("uni",
+        size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** N-gram (character 3-shingle) jaccard near-dup pairs inside
+    * explicit blocks (e.g. lang+source). Exact — used when blocks are
+    * bounded; complements LSH which needs no blocking column. */
+  def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
+      n: Int, threshold: Double): DataFrame = {
+    // intersect on hashed shingles (integer arrays), same rationale and
+    // oracle-mirroring as minHashLshPairs
+    val sh = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        array_distinct(tokenHashes(charShingles(col("text"), n))).as("sh"): _*)
+    val a = sh.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("sh").as("sh_a"): _*)
+    val b = sh.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("sh").as("sh_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jac") >= threshold)
+      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
+        col("jac"): _*)
+  }
+
+  /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup
+    * detection at scale: split the signature into bands and bucket-join
+    * like minhash; here we emit the signature per doc. */
+  def simHashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenSet(col("text")).as("toks"))
+      .withColumn("hashes", tokenHashes(col("toks")))
+      .select(col("doc_id"), simHash30(col("hashes")).as("simhash"),
+        size(col("toks")).as("n_tokens"))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("tokens/tokenSet: whitespace split, empties dropped, distinct") {
+    val df = Seq("  a  b b  c ", "").toDF("text")
+    val got = df.select(tokens(col("text")).as("t"), tokenSet(col("text")).as("s"))
+      .collect()
+    assert(got(0).getSeq[String](0) == Seq("a", "b", "b", "c"))
+    assert(got(0).getSeq[String](1).sorted == Seq("a", "b", "c"))
+    assert(got(1).getSeq[String](0).isEmpty)
+  }
+
+  test("charShingles: 1-based, short strings → empty") {
+    val df = Seq("abcdef", "ab").toDF("text")
+    val got = df.select(charShingles(col("text"), 3).as("s")).collect()
+    assert(got(0).getSeq[String](0) == Seq("abc", "bcd", "cde", "def"))
+    assert(got(1).getSeq[String](0).isEmpty)
+  }
+
+  test("polyFingerprint: known value, deterministic") {
+    // 'ab' → ((0*31+97)%P)*31+98 % P = 3105
+    val got = Seq("ab").toDF("text")
+      .select(polyFingerprint(col("text"))).first().getLong(0)
+    assert(got == 97L * 31 + 98)
+  }
+
+  test("minhash signature: identical texts → identical sigs; sig length 16") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely here nothing shared at all"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", tokenSet(col("text")))
+      .withColumn("hashes", tokenHashes(col("toks")))
+      .withColumn("sig", minHashSignature(col("hashes")))
+    val rows = df.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).size == 16)
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+  }
+
+  test("minHashLshPairs finds injected near-duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val nearDup = base + "extra tail"
+    val other = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exactDupGroups: canonical id and counts") {
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
+    val got = Dedup.exactDupGroups(docs).as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("xxMinHashSignature: jaccard-similar sets share more minima") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),  // J = 9/11
+      (3L, "z y x w v u t s r q")) // J = 0
+      .toDF("doc_id", "text")
+      .withColumn("sig", xxMinHashSignature(tokenSet(col("text")), 32))
+    val sigs = df.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def matches(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(matches(sigs(1L), sigs(2L)) > matches(sigs(1L), sigs(3L)))
+  }
+
+  test("dot/l2Norm: exact sequential fold") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.l2Norm(col("a"))).first()
+    assert(got.getDouble(0) == 8.0)
+    assert(got.getDouble(1) == 3.0)
+  }
+
+  test("bruteForceTopK: ranks by cosine, excludes self") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(3L, 1L)) // closest first, self excluded
+  }
+
+  test("predictedLang: deterministic argmax with tie-break") {
+    val df = Seq("the a join join", "spark batch column stuff", "xyzzy")
+      .toDF("text")
+    val got = df.select(predictedLang(tokenSet(col("text")))).as[String].collect()
+    assert(got.toSeq == Seq("en", "zh", "und"))
+  }
+}
