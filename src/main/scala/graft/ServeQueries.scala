@@ -1,0 +1,112 @@
+package graft
+
+import graft.serve.{QueryType, UsageQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the serving layer, the streaming plan, and the
+  * multimodal plumbing — each driven through the REAL engine surface
+  * ([[graft.serve.UsageQueries]] / [[graft.streaming.StreamingUsage]] /
+  * [[graft.operators.Multimodal]]) on the events-analog usage data,
+  * with exact DuckDB oracles.
+  *
+  * Exactness: the analog fact used here carries `elapsedMs` (BIGINT)
+  * as the additive measure so every serving aggregation is integer
+  * arithmetic until the final minutes division.
+  */
+object ServeQueries {
+
+  /** Hour-grain analog fact with integer elapsedMs measure. */
+  private def analogFact(s: SparkSession, d: String): DataFrame = {
+    val at = analog.EventUsage.attempts(Tables.events(s, d))
+    graft.usage.HourProration
+      .explodeHours(at, col("startMs"), col("finishMs"))
+      .groupBy(col("user"), col("hourMs").as("time"), col("cluster"),
+        col("excess"), col("taskType"), col("status"))
+      .agg(
+        sum("started").as("started"),
+        sum("finished").as("finished"),
+        sum("overlapMs").as("elapsedMs"))
+  }
+
+  /** Full dashboard chain: cluster filter → type filter → day buckets
+    * (UTC) → per-user densified series over the generated tick spine
+    * (`usage_data.rb` §3.2 end-to-end). */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val fact = analogFact(s, d).cache()
+    val users = UsageQueries.users(fact, "east")
+    val (lo, hi) = UsageQueries.timeBounds(fact, "east")
+    val qt = QueryType("elapsedTotal", "elapsedMs")
+    UsageQueries
+      .perUserSeries(fact, "east", users, qt, "DAYS", "UTC", lo, hi)
+      .withColumn("value_min", col("value") / 60000.0)
+      .drop("value")
+  }
+
+  /** The streaming hour-window aggregation executed as a batch plan
+    * (identical plan runs under readStream — T6). */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingUsage.hourlyAgg(
+      analog.EventUsage.attempts(Tables.events(s, d)))
+
+  /** Multimodal binary-column pipeline (stub decoder, real plumbing). */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentMediaFeatures(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_serve_daily"  -> (q26 _),
+    "q27_stream_hourly" -> (q27 _),
+    "q28_multimodal"   -> (q28 _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_serve_daily" ->
+      s"""WITH ${SparkEntry.attemptsCte}, ${SparkEntry.explodedCte},
+         |fact AS (
+         |  SELECT "user", cluster, hourMs,
+         |         CAST(SUM(overlapMs) AS BIGINT) AS elapsedMs
+         |  FROM hours
+         |  GROUP BY 1, 2, 3
+         |), east AS (
+         |  SELECT * FROM fact WHERE cluster = 'east'
+         |), bounds AS (
+         |  SELECT MIN(hourMs) AS lo, MAX(hourMs) AS hi FROM east
+         |), spine AS (
+         |  SELECT unnest(generate_series(
+         |           ((SELECT lo FROM bounds) // 86400000 + 1) * 86400000,
+         |           ((SELECT hi FROM bounds) // 86400000 - 1) * 86400000,
+         |           86400000)) AS tick
+         |), grid AS (
+         |  SELECT u."user", s.tick
+         |  FROM (SELECT DISTINCT "user" FROM east) u CROSS JOIN spine s
+         |), daily AS (
+         |  SELECT "user", (hourMs // 86400000) * 86400000 AS tick,
+         |         CAST(SUM(elapsedMs) AS BIGINT) AS v
+         |  FROM east GROUP BY 1, 2
+         |)
+         |SELECT g."user", g.tick, COALESCE(d.v, 0) / 60000.0 AS value_min
+         |FROM grid g LEFT JOIN daily d
+         |  ON g."user" = d."user" AND g.tick = d.tick""".stripMargin,
+    "q27_stream_hourly" ->
+      s"""WITH ${SparkEntry.attemptsCte}, ${SparkEntry.explodedCte}
+         |SELECT "user", cluster, excess, taskType, status,
+         |       CAST(SUM(started) AS BIGINT) AS started,
+         |       CAST(SUM(finished) AS BIGINT) AS finished,
+         |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes,
+         |       hourMs AS time
+         |FROM hours
+         |GROUP BY "user", cluster, excess, taskType, status, hourMs""".stripMargin,
+    "q28_multimodal" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS content_hash,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) % 640 AS INTEGER) AS width,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) % 480 AS INTEGER) AS height
+        |FROM documents""".stripMargin)
+}

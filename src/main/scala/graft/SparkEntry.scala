@@ -216,7 +216,7 @@ object SparkEntry {
     "q11_order_assembly" -> (q11 _),
     "q12_excess_marking" -> (q12 _),
     "q13_fragment_merge" -> (q13 _),
-    "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries
+    "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries ++ ServeQueries.queries
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracles                                                   //
@@ -224,7 +224,7 @@ object SparkEntry {
 
   /** Shared CTE: analog attempts over events (mirror of
     * [[analog.EventUsage.attempts]]). */
-  private val attemptsCte =
+  private[graft] val attemptsCte =
     """attempts AS (
       |  SELECT *,
       |         epoch_ms(ts) AS startMs,
@@ -244,7 +244,7 @@ object SparkEntry {
 
   /** Shared CTE: hour fan-out of attempts (mirror of
     * [[graft.usage.HourProration.explodeHours]]). */
-  private val explodedCte =
+  private[graft] val explodedCte =
     """exploded AS (
       |  SELECT a.*,
       |         unnest(generate_series((startMs // 3600000) * 3600000,
@@ -389,5 +389,5 @@ object SparkEntry {
          |       CAST(SUM(reduceShuffleBytes) AS BIGINT) AS reduceShuffleBytes,
          |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes
          |FROM hours
-         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles ++ ServeQueries.oracles
 }
