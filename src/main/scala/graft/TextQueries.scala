@@ -225,22 +225,17 @@ object TextQueries {
          |), banded AS (
          |  SELECT doc_id, $bandEntries AS bnds FROM sigs
          |), eb AS (
-         |  SELECT doc_id, unnest([1,2,3,4]) AS band_idx, unnest(bnds) AS band_hash
-         |  FROM banded
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT s.doc_id, h.hs, unnest([1,2,3,4]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM banded s JOIN shashed h USING (doc_id)
+         |), verified AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
          |  FROM eb a JOIN eb b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |         CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
-         |           / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
-         |  FROM cand c
-         |  JOIN shashed ta ON ta.doc_id = c.doc_a
-         |  JOIN shashed tb ON tb.doc_id = c.doc_b
          |)
-         |SELECT doc_a, doc_b, jac FROM verified WHERE jac >= 0.6""".stripMargin,
+         |SELECT DISTINCT doc_a, doc_b, jac FROM verified WHERE jac >= 0.6""".stripMargin,
     "q22_simhash" ->
       s"""WITH $toksCte, counts AS (
          |  SELECT doc_id, tk,

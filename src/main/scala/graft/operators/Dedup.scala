@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.HashExpressions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -47,30 +48,26 @@ object Dedup {
     // the same; the oracle mirrors this exactly.
     val sigs = docs
       .select(col("doc_id"),
-        array_distinct(tokenHashes(charShingles(col("text"), 5))).as("hs"))
-      .withColumn("bands", bandHashes(minHashSignature(col("hs"))))
+        HashExpressions.shingleHashes(col("text"), 5).as("hs"))
+      .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
       .cache()
-    // Narrow band relation (3 small cols) for the bucket self-join;
-    // hash arrays are joined back only for surviving candidates.
-    val bandRel = sigs.select(col("doc_id"),
+    // Single bucket self-join carrying the hash arrays (4 bands ×
+    // O(docs) rows of ~3.6 KB each side — far cheaper than joining
+    // arrays back onto the candidate-pair list), verify jaccard inside
+    // the join, and dedupe only the (few) passing pairs at the end.
+    val bandRel = sigs.select(col("doc_id"), col("hs"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cand = bandRel
-      .join(bandRel.withColumnRenamed("doc_id", "doc_b"),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
-    val hsRel = sigs.select("doc_id", "hs")
-    cand
-      .join(hsRel.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hsRel.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("uni",
-        size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+    val a = bandRel.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = bandRel.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
-        col("inter").cast("double") / col("uni").cast("double"))
+        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
+      .distinct()
   }
 
   /** N-gram (character 3-shingle) jaccard near-dup pairs inside
@@ -82,7 +79,7 @@ object Dedup {
     // oracle-mirroring as minHashLshPairs
     val sh = docs.select(
       (col("doc_id") +: blockCols.map(col)) :+
-        array_distinct(tokenHashes(charShingles(col("text"), n))).as("sh"): _*)
+        HashExpressions.shingleHashes(col("text"), n).as("sh"): _*)
     val a = sh.select(
       (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
         col("sh").as("sh_a"): _*)
@@ -91,10 +88,8 @@ object Dedup {
         col("sh").as("sh_b"): _*)
     a.join(b, blockCols)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jac",
-        col("inter").cast("double") / col("uni").cast("double"))
+        HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
         col("jac"): _*)

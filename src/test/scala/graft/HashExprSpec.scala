@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{HashExpressions, TextFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must produce bit-identical values to the
+  * (oracle-mirroring) higher-order-function formulations. */
+class HashExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaa",           // all-identical shingles → one distinct hash
+    "abcd",            // shorter than n=5 → empty
+    "abcdef",
+    "spark batch column table scan merge row data stream")
+
+  test("shingleHashes == distinct(tokenHashes(charShingles)) as sets") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      HashExpressions.shingleHashes(col("text"), 5).as("fast"),
+      array_distinct(TextFunctions.tokenHashes(
+        TextFunctions.charShingles(col("text"), 5))).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+      // distinct already applied
+      assert(r.getSeq[Long](0).distinct == r.getSeq[Long](0))
+    }
+  }
+
+  test("minHashSig == minHashSignature") {
+    val df = texts.toDF("text")
+      .withColumn("hs", HashExpressions.shingleHashes(col("text"), 5))
+    val rows = df.select(
+      HashExpressions.minHashSig(col("hs")).as("fast"),
+      TextFunctions.minHashSignature(col("hs")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("polyHash == polyFingerprint") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      HashExpressions.polyHash(col("text")).as("fast"),
+      TextFunctions.polyFingerprint(col("text")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("rolling-window update matches direct fold on a long string") {
+    val rnd = new scala.util.Random(5)
+    val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val got = Seq(s).toDF("text")
+      .select(HashExpressions.shingleHashes(col("text"), 7))
+      .first().getSeq[Long](0).toSet
+    val expect = s.sliding(7).map(
+      _.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)).toSet
+    assert(got == expect)
+  }
+}
