@@ -1,0 +1,146 @@
+package graft.app
+
+import graft.etl.JobAssembly
+import graft.ingest.IncrementalPlanner
+import graft.model.Job
+import graft.parse.ConfParsing
+import graft.usage.UsageEtl
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The batch-ETL entry point — the reference's `ProcessLogs.main`
+  * (`hadoop/src/java/com/linkedin/whiteelephant/ProcessLogs.java:114-158`)
+  * re-expressed as ONE Spark application per run instead of a 20-thread
+  * pool of per-day MapReduce jobs:
+  *
+  *   1. parse job-conf XMLs          (ParseJobConfs)
+  *   2. parse + assemble job trees   (ParseJobsFromLogs)
+  *   3. hour-prorated usage cube     (ComputeUsagePerHour)
+  *
+  * The reference's per-day job fan-out existed to bound MR job size and
+  * enable incremental skip; here a single partitioned read covers all
+  * selected days (Catalyst prunes partitions), incremental skip is the
+  * driver-side [[IncrementalPlanner]], and the staged-output atomic
+  * rename is dynamic partition overwrite.
+  *
+  * Expected layout (reference `util/JobStatsProcessing.java:62`,
+  * README "Hadoop Logs"): `<logsRoot>/<cluster>/daily/<queue>/<yyyy>/<MMdd>/` (files within).
+  */
+object ProcessLogs {
+
+  final case class Config(
+      logsRoot: String,
+      outputRoot: String,
+      clusters: Seq[String],
+      numDays: Int = 100,       // base.properties:17
+      numDaysForced: Int = 5,   // base.properties:21
+      today: LocalDate = null)
+
+  /** Day-partition glob for one cluster+date (all queues). */
+  private def dayGlob(logsRoot: String, cluster: String, d: LocalDate): String =
+    f"$logsRoot/$cluster/daily/*/${d.getYear}%04d/${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
+
+  /** Stage 2: parse+assemble the selected day-partitions of one
+    * cluster into merged job trees. */
+  def parseJobs(spark: SparkSession, cfg: Config, cluster: String,
+      days: Seq[LocalDate]): Dataset[Job] = {
+    implicit val s: SparkSession = spark
+    val globs = days.map(d => dayGlob(cfg.logsRoot, cluster, d) + "/*.log")
+    val existing = {
+      // tolerate missing day dirs (the reference skips absent inputs,
+      // JobStatsProcessing.java:69-90)
+      val fs = new org.apache.hadoop.fs.Path(cfg.logsRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      globs.filter(g =>
+        fs.globStatus(new org.apache.hadoop.fs.Path(g)) match {
+          case null => false
+          case st => st.nonEmpty
+        })
+    }
+    if (existing.isEmpty) spark.emptyDataset[Job](jobEncoder(spark))
+    else JobAssembly.assembleJobs(spark.read.textFile(existing: _*), cluster)
+  }
+
+  private def jobEncoder(spark: SparkSession) = {
+    import spark.implicits._
+    implicitly[org.apache.spark.sql.Encoder[Job]]
+  }
+
+  /** Full run: per cluster — confs, jobs, usage — each written as
+    * parquet partitioned by cluster/date with dynamic overwrite. */
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    implicit val s: SparkSession = spark
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val today = Option(cfg.today).getOrElse(LocalDate.now())
+    cfg.clusters.foreach { cluster =>
+      val usageOut = s"${cfg.outputRoot}/usage"
+      val plan = IncrementalPlanner.plan(
+        today, cfg.numDays, cfg.numDaysForced,
+        d => {
+          val fs = new org.apache.hadoop.fs.Path(usageOut)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(new org.apache.hadoop.fs.Path(
+            usageOut, s"cluster=$cluster/date=$d"))
+        })
+      val days = plan.map(_.date)
+
+      // stage 1: job confs (map-only)
+      val confGlobs = days.map(d => dayGlob(cfg.logsRoot, cluster, d))
+      confGlobs.foreach { g =>
+        try {
+          ConfParsing.parseConfDir(g, cluster)
+            .toDF()
+            .withColumn("date", to_date(regexp_extract(col("path"),
+              "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
+            .write.mode("append").parquet(s"${cfg.outputRoot}/confs")
+        } catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+
+      // stage 2: merged job trees
+      val jobs = parseJobs(spark, cfg, cluster, days)
+      jobs.toDF()
+        .withColumn("date", to_date(timestamp_millis(
+          coalesce(col("submitTime"), col("launchTime"), col("finishTime")))))
+        .write.mode("overwrite")
+        .partitionBy("cluster", "date")
+        .parquet(s"${cfg.outputRoot}/jobs")
+
+      // stage 3: hourly usage cube
+      val fact = UsageEtl.usageFact(jobs)
+      UsageEtl.writeFact(fact, usageOut)
+    }
+  }
+
+  /** J4: enrich merged jobs with their configuration (the latent join
+    * the reference documents but never executes — README "Hadoop
+    * Jobs"). Conf side is broadcast when small. */
+  def jobsWithConfs(jobs: DataFrame, confs: DataFrame): DataFrame =
+    jobs.join(
+      broadcast(confs.select(
+        col("jobId"), col("cluster"), col("configuration"))),
+      Seq("jobId", "cluster"), "left")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ProcessLogs <logsRoot> <outputRoot> <cluster[,cluster…]> [numDays] [numDaysForced]")
+    val cfg = Config(
+      logsRoot = args(0),
+      outputRoot = args(1),
+      clusters = args(2).split(',').toSeq,
+      numDays = if (args.length > 3) args(3).toInt else 100,
+      numDaysForced = if (args.length > 4) args(4).toInt else 5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-process-logs")
+      // spark-submit injects spark.master; default to local otherwise
+      .config("spark.master",
+        sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    run(spark, cfg)
+    spark.stop()
+  }
+}

@@ -139,6 +139,45 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Sequential left-fold double dot product of two float/double
+    * arrays — bit-identical to the `aggregate(zip_with(...))`
+    * formulation (same accumulation order) and to the oracle's
+    * `list_reduce`, but a primitive loop instead of per-element
+    * lambda interpretation. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+
+    private lazy val leftIsFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    private lazy val rightIsFloat = right.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -157,6 +196,9 @@ object HashExpressions {
       copy(child = c)
   }
 
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

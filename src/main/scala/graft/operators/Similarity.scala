@@ -21,12 +21,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential double-precision dot product of two array columns
-    * (left fold in array order — bit-reproducible). */
+    * (left fold in array order — bit-reproducible; native expression,
+    * see [[graft.functions.HashExpressions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.HashExpressions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB must
+  * be visible in the plan, not assumed — filter/projection pushdown
+  * into the parquet scan, broadcast joins for dimensions, partial
+  * (map-side) aggregation, and no accidental cartesian products.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val plan = physical("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThan(o_totalprice"), plan.take(2000))
+    // pruned read schema — only the 4 needed columns, not the full table
+    assert(!plan.contains("o_orderstatus"))
+  }
+
+  test("q03: dimension joins are broadcast, fact is not shuffled for them") {
+    val plan = physical("q03_join_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q01: hash aggregation is partial (map-side combine)") {
+    val plan = physical("q01_agg_pushdown")
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q08: proration is a narrow generate (no shuffle before the agg)") {
+    val plan = physical("q08_hour_proration")
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    // exactly one exchange: the final groupBy
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n${plan.take(3000)}")
+  }
+
+  test("q21: LSH pair generation is an equi-join on band hash, not a cartesian") {
+    val plan = physical("q21_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q23: brute-force ANN broadcasts the query set") {
+    val plan = physical("q23_ann_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline (q02)") {
+    val plan = physical("q02_filter_project")
+    // compact plan marks codegen stages with a `*(n)` prefix
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      plan.take(2000))
+  }
+}
