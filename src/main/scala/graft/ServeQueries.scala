@@ -54,10 +54,56 @@ object ServeQueries {
   private def q28(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentMediaFeatures(s, d)
 
+  /** A14/W3 server-side: top-3 users by total + "other" remainder,
+    * per daily tick. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val fact = analogFact(s, d)
+    UsageQueries.topNWithOther(fact, "east",
+      QueryType("elapsedTotal", "elapsedMs"), "DAYS", "UTC", 3)
+      .withColumn("value_min", col("value") / 60000.0)
+      .drop("value")
+  }
+
+  /** P9 zone-aware Sunday-week rollup (America/New_York). */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val fact = analogFact(s, d)
+    fact.groupBy(
+      col("cluster"),
+      graft.serve.TimeBuckets
+        .bucket(col("time"), "WEEKS", "America/New_York").as("week_ms"))
+      .agg(sum("elapsedMs").as("elapsed_ms_sum"))
+      .withColumn("value_min", col("elapsed_ms_sum") / 60000.0)
+      .drop("elapsed_ms_sum")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): the event-stream
+    * operator a training pipeline needs that the reference lacks. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("tsMs", "event_id")
+    ev
+      .withColumn("new_sess",
+        when(col("tsMs") - lag("tsMs", 1).over(w) > 1800000L, 1)
+          .otherwise(when(lag("tsMs", 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("sess_idx",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("tsMs").as("start_ms"),
+        max("tsMs").as("end_ms"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_serve_daily"  -> (q26 _),
     "q27_stream_hourly" -> (q27 _),
-    "q28_multimodal"   -> (q28 _))
+    "q28_multimodal"   -> (q28 _),
+    "q29_serve_topn"   -> (q29 _),
+    "q30_week_tz"      -> (q30 _),
+    "q31_sessionize"   -> (q31 _))
 
   val oracles: Map[String, String] = Map(
     "q26_serve_daily" ->
@@ -96,6 +142,64 @@ object ServeQueries {
          |       hourMs AS time
          |FROM hours
          |GROUP BY "user", cluster, excess, taskType, status, hourMs""".stripMargin,
+    "q29_serve_topn" ->
+      s"""WITH ${SparkEntry.attemptsCte}, ${SparkEntry.explodedCte},
+         |daily AS (
+         |  SELECT "user", (hourMs // 86400000) * 86400000 AS tick,
+         |         CAST(SUM(overlapMs) AS BIGINT) AS v
+         |  FROM hours WHERE cluster = 'east'
+         |  GROUP BY 1, 2
+         |), totals AS (
+         |  SELECT "user", CAST(SUM(v) AS BIGINT) AS total FROM daily GROUP BY 1
+         |), ranked AS (
+         |  SELECT "user",
+         |         row_number() OVER (ORDER BY total DESC, "user") AS rk
+         |  FROM totals
+         |)
+         |SELECT CASE WHEN r.rk <= 3 THEN d."user" ELSE 'other' END AS who,
+         |       d.tick,
+         |       CAST(SUM(d.v) AS BIGINT) / 60000.0 AS value_min
+         |FROM daily d JOIN ranked r ON d."user" = r."user"
+         |GROUP BY 1, 2""".stripMargin,
+    "q30_week_tz" ->
+      s"""WITH ${SparkEntry.attemptsCte}, ${SparkEntry.explodedCte},
+         |fact AS (
+         |  SELECT cluster, hourMs,
+         |         CAST(SUM(overlapMs) AS BIGINT) AS elapsedMs
+         |  FROM hours GROUP BY 1, 2
+         |)
+         |SELECT cluster,
+         |       epoch_ms(timezone('America/New_York',
+         |         CAST(date_trunc('week',
+         |                CAST(timezone('America/New_York',
+         |                       epoch_ms(hourMs)::TIMESTAMPTZ) AS DATE) + 1) - 1
+         |              AS TIMESTAMP))) AS week_ms,
+         |       CAST(SUM(elapsedMs) AS BIGINT) / 60000.0 AS value_min
+         |FROM fact
+         |GROUP BY 1, 2""".stripMargin,
+    "q31_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_ms(ts) AS tsMs,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+        |              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |), sessions AS (
+        |  SELECT *,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY tsMs, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, sess_idx,
+        |       COUNT(*) AS n_events,
+        |       MIN(tsMs) AS start_ms,
+        |       MAX(tsMs) AS end_ms,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sessions
+        |GROUP BY user_id, sess_idx""".stripMargin,
     "q28_multimodal" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
