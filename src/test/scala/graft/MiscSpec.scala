@@ -1,0 +1,72 @@
+package graft
+
+import graft.ingest.FileLedger
+import graft.ingest.FileLedger.{Diff, FileState}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MiscSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("driver contract: every oracle key has a query; names are sane") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    // only the xxhash64 LSH path is rows-only
+    assert((qs -- os) == Set("q25_ann_lsh"))
+    assert(qs.forall(_.matches("q\\d{2}_[a-z_]+")))
+  }
+
+  test("ledger diff: added / changed-mtime / removed (T2/T3)") {
+    val ledger = Seq(FileState("a", 1L), FileState("b", 1L), FileState("c", 1L))
+    val current = Seq(FileState("a", 1L), FileState("b", 2L), FileState("d", 1L))
+    val d = FileLedger.diff(current, ledger)
+    assert(d.added == Seq("d"))
+    assert(d.changed == Seq("b"))
+    assert(d.removed == Seq("c"))
+    assert(d.toDrop.toSet == Set("b", "c"))
+    assert(d.toLoad.toSet == Set("b", "d"))
+  }
+
+  test("ledger reconcile: cascade-drop + reload keeps fact consistent (T4)") {
+    val fact = Seq(
+      ("a", 1L, 10.0), ("b", 2L, 20.0), ("b", 3L, 30.0), ("c", 4L, 40.0))
+      .toDF("fileName", "k", "v")
+    val d = Diff(added = Seq("d"), changed = Seq("b"), removed = Seq("c"))
+    def load(path: String) =
+      Seq((path, 99L, 9.0)).toDF("fileName", "k", "v")
+    val out = FileLedger.reconcile(fact, d, load)
+      .select("fileName", "k").as[(String, Long)].collect().toSet
+    // old b rows gone, c purged, new b + d present, a untouched
+    assert(out == Set(("a", 1L), ("b", 99L), ("d", 99L)))
+  }
+
+  test("ticks across a DST spring-forward week (America/Los_Angeles)") {
+    // 2024-03-10 02:00 PST does not exist; week/day ticks must still be
+    // local-midnight instants
+    val zone = "America/Los_Angeles"
+    val feb25 = 1708819200000L // 2024-02-25 00:00 UTC (a Sunday)
+    val end = feb25 + 35L * 86400000L
+    val ticks = graft.serve.TimeBuckets.ticks(
+      "DAYS", zone, feb25, end, feb25, end)
+    val tz = java.time.ZoneId.of(zone)
+    ticks.foreach { ms =>
+      val zdt = java.time.Instant.ofEpochMilli(ms).atZone(tz)
+      assert(zdt.toLocalTime == java.time.LocalTime.MIDNIGHT,
+        s"tick $ms is ${zdt}")
+    }
+    // consecutive ticks differ by 23/24/25h around the transition, and
+    // exactly one 23h gap exists (spring forward)
+    val gaps = ticks.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    assert(gaps.count(_ == 23L * 3600000L) == 1)
+    assert(gaps.forall(g => g == 23L * 3600000L || g == 24L * 3600000L))
+  }
+}
