@@ -109,6 +109,16 @@ object TextQueries {
   private def q25(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), dim = 64, nPlanes = 8, k = 3)
 
+  /** Embedding-cosine near-dup pairs within label blocks. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4)
+
+  /** IVF ANN (k-means coarse quantizer) — rows-only (seeded k-means
+    * has no SQL oracle). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d),
+      nCentroids = 16, nProbe = 4, k = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_token_stats"    -> (q15 _),
     "q16_quality_score"  -> (q16 _),
@@ -120,7 +130,9 @@ object TextQueries {
     "q22_simhash"        -> (q22 _),
     "q23_ann_bruteforce" -> (q23 _),
     "q24_blocked_nn"     -> (q24 _),
-    "q25_ann_lsh"        -> (q25 _))
+    "q25_ann_lsh"        -> (q25 _),
+    "q32_embed_neardup"  -> (q32 _),
+    "q33_ann_ivf"        -> (q33 _))
 
   // ------------------------------------------------------------------ //
 
@@ -266,6 +278,16 @@ object TextQueries {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
+    "q32_embed_neardup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "q24_blocked_nn" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, embedding,

@@ -95,6 +95,28 @@ object Dedup {
         col("jac"): _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs inside `blockCol` blocks:
+    * semantic dedup — pairs with cosine ≥ threshold. Same blocked
+    * self-join shape as the other pair generators (no N²); for
+    * unblocked corpora use [[Similarity.ivfTopK]]/[[Similarity.lshTopK]]
+    * cells as the blocking key instead. */
+  def embeddingNearDupPairs(embeddings: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val base = embeddings.select(
+      col("vec_id"), col(blockCol).as("blk"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val a = base.select(col("vec_id").as("vec_a"), col("blk"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = base.select(col("vec_id").as("vec_b"), col("blk"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, "blk")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup
     * detection at scale: split the signature into bands and bucket-join
     * like minhash; here we emit the signature per doc. */

@@ -72,6 +72,58 @@ object Similarity {
       .select("vec_id", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * vectors into `nCentroids` cells; each query probes its `nProbe`
+    * nearest cells and exact-reranks only those candidates. The
+    * standard scale path when the query set is large but per-query work
+    * must stay sublinear — cell assignment is one broadcast-join pass,
+    * candidate generation an equi-join on cell id (recall loss at cell
+    * boundaries is the usual IVF trade-off; raise nProbe to trade speed
+    * for recall). Seeded k-means ⇒ deterministic, but not
+    * SQL-oracle-expressible (rows-only driver check).
+    */
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(withVec)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    // candidate side: home cell only
+    val assigned = model.transform(withVec)
+      .withColumnRenamed("prediction", "cell")
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("e_b"), l2Norm(col("embedding")).as("n_b"))
+    // query side: nProbe nearest cells by centroid distance
+    val probes = withVec
+      .select(col("vec_id").as("query_id"), col("embedding").as("e_a"),
+        l2Norm(col("embedding")).as("n_a"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        -dot(col("e_a"), col("centroid")) +
+          dot(col("centroid"), col("centroid")) / 2)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "cell", "e_a", "n_a")
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Random-hyperplane LSH top-k: deterministic pseudo-random
     * hyperplanes H(j,i) = ±1 derived from xxhash64(j*dim + i), bucket
     * by the sign-bit signature, candidates = same-bucket pairs, exact

@@ -20,8 +20,8 @@ class MiscSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // only the xxhash64 LSH path is rows-only
-    assert((qs -- os) == Set("q25_ann_lsh"))
+    // only the xxhash64 LSH and seeded-kmeans IVF paths are rows-only
+    assert((qs -- os) == Set("q25_ann_lsh", "q33_ann_ivf"))
     assert(qs.forall(_.matches("q\\d{2}_[a-z_]+")))
   }
 

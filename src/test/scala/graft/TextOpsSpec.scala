@@ -106,6 +106,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(3L, 1L)) // closest first, self excluded
   }
 
+  test("ivfTopK: high recall of brute-force neighbors on testdata") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 20), emb, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, nCentroids = 8, nProbe = 4, k = 3)
+      .filter($"query_id" < 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("SQL-mode registration: graft functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("abcdefgh", "abcdefgx")).toDF("a", "b").createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT sorted_jaccard(shingle_hashes(a, 5), shingle_hashes(b, 5)) AS j,
+        |       poly_hash(a) AS h,
+        |       round_to_week_sunday(1710064800000, 'America/Los_Angeles') AS wk
+        |FROM t""".stripMargin).head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
+    assert(r.getLong(1) > 0)
+    assert(r.getLong(2) == 1710057600000L) // Sunday 2024-03-10 00:00 PST
+  }
+
+  test("embeddingNearDupPairs: symmetric threshold filter") {
+    val vecs = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(0.99f, 0.1f)),
+      (2L, 1, Seq(0.0f, 1.0f)), (3L, 2, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "label", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // high-cos same-label only; 3 blocked out
+  }
+
   test("predictedLang: deterministic argmax with tie-break") {
     val df = Seq("the a join join", "spark batch column stuff", "xyzzy")
       .toDF("text")
