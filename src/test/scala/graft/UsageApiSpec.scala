@@ -1,0 +1,97 @@
+package graft
+
+import graft.serve.{UsageApi, UsageRequest}
+import graft.streaming.StreamingUsage
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UsageApiSpec extends AnyFunSuite {
+
+  lazy implicit val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val H = 3600000L
+  val D = 86400000L
+  val jan1 = 1704067200000L
+
+  // c1 spans jan2 06:00 .. jan6 01:00 → DAYS ticks jan3..jan5
+  lazy val fact = Seq(
+    ("alice", jan1 + 1 * D + 6 * H, "c1", false, "MAP", "SUCCESS", 1, 1, 30.0),
+    ("alice", jan1 + 2 * D + 3 * H, "c1", false, "MAP", "SUCCESS", 1, 1, 10.0),
+    ("bob", jan1 + 2 * D + 5 * H, "c1", false, "REDUCE", "FAILED", 2, 2, 5.0),
+    ("carol", jan1 + 3 * D + 4 * H, "c1", true, "REDUCE", "KILLED", 1, 0, 7.0),
+    ("bob", jan1 + 5 * D + 1 * H, "c1", false, "MAP", "SUCCESS", 1, 1, 2.0))
+    .toDF("user", "time", "cluster", "excess", "taskType", "status",
+      "started", "finished", "elapsedMinutes")
+    .withColumn("cpuMinutes", col("elapsedMinutes") / 2)
+    .withColumn("reduceShuffleBytes",
+      when(col("taskType") === "REDUCE", 100L))
+
+  test("usage response: per-user series + aggregated remainder (app.rb parity)") {
+    val api = new UsageApi(fact)
+    val resp = api.usage(UsageRequest(
+      cluster = "c1",
+      users = Seq("alice", "bob"),
+      usersToAggregate = Seq("carol"),
+      queryType = "minutesTotal",
+      unit = "DAYS", zone = "UTC",
+      startMs = jan1, endMs = jan1 + 6 * D))
+    assert(resp.times == Seq(jan1 + 2 * D, jan1 + 3 * D, jan1 + 4 * D))
+    assert(resp.users.map(_.user) == Seq("alice", "bob"))
+    assert(resp.users(0).data == Seq(10.0, 0.0, 0.0))
+    assert(resp.users(1).data == Seq(5.0, 0.0, 0.0))
+    assert(resp.usersAggregated == Seq(0.0, 7.0, 0.0)) // carol's killed run
+    assert(resp.numAggregatedUsers == 1)
+    assert(resp.cluster == "c1")
+  }
+
+  test("memo cache returns identical object; invalidate clears") {
+    val api = new UsageApi(fact)
+    val req = UsageRequest("c1", Seq("alice"), Nil, "minutesTotal",
+      "DAYS", "UTC", jan1, jan1 + 6 * D)
+    val r1 = api.usage(req)
+    assert(api.usage(req) eq r1) // memo hit
+    api.invalidate()
+    assert(!(api.usage(req) eq r1)) // recomputed
+  }
+
+  test("csv export: header + hours scaling") {
+    val api = new UsageApi(fact)
+    val csv = api.exportCsv(UsageRequest("c1", Seq("alice", "bob"), Nil,
+      "minutesTotal", "DAYS", "UTC", jan1, jan1 + 6 * D))
+    assert(csv.head == "time,alice,bob")
+    val first = csv(1).split(',')
+    assert(first(0) == (jan1 + 2 * D).toString)
+    assert(first(1).toDouble == 10.0 / 60.0)
+  }
+
+  test("unknown query type → clear error") {
+    val api = new UsageApi(fact)
+    val e = intercept[IllegalArgumentException] {
+      api.usage(UsageRequest("c1", Nil, Nil, "nope", "DAYS", "UTC", 0, 1))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("streaming late-data semantics: watermark admits in-window rows (T5)") {
+    // the 5-day watermark means a row 4 days late still lands in its
+    // hour bucket on reprocessing — batch equivalence check
+    val attempts = Seq(
+      ("u1", "c1", "MAP", "SUCCESS", false, 10 * H, 10 * H + 600000L),
+      // "late" attempt: 4 days earlier event-time
+      ("u1", "c1", "MAP", "SUCCESS", false, 10 * H - 4 * D, 10 * H - 4 * D + 600000L))
+      .toDF("user", "cluster", "taskType", "status", "excess",
+        "startMs", "finishMs")
+    val agg = StreamingUsage.hourlyAgg(attempts).collect()
+    assert(agg.length == 2)
+    assert(agg.map(_.getAs[Long]("time")).toSet ==
+      Set(10 * H, 10 * H - 4 * D))
+  }
+}
