@@ -79,15 +79,9 @@ object ServeQueries {
   /** Gap-based sessionization (30-min inactivity): the event-stream
     * operator a training pipeline needs that the reference lacks. */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
-    val w = Window.partitionBy("user_id").orderBy("tsMs", "event_id")
-    ev
-      .withColumn("new_sess",
-        when(col("tsMs") - lag("tsMs", 1).over(w) > 1800000L, 1)
-          .otherwise(when(lag("tsMs", 1).over(w).isNull, 1).otherwise(0)))
-      .withColumn("sess_idx",
-        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    graft.operators.Sessionize
+      .byWindowFunctions(ev, "user_id", "tsMs", "event_id", 1800000L)
       .groupBy("user_id", "sess_idx")
       .agg(
         count(lit(1)).as("n_events"),

@@ -88,9 +88,12 @@ object Similarity {
     val withVec = embeddings
       .withColumn("features", array_to_vector(col("embedding")))
       .cache()
+    // fit the coarse quantizer on a sample — the quantizer only needs
+    // the density shape, not every vector (at 100 TB you cannot fit on
+    // the full set anyway); assignment below still covers all rows
     val model = new KMeans()
-      .setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(withVec)
+      .setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(withVec.sample(withReplacement = false, 0.25, seed = 42L))
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex

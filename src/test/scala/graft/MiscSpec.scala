@@ -49,6 +49,23 @@ class MiscSpec extends AnyFunSuite {
     assert(out == Set(("a", 1L), ("b", 99L), ("d", 99L)))
   }
 
+  test("sessionize: window-function and native session_window agree") {
+    // boundary semantics differ only at EXACTLY-gap spacing (ours: same
+    // session at ==gap; session_window: new) — absent in ms-random data
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = graft.operators.Sessionize
+      .byWindowFunctions(ev, "user_id", "tsMs", "event_id", 1800000L)
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n"), min("tsMs").as("start_ms"))
+      .select("user_id", "start_ms", "n")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = graft.operators.Sessionize
+      .bySessionWindow(ev, "user_id", "ts", "30 minutes", Seq.empty)
+      .select("user_id", "start_ms", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("ticks across a DST spring-forward week (America/Los_Angeles)") {
     // 2024-03-10 02:00 PST does not exist; week/day ticks must still be
     // local-midnight instants
