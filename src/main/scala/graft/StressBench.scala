@@ -1,0 +1,88 @@
+package graft
+
+import graft.usage.HourProration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: synthesizes attempts with `spark.range` (no
+  * disk, no driver-side data) and measures the hot pipeline stages at
+  * row counts far beyond the sf0.1 bench, to validate the 100 TB
+  * design claims with observed throughput:
+  *
+  *   1. hour-proration fan-out + 6-key cube (the W-E core);
+  *   2. shingle→minhash signature computation (the dedup core).
+  *
+  * Usage: `sbt "runMain graft.StressBench [rows] [docs]"` — defaults
+  * 20M attempts / 200k docs. Prints one JSON line per stage with
+  * rows/sec. Not part of the driver gate; numbers land in STRESS.md.
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val nAttempts = if (args.nonEmpty) args(0).toLong else 20000000L
+    val nDocs = if (args.length > 1) args(1).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(name: String, inputRows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val outRows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"$name","input_rows":$inputRows,"output_rows":$outRows,"sec":$s%.2f,"rows_per_sec":${(inputRows / s).toLong}}""")
+    }
+
+    // --- stage 1: proration + cube over synthetic attempts ---------- //
+    // deterministic attempts: ~1000 users, 4 clusters, start spread over
+    // 100 days, durations 0..4h (mean ~2h ⇒ fan-out ~×3)
+    val attempts = spark.range(nAttempts)
+      .withColumn("user", concat(lit("u"), pmod(col("id"), lit(1000))))
+      .withColumn("cluster", concat(lit("c"), pmod(col("id"), lit(4))))
+      .withColumn("taskType",
+        when(pmod(col("id"), lit(3)) === 0, "REDUCE").otherwise("MAP"))
+      .withColumn("status",
+        when(pmod(col("id"), lit(11)) === 0, "FAILED")
+          .when(pmod(col("id"), lit(7)) === 0, "KILLED")
+          .otherwise("SUCCESS"))
+      .withColumn("excess", pmod(col("id"), lit(5)) === 0)
+      .withColumn("startMs",
+        (pmod(col("id") * 2654435761L, lit(100L * 86400000L))))
+      .withColumn("durMs", pmod(col("id") * 40503L, lit(4L * 3600000L)))
+      .withColumn("finishMs", col("startMs") + col("durMs"))
+    timed("proration_cube", nAttempts) {
+      HourProration.explodeHours(attempts, col("startMs"), col("finishMs"))
+        .groupBy("user", "hourMs", "cluster", "excess", "taskType", "status")
+        .agg(sum("overlapMs").as("elapsedMs"),
+          sum("started").as("started"), sum("finished").as("finished"))
+        .count()
+    }
+
+    // --- stage 2: shingle + minhash signatures over synthetic docs -- //
+    val words = (0 until 64).map(i => s"w$i")
+    val wordArr = array(words.map(lit): _*)
+    val docs = spark.range(nDocs)
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(79)),
+          i => element_at(wordArr,
+            (pmod(col("id") * 31 + i * 7 + (col("id") + i) * (col("id") + i), lit(64)) + 1)
+              .cast("int")))))
+    timed("minhash_signatures", nDocs) {
+      // read the aggregate VALUE — count() alone lets Catalyst fold the
+      // one-row aggregate away without computing any signature
+      val checksum = docs.select(
+        graft.functions.HashExpressions.shingleHashes(col("text"), 5).as("hs"))
+        .select(graft.functions.HashExpressions.minHashSig(col("hs")).as("sig"))
+        .select(sum(element_at(col("sig"), 1)).as("s"))
+        .first().getLong(0)
+      checksum % 1000000
+    }
+
+    spark.stop()
+  }
+}
