@@ -25,6 +25,12 @@ class MiscSpec extends AnyFunSuite {
     assert(qs.forall(_.matches("q\\d{2}_[a-z_]+")))
   }
 
+  test("GraftSession.create registers functions on a tuned session") {
+    val s = graft.GraftSession.create("misc-test")
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.sql("SELECT poly_hash('ab')").head().getLong(0) == 97L * 31 + 98)
+  }
+
   test("ledger diff: added / changed-mtime / removed (T2/T3)") {
     val ledger = Seq(FileState("a", 1L), FileState("b", 1L), FileState("c", 1L))
     val current = Seq(FileState("a", 1L), FileState("b", 2L), FileState("d", 1L))
