@@ -91,15 +91,35 @@ object ServeQueries {
           .as("total_value"))
   }
 
+  /** Analytic profile: exact distinct counts + interpolated percentiles
+    * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition on sorted values — bit-identical). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        expr("percentile(value, 0.5)").as("med_value"),
+        expr("percentile(value, 0.95)").as("p95_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_serve_daily"  -> (q26 _),
     "q27_stream_hourly" -> (q27 _),
     "q28_multimodal"   -> (q28 _),
     "q29_serve_topn"   -> (q29 _),
     "q30_week_tz"      -> (q30 _),
-    "q31_sessionize"   -> (q31 _))
+    "q31_sessionize"   -> (q31 _),
+    "q34_profile"      -> (q34 _))
 
   val oracles: Map[String, String] = Map(
+    "q34_profile" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events,
+        |       quantile_cont(value, 0.5) AS med_value,
+        |       quantile_cont(value, 0.95) AS p95_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q26_serve_daily" ->
       s"""WITH ${SparkEntry.attemptsCte}, ${SparkEntry.explodedCte},
          |fact AS (

@@ -117,7 +117,7 @@ object TextQueries {
     * has no SQL oracle). */
   private def q33(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d),
-      nCentroids = 16, nProbe = 4, k = 3)
+      nCentroids = 16, nProbe = 2, k = 3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_token_stats"    -> (q15 _),
