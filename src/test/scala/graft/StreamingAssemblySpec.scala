@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.StreamingAssembly
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingAssemblySpec extends AnyFunSuite {
+
+  lazy implicit val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val openLines = Seq(
+    """Job JOBID="job_9_1" JOBNAME="wc" USER="eve" SUBMIT_TIME="1000" .""",
+    """MapAttempt TASK_TYPE="MAP" TASKID="task_9_1_m_000000" TASK_ATTEMPT_ID="attempt_9_1_m_000000_0" START_TIME="2000" .""")
+  val closingLines = Seq(
+    """MapAttempt TASK_TYPE="MAP" TASKID="task_9_1_m_000000" TASK_ATTEMPT_ID="attempt_9_1_m_000000_0" TASK_STATUS="SUCCESS" FINISH_TIME="9000" .""",
+    """Job JOBID="job_9_1" FINISH_TIME="9500" JOB_STATUS="SUCCESS" .""")
+
+  test("incremental assembly across micro-batches emits on final state") {
+    val in = Files.createTempDirectory("sa_in")
+    val ckpt = Files.createTempDirectory("sa_ck")
+    Files.write(in.resolve("b1.txt"),
+      String.join("\n", openLines: _*).getBytes)
+
+    val stream = spark.readStream.textFile(in.toString)
+    val jobs = StreamingAssembly.assembleJobsStream(stream, "cl")
+    val q = jobs.writeStream
+      .outputMode("append")
+      .format("memory").queryName("assembled")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // job not final yet — nothing emitted, state held
+      assert(spark.table("assembled").count() == 0)
+
+      // second micro-batch completes the job
+      Files.write(in.resolve("b2.txt"),
+        String.join("\n", closingLines: _*).getBytes)
+      q.processAllAvailable()
+      val out = spark.table("assembled").collect()
+      assert(out.length == 1)
+      val job = out.head
+      assert(job.getAs[String]("jobId") == "job_9_1")
+      assert(job.getAs[String]("user") == "eve")
+      assert(job.getAs[String]("status") == "SUCCESS")
+      val tasks = job.getSeq[org.apache.spark.sql.Row](job.fieldIndex("tasks"))
+      assert(tasks.length == 1)
+      val attempts = tasks.head.getSeq[org.apache.spark.sql.Row](
+        tasks.head.fieldIndex("attempts"))
+      assert(attempts.head.getAs[Long]("finishTime") == 9000L)
+    } finally q.stop()
+  }
+
+  test("static execution matches batch assembly") {
+    val all = (openLines ++ closingLines).toDS()
+    val streaming = StreamingAssembly.assembleJobsStream(all, "cl").collect()
+    val batch = graft.etl.JobAssembly.assembleJobs(all, "cl").collect()
+    assert(streaming.length == 1 && batch.length == 1)
+    assert(streaming.head == batch.head)
+  }
+}
