@@ -119,6 +119,19 @@ object TextQueries {
     Similarity.ivfTopK(Tables.embeddings(s, d),
       nCentroids = 16, nProbe = 2, k = 3)
 
+  /** Corpus term frequency: top-10 terms per language (explode +
+    * count + rank, deterministic term tie-break). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rk") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_token_stats"    -> (q15 _),
     "q16_quality_score"  -> (q16 _),
@@ -132,7 +145,8 @@ object TextQueries {
     "q24_blocked_nn"     -> (q24 _),
     "q25_ann_lsh"        -> (q25 _),
     "q32_embed_neardup"  -> (q32 _),
-    "q33_ann_ivf"        -> (q33 _))
+    "q33_ann_ivf"        -> (q33 _),
+    "q35_term_freq"      -> (q35 _))
 
   // ------------------------------------------------------------------ //
 
@@ -143,6 +157,17 @@ object TextQueries {
       "(acc, v) -> acc + v)"
 
   val oracles: Map[String, String] = Map(
+    "q35_term_freq" ->
+      """WITH terms AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+        |)
+        |SELECT lang, term, cnt,
+        |       row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rk
+        |FROM counts
+        |QUALIFY rk <= 10""".stripMargin,
     "q15_token_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,
