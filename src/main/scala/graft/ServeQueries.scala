@@ -35,11 +35,11 @@ object ServeQueries {
   private def q26(s: SparkSession, d: String): DataFrame = {
     implicit val spark: SparkSession = s
     val fact = analogFact(s, d).cache()
-    val users = UsageQueries.users(fact, "east")
-    val (lo, hi) = UsageQueries.timeBounds(fact, "east")
+    val (users, lo, hi) = UsageQueries.clusterMeta(fact, "east")
     val qt = QueryType("elapsedTotal", "elapsedMs")
     UsageQueries
-      .perUserSeries(fact, "east", users, qt, "DAYS", "UTC", lo, hi)
+      .perUserSeries(fact, "east", users, qt, "DAYS", "UTC", lo, hi,
+        bounds = Some((lo, hi)))
       .withColumn("value_min", col("value") / 60000.0)
       .drop("value")
   }

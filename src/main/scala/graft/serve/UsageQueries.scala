@@ -35,6 +35,16 @@ object UsageQueries {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Users + time bounds of a cluster in ONE job (the serving chain
+    * otherwise pays a driver round-trip per lookup). */
+  def clusterMeta(fact: DataFrame, cluster: String): (Seq[String], Long, Long) = {
+    val r = fact.filter(col("cluster") === cluster)
+      .agg(sort_array(collect_set("user")).as("users"),
+        min("time"), max("time"))
+      .head()
+    (r.getSeq[String](0), r.getLong(1), r.getLong(2))
+  }
+
   private def typeFilter(qt: QueryType): Column = {
     val always = lit(true)
     Seq(
@@ -60,9 +70,11 @@ object UsageQueries {
     * user, tick, value — ordered by (user, tick). */
   def perUserSeries(fact: DataFrame, cluster: String, users: Seq[String],
       qt: QueryType, unit: String, zone: String,
-      startMs: Long, endMs: Long)(implicit spark: SparkSession): DataFrame = {
+      startMs: Long, endMs: Long,
+      bounds: Option[(Long, Long)] = None)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val (minMs, maxMs) = timeBounds(fact, cluster)
+    val (minMs, maxMs) = bounds.getOrElse(timeBounds(fact, cluster))
     val tickSeq = TimeBuckets.ticks(unit, zone, startMs, endMs, minMs, maxMs)
     val spine = tickSeq.toDF("tick")
       .crossJoin(users.toDF("user"))
