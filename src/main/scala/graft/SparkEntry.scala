@@ -68,18 +68,22 @@ object SparkEntry {
           .as("revenue"),
         count(lit(1)).as("n_rows"))
 
-  /** A14/W3/O4: top-N by total with "other" remainder bucket. */
+  /** A14/W3/O4: top-N by total with "other" remainder bucket.
+    * Distributed top-N: `orderBy().limit(n)` plans TakeOrderedAndProject
+    * (per-partition heap + driver merge of n rows) — never the
+    * single-partition global window sort. Winners broadcast back. */
   private def q04(s: SparkSession, d: String): DataFrame = {
     val totals = Tables.events(s, d)
       .groupBy("user_id")
       .agg(dsum(col("value")).as("total"))
-    val ranked = totals.withColumn(
-      "rk",
-      row_number().over(Window.orderBy(col("total").desc, col("user_id"))))
-    ranked
+    val winners = totals
+      .orderBy(col("total").desc, col("user_id")).limit(5)
+      .select(col("user_id"), lit(true).as("is_top"))
+    totals
+      .join(broadcast(winners), Seq("user_id"), "left")
       .withColumn(
         "who",
-        when(col("rk") <= 5, col("user_id").cast("string")).otherwise("other"))
+        when(col("is_top"), col("user_id").cast("string")).otherwise("other"))
       .groupBy("who")
       .agg(
         sum(col("total").cast("decimal(18,2)")).cast("double").as("total_value"),
@@ -248,14 +252,15 @@ object SparkEntry {
     """exploded AS (
       |  SELECT a.*,
       |         unnest(generate_series((startMs // 3600000) * 3600000,
-      |                                (finishMs // 3600000) * 3600000,
+      |                                ((finishMs - 1) // 3600000) * 3600000,
       |                                3600000)) AS hourMs
       |  FROM attempts a
+      |  WHERE finishMs > startMs
       |), hours AS (
       |  SELECT *,
       |         greatest(0, least(finishMs, hourMs + 3600000) - greatest(startMs, hourMs)) AS overlapMs,
       |         CASE WHEN hourMs = (startMs // 3600000) * 3600000 THEN 1 ELSE 0 END AS started,
-      |         CASE WHEN hourMs = (finishMs // 3600000) * 3600000 THEN 1 ELSE 0 END AS finished
+      |         CASE WHEN hourMs = ((finishMs - 1) // 3600000) * 3600000 THEN 1 ELSE 0 END AS finished
       |  FROM exploded
       |)""".stripMargin
 
@@ -383,9 +388,8 @@ object SparkEntry {
          |       CAST(SUM(started) AS BIGINT) AS started,
          |       CAST(SUM(finished) AS BIGINT) AS finished,
          |       CAST(SUM(CAST(
-         |         CASE WHEN durMs <= 0 THEN CAST(cpuMs AS DOUBLE)
-         |              ELSE CAST(cpuMs AS DOUBLE) * CAST(overlapMs AS DOUBLE) / CAST(durMs AS DOUBLE)
-         |         END AS DECIMAL(28,6))) AS DOUBLE) AS cpuMsSum,
+         |         CAST(cpuMs AS DOUBLE) * CAST(overlapMs AS DOUBLE) / CAST(durMs AS DOUBLE)
+         |         AS DECIMAL(28,6))) AS DOUBLE) AS cpuMsSum,
          |       CAST(SUM(reduceShuffleBytes) AS BIGINT) AS reduceShuffleBytes,
          |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes
          |FROM hours

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, IvfCentroids, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,19 +105,25 @@ object TextQueries {
   private def q24(s: SparkSession, d: String): DataFrame =
     Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "label")
 
-  /** xxhash64 LSH — no DuckDB oracle (rows-only driver check). */
+  /** Banded polynomial-hash LSH ANN — exact oracle (signatures are
+    * integer-parity hyperplanes + sequential double folds, reproduced
+    * bit-identically in DuckDB). */
   private def q25(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d), dim = 64, nPlanes = 8, k = 3)
+    Similarity.lshTopK(Tables.embeddings(s, d),
+      dim = 64, nPlanes = 16, nBands = 4, k = 3)
 
   /** Embedding-cosine near-dup pairs within label blocks. */
   private def q32(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4)
 
-  /** IVF ANN (k-means coarse quantizer) — rows-only (seeded k-means
-    * has no SQL oracle). */
+  /** IVF ANN against the pinned coarse quantizer
+    * ([[IvfCentroids.Centroids16]], a build artifact — train once,
+    * ship centroids as data). With fixed centroid literals the search
+    * is pure join/fold arithmetic, so the DuckDB oracle reproduces it
+    * bit-for-bit (exact hash-match, formerly rows-only). */
   private def q33(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, d),
-      nCentroids = 16, nProbe = 2, k = 3)
+    Similarity.ivfTopKWithCentroids(Tables.embeddings(s, d),
+      IvfCentroids.Centroids16, nProbe = 2, k = 3)
 
   /** Corpus term frequency: top-10 terms per language (explode +
     * count + rank, deterministic term tie-break). */
@@ -156,7 +162,61 @@ object TextQueries {
       s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
 
+  /** DuckDB mirror of [[Similarity.lshTopK]]'s hyperplane projections:
+    * proj_j = Σ_i emb[i]·(±1 by parity of (A_j·i+B_j) mod P), the same
+    * sequential double fold the Spark side computes. */
+  private val lshProjEntries = (0 until 16).map { j =>
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      s"(CASE WHEN ((${MinHashA(j)}*i + ${MinHashB(j)}) % 1000000007) % 2 = 0 " +
+      s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), (acc, v) -> acc + v)"
+  }.mkString("[", ",\n           ", "]")
+
+  /** 4 bands × 4 sign bits packed from the 16 projections (1-based). */
+  private val lshBandEntries = (0 until 4).map { b =>
+    (0 until 4).map { r =>
+      s"(CASE WHEN projs[${b * 4 + r + 1}] >= 0 THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+  }.mkString("[", ",\n            ", "]")
+
+  /** The q33 quantizer as a DuckDB VALUES literal — generated from the
+    * SAME [[IvfCentroids.Centroids16]] object the Spark query uses
+    * (Double.toString round-trips exactly; DuckDB parses the decimal
+    * string to the identical IEEE double). */
+  private val centroidValues = IvfCentroids.Centroids16.map { case (i, c) =>
+    s"($i, [${c.mkString(", ")}])"
+  }.mkString(",\n        ")
+
   val oracles: Map[String, String] = Map(
+    "q33_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |        $centroidValues
+         |  ) AS t(cell, centroid)
+         |), base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), dists AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+         |         -${duckDot("b.embedding", "c.centroid")}
+         |           + ${duckDot("c.centroid", "c.centroid")} / 2 AS dist
+         |  FROM base b CROSS JOIN cent c
+         |), pr AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |  FROM dists
+         |), scored AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |         ${duckDot("p.embedding", "a.embedding")} / (p.nrm * a.nrm) AS cosine
+         |  FROM pr p JOIN pr a ON p.cell = a.cell AND a.pr = 1
+         |  WHERE p.pr <= 2 AND p.vec_id != a.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
     "q35_term_freq" ->
       """WITH terms AS (
         |  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS term
@@ -313,6 +373,35 @@ object TextQueries {
          |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "q25_ann_lsh" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         $lshProjEntries AS projs
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, embedding, nrm,
+         |         $lshBandEntries AS bnds
+         |  FROM base
+         |), eb AS (
+         |  SELECT vec_id, unnest([0,1,2,3]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM sig
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM eb a JOIN eb b USING (band_idx, band_hash)
+         |  WHERE a.vec_id != b.vec_id
+         |), scored AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |         ${duckDot("qa.embedding", "qb.embedding")} / (qa.nrm * qb.nrm) AS cosine
+         |  FROM pairs p
+         |  JOIN sig qa ON qa.vec_id = p.query_id
+         |  JOIN sig qb ON qb.vec_id = p.neighbor_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
     "q24_blocked_nn" ->
       s"""WITH n AS (
          |  SELECT vec_id, label, embedding,

@@ -59,11 +59,9 @@ object EventUsage {
       .withColumn(
         "cpuMsProrated",
         // exact in doubles: both engines compute cpuMs*overlap/dur the
-        // same way; guard zero-duration (full value in the one bucket)
-        when(col("durMs") <= 0, col("cpuMs").cast("double"))
-          .otherwise(
-            col("cpuMs").cast("double") * col("overlapMs").cast("double") /
-              col("durMs").cast("double")))
+        // same way; durMs > 0 guaranteed (explodeHours drops zero-length)
+        col("cpuMs").cast("double") * col("overlapMs").cast("double") /
+          col("durMs").cast("double"))
       .groupBy("user", "hourMs", "cluster", "excess", "taskType", "status")
       .agg(
         sum("started").as("started"),

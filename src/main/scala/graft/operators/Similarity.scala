@@ -83,39 +83,62 @@ object Similarity {
     * SQL-oracle-expressible (rows-only driver check).
     */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val centroids = fitQuantizer(embeddings, nCentroids)
+    ivfTopKWithCentroids(embeddings, centroids, nProbe, k)
+  }
+
+  /** Fit the IVF coarse quantizer: seeded k-means on a sample — the
+    * quantizer only needs the density shape, not every vector (at
+    * 100 TB you cannot fit on the full set anyway). The sample is
+    * cached only for the duration of the (eager, iterative) fit and
+    * unpersisted before returning — no leaked storage. */
+  def fitQuantizer(embeddings: DataFrame, nCentroids: Int): Seq[(Int, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = embeddings
-      .withColumn("features", array_to_vector(col("embedding")))
+    val sample = embeddings
+      .select(array_to_vector(col("embedding")).as("features"))
+      .sample(withReplacement = false, 0.25, seed = 42L)
       .cache()
-    // fit the coarse quantizer on a sample — the quantizer only needs
-    // the density shape, not every vector (at 100 TB you cannot fit on
-    // the full set anyway); assignment below still covers all rows
-    val model = new KMeans()
-      .setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(withVec.sample(withReplacement = false, 0.25, seed = 42L))
+    try {
+      val model = new KMeans()
+        .setK(nCentroids).setSeed(42L).setMaxIter(5)
+        .fit(sample)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    } finally sample.unpersist()
+  }
+
+  /** IVF search against a FIXED centroid table — the hot path contains
+    * no ML UDF: cell assignment and probe selection are the same
+    * broadcast-centroid `dist = -q·c + c·c/2` ranking (one crossJoin
+    * against ≤ dozens of broadcast centroid rows, then a per-vector
+    * window — partitioned by vec_id, never global). With centroids
+    * passed as double literals the whole query is pure join/fold
+    * arithmetic that an external SQL engine reproduces bit-identically
+    * (the q33 oracle). */
+  def ivfTopKWithCentroids(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "centroid")
-    // candidate side: home cell only
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "cell")
-      .select(col("vec_id").as("neighbor_id"), col("cell"),
-        col("embedding").as("e_b"), l2Norm(col("embedding")).as("n_b"))
-    // query side: nProbe nearest cells by centroid distance
-    val probes = withVec
-      .select(col("vec_id").as("query_id"), col("embedding").as("e_a"),
-        l2Norm(col("embedding")).as("n_a"))
-      .crossJoin(broadcast(centroids))
+    val cdf = centroids.toDF("cell", "centroid")
+    // one ranking serves both sides: pr == 1 is the home-cell
+    // assignment (candidate side), pr <= nProbe the probe list
+    val ranked = embeddings
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cdf))
       .withColumn("dist",
-        -dot(col("e_a"), col("centroid")) +
+        -dot(col("embedding"), col("centroid")) +
           dot(col("centroid"), col("centroid")) / 2)
       .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("pr") <= nProbe)
-      .select("query_id", "cell", "e_a", "n_a")
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("pr") <= math.max(nProbe, 1))
+      .select("vec_id", "cell", "pr", "embedding", "nrm")
+    val assigned = ranked.filter(col("pr") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val probes = ranked
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("embedding").as("e_a"), col("nrm").as("n_a"))
     probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -127,33 +150,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Random-hyperplane LSH top-k: deterministic pseudo-random
-    * hyperplanes H(j,i) = ±1 derived from xxhash64(j*dim + i), bucket
-    * by the sign-bit signature, candidates = same-bucket pairs, exact
-    * cosine re-rank within buckets. Approximate (bucketing loses
-    * recall) — the scale path when the query set is the whole table.
+  /** Banded random-hyperplane LSH top-k (the scale path when the query
+    * set is the whole table).
+    *
+    * Hyperplane component i (1-based) of plane j is ±1 by the parity of
+    * the same polynomial-hash family the minhash oracle uses
+    * (`(A_j·i + B_j) mod P mod 2`, constants
+    * [[graft.functions.TextFunctions.MinHashA]]/`MinHashB`) — exact
+    * integer arithmetic, so the DuckDB oracle computes bit-identical
+    * signatures and q25 gets a full hash-match check (the former
+    * xxhash64 planes were not SQL-expressible).
+    *
+    * Banding: `nPlanes` sign bits split into `nBands` bucket keys of
+    * `nPlanes/nBands` bits. A pair is a candidate when it collides in
+    * ANY band (OR-of-ANDs) — recall no longer collapses as nPlanes
+    * grows, unlike a single full-signature bucket. Candidate
+    * generation stays a bucket equi-join (never all-pairs); pairs are
+    * deduped before the exact cosine re-rank so each candidate is
+    * scored once.
     * Output: query_id, neighbor_id, rank, cosine. */
-  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    // signature bit j = sign(Σ_i H(j,i)·v_i); H from a hash of (j,i)
-    val sigBits = (0 until nPlanes).map { j =>
+  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.{MinHashA, MinHashB, P}
+    require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
+    require(nPlanes <= MinHashA.size, s"at most ${MinHashA.size} planes")
+    val rowsPerBand = nPlanes / nBands
+    // proj_j = sequential left fold of emb(i)·H(j,i), double precision
+    val projs = (0 until nPlanes).map { j =>
       val planes = transform(
-        sequence(lit(0), lit(dim - 1)),
-        i => when(pmod(xxhash64(lit(j * dim) + i), lit(2)) === 0, 1.0).otherwise(-1.0))
-      val proj = aggregate(
+        sequence(lit(1), lit(dim)),
+        i => when(((lit(MinHashA(j)) * i + lit(MinHashB(j))) % P) % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+      aggregate(
         zip_with(col("embedding"), planes, (x, h) => x.cast("double") * h),
         lit(0.0), (a, v) => a + v)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
-    val sig = sigBits.reduce(_ + _)
+    val bands = (0 until nBands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        when(projs(b * rowsPerBand + r) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
     val base = embeddings
-      .withColumn("bucket", sig)
+      .withColumn("bnds", array(bands: _*))
       .withColumn("nrm", l2Norm(col("embedding")))
-    val a = base.select(col("vec_id").as("query_id"), col("bucket"),
-      col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = base.select(col("vec_id").as("neighbor_id"), col("bucket"),
-      col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, "bucket")
+    val eb = base.select(col("vec_id"),
+      posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
+    val pairs = eb.select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
+      .join(eb.select(col("vec_id").as("neighbor_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val side = base.select(col("vec_id"), col("embedding"), col("nrm"))
+    pairs
+      .join(side.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_a"), col("nrm").as("n_a")), "query_id")
+      .join(side.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "neighbor_id")
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .withColumn("rank", row_number().over(

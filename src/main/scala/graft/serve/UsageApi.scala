@@ -56,12 +56,15 @@ final class UsageApi(fact: DataFrame)(implicit spark: SparkSession) {
     memo.getOrElseUpdate(req, {
       val qt = QueryType.All.getOrElse(req.queryType,
         throw new IllegalArgumentException(s"bad type: ${req.queryType}"))
+      // one metadata job, bounds forwarded everywhere below — an
+      // uncached request costs exactly: meta + perUser (+ aggregate)
       val (minMs, maxMs) = UsageQueries.timeBounds(fact, req.cluster)
+      val bounds = Some((minMs, maxMs))
       val ticks = TimeBuckets.ticks(
         req.unit, req.zone, req.startMs, req.endMs, minMs, maxMs)
       val perUser = UsageQueries
         .perUserSeries(fact, req.cluster, req.users, qt, req.unit,
-          req.zone, req.startMs, req.endMs)
+          req.zone, req.startMs, req.endMs, bounds)
         .collect()
         .groupBy(_.getString(0))
         .view.mapValues(rows =>
@@ -71,7 +74,7 @@ final class UsageApi(fact: DataFrame)(implicit spark: SparkSession) {
         if (req.usersToAggregate.isEmpty) ticks.map(_ => qt.defaultValue)
         else UsageQueries
           .aggregatedSeries(fact, req.cluster, req.usersToAggregate, qt,
-            req.unit, req.zone, req.startMs, req.endMs)
+            req.unit, req.zone, req.startMs, req.endMs, bounds)
           .collect().sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq
       UsageResponse(
         times = ticks,

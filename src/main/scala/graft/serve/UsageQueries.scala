@@ -91,9 +91,11 @@ object UsageQueries {
     * user dimension (cube collapse A10), densify. */
   def aggregatedSeries(fact: DataFrame, cluster: String, users: Seq[String],
       qt: QueryType, unit: String, zone: String,
-      startMs: Long, endMs: Long)(implicit spark: SparkSession): DataFrame = {
+      startMs: Long, endMs: Long,
+      bounds: Option[(Long, Long)] = None)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val (minMs, maxMs) = timeBounds(fact, cluster)
+    val (minMs, maxMs) = bounds.getOrElse(timeBounds(fact, cluster))
     val tickSeq = TimeBuckets.ticks(unit, zone, startMs, endMs, minMs, maxMs)
     val spine = tickSeq.toDF("tick")
     val agg = aggregated(fact, cluster, qt, unit, zone)
@@ -111,11 +113,14 @@ object UsageQueries {
       unit: String, zone: String, n: Int): DataFrame = {
     val agg = aggregated(fact, cluster, qt, unit, zone)
     val totals = agg.groupBy("user").agg(sum("value").as("total"))
-    val ranked = totals.withColumn("rk",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("total").desc, col("user"))))
-    agg.join(ranked.select("user", "rk"), "user")
-      .withColumn("who", when(col("rk") <= n, col("user")).otherwise("other"))
+    // Distributed top-N (TakeOrderedAndProject) — a global row_number
+    // window would sort ALL per-user totals on one partition, a named
+    // scale-killer at 100 TB. The n winners are tiny → broadcast back.
+    val winners = totals
+      .orderBy(col("total").desc, col("user")).limit(n)
+      .select(col("user"), lit(true).as("is_top"))
+    agg.join(broadcast(winners), Seq("user"), "left")
+      .withColumn("who", when(col("is_top"), col("user")).otherwise("other"))
       .groupBy("who", "tick").agg(sum("value").as("value"))
   }
 

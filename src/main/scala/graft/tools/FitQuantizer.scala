@@ -1,0 +1,32 @@
+package graft.tools
+
+/** One-shot generator for [[graft.operators.IvfCentroids]]: fits the
+  * seeded k-means coarse quantizer (k=16, seed=42, maxIter=5, 25%
+  * sample — [[graft.operators.Similarity.fitQuantizer]]) on the gate
+  * dataset's embeddings and prints the centroid table as Scala source.
+  *
+  * The q33 gate query pins the quantizer as literal doubles so BOTH
+  * engines (Spark and the DuckDB oracle) search against the identical
+  * cell structure — the fit itself is a build step, not part of the
+  * query (exactly how a production IVF index ships: train once,
+  * distribute centroids as data).
+  *
+  * Usage: sbt "runMain graft.tools.FitQuantizer /root/testdata/sf0.01"
+  */
+object FitQuantizer {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.GraftSession.create("fit-quantizer")
+    spark.sparkContext.setLogLevel("WARN")
+    val cents = graft.operators.Similarity
+      .fitQuantizer(graft.Tables.embeddings(spark, dir), nCentroids = 16)
+    println("  val Centroids16: Seq[(Int, Seq[Double])] = Seq(")
+    cents.foreach { case (i, c) =>
+      // full-precision doubles: Double.toString round-trips exactly and
+      // DuckDB parses the same decimal string to the same IEEE double
+      println(s"    $i -> Seq(${c.map(v => s"${v}d").mkString(", ")}),")
+    }
+    println("  )")
+    spark.stop()
+  }
+}

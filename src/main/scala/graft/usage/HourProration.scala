@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * the clock hours it spans (reference
   * `analysis/ComputeUsagePerHour.java:270-338`, A6/T6).
   *
-  * Semantics reproduced exactly:
+  * Semantics reproduced exactly (the reference loop is
+  * `while (currentTime < end)` at `:285`):
   *  - hour buckets are UTC hour floors (`:340-376`; reference uses a GMT
   *    calendar);
-  *  - one output row per hour from floor(start) to floor(finish)
-  *    inclusive — a finish exactly on a boundary yields a 0-minute
-  *    bucket carrying `finished=1`;
+  *  - one output row per hour from floor(start) to floor(finish-1)
+  *    inclusive — a finish exactly on a boundary does NOT open a
+  *    0-minute bucket; `finished=1` lands in the last bucket with
+  *    positive overlap (`:325-332`);
+  *  - a zero-length attempt (finish == start) emits NO rows (the loop
+  *    body never runs). The reference throws for finish < start
+  *    (`:275-278`); this engine drops such rows instead of failing the
+  *    job (deviation documented in QUIRKS.md);
   *  - `elapsedMinutes` = overlap of [start,finish) with the bucket, in
   *    minutes (`:301-305`);
   *  - `cpuMinutes` and `spilledRecords` are prorated by
-  *    overlap/duration (`:307-315`); a zero-length attempt puts the full
-  *    value in its single bucket;
+  *    overlap/duration (`:307-315`);
   *  - ⚠ `reduceShuffleBytes` is NOT prorated — the full counter value is
   *    repeated in every bucket the attempt touches
   *    (`:317-320`; quirk preserved, SURVEY.md §7.4);
@@ -41,17 +46,17 @@ object HourProration {
   def prorate(user: String, cluster: String, a: Attempt): Seq[HourlyUsage] = {
     val start = a.startTime
     val finish = a.finishTime
+    if (finish <= start) return Seq.empty // while(currentTime < end) never runs
     val durMs = finish - start
     val cpuMs = a.counters.get("CPU_MILLISECONDS").map(_.toDouble)
     val spilled = a.counters.get("SPILLED_RECORDS").map(_.toDouble)
     val shuffleBytes = a.counters.get("REDUCE_SHUFFLE_BYTES")
     val firstHour = hourFloor(start)
-    val lastHour = hourFloor(finish)
+    val lastHour = hourFloor(finish - 1L)
     (firstHour to lastHour by HourMs).map { h =>
       val overlapMs =
         math.max(0L, math.min(finish, h + HourMs) - math.max(start, h))
-      val fraction =
-        if (durMs <= 0L) 1.0 else overlapMs.toDouble / durMs.toDouble
+      val fraction = overlapMs.toDouble / durMs.toDouble
       HourlyUsage(
         user = user,
         time = h,
@@ -80,8 +85,9 @@ object HourProration {
     */
   def explodeHours(df: DataFrame, startMs: Column, finishMs: Column): DataFrame = {
     val firstHour = floor(startMs / HourMs) * HourMs
-    val lastHour = floor(finishMs / HourMs) * HourMs
-    df.withColumn("__startMs", startMs)
+    val lastHour = floor((finishMs - 1) / HourMs) * HourMs
+    df.filter(finishMs > startMs) // while(currentTime < end): zero-length → no rows
+      .withColumn("__startMs", startMs)
       .withColumn("__finishMs", finishMs)
       .withColumn("__firstHour", firstHour.cast("long"))
       .withColumn("__lastHour", lastHour.cast("long"))

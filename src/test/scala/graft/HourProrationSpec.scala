@@ -34,25 +34,26 @@ class HourProrationSpec extends AnyFunSuite {
     assert(rows.map(_.finished) == Seq(0, 0, 1))
   }
 
-  test("finish exactly on hour boundary: zero-minute bucket with finished=1") {
+  test("finish exactly on hour boundary: no zero-minute bucket; finished=1 in last full bucket") {
+    // reference loop `while (currentTime < end)` stops at the boundary
+    // (ComputeUsagePerHour.java:285); finished lands via end <= time+unit
+    // (:330-332)
     val rows = HourProration.prorate("u", "c", att(H + 60000, 2 * H))
-    assert(rows.size == 2)
-    assert(rows.last.time == 2 * H)
-    assert(rows.last.elapsedMinutes == 0.0)
-    assert(rows.last.finished == 1 && rows.last.started == 0)
+    assert(rows.size == 1)
+    assert(rows.head.time == H)
+    assert(rows.head.elapsedMinutes == 59.0)
+    assert(rows.head.finished == 1 && rows.head.started == 1)
   }
 
-  test("zero-length attempt: one bucket, full counter values") {
+  test("zero-length attempt: no rows (loop body never runs)") {
     val rows = HourProration.prorate("u", "c",
       att(H + 1000, H + 1000, Map("CPU_MILLISECONDS" -> 120000L)))
-    assert(rows.size == 1)
-    assert(rows.head.cpuMinutes.contains(2.0))
-    assert(rows.head.started == 1 && rows.head.finished == 1)
+    assert(rows.isEmpty)
   }
 
   test("reduceShuffleBytes NOT prorated: full value in every bucket (quirk)") {
     val rows = HourProration.prorate("u", "c",
-      att(H, 3 * H, Map("REDUCE_SHUFFLE_BYTES" -> 1000L)))
+      att(H, 3 * H + 60000L, Map("REDUCE_SHUFFLE_BYTES" -> 1000L)))
     assert(rows.size == 3)
     assert(rows.forall(_.reduceShuffleBytes.contains(1000L)))
   }
@@ -61,7 +62,7 @@ class HourProrationSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
       val start = rnd.nextLong(400L * 24 * H)
-      val finish = start + rnd.nextLong(12 * H)
+      val finish = start + 1 + rnd.nextLong(12 * H)
       val rows = HourProration.prorate("u", "c", att(start, finish))
       val total = rows.map(_.elapsedMinutes).sum
       assert(math.abs(total - (finish - start) / 60000.0) < 1e-6)

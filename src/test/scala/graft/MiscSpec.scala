@@ -20,8 +20,9 @@ class MiscSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // only the xxhash64 LSH and seeded-kmeans IVF paths are rows-only
-    assert((qs -- os) == Set("q25_ann_lsh", "q33_ann_ivf"))
+    // every gate query has an exact DuckDB oracle (q25 via
+    // polynomial-hash hyperplanes, q33 via the pinned centroid table)
+    assert((qs -- os).isEmpty, s"queries without oracle: ${qs -- os}")
     assert(qs.forall(_.matches("q\\d{2}_[a-z_]+")))
   }
 
