@@ -126,16 +126,31 @@ object TextQueries {
       IvfCentroids.Centroids16, nProbe = 2, k = 3)
 
   /** Corpus term frequency: top-10 terms per language (explode +
-    * count + rank, deterministic term tie-break). */
+    * count + rank, deterministic term tie-break).
+    *
+    * Two-phase top-k: a single window partitioned by `lang` would pull
+    * every distinct term of a language through one partition (tens of
+    * millions of rows at 100 TB through ~5 partitions). Phase 1 takes
+    * the top-10 within each (lang, term-hash shard) — 64-way parallel,
+    * and since each term lives in exactly one shard the global top-10
+    * is a subset of the shard winners; phase 2 merges ≤ 640 rows per
+    * language. Identical results, no full-cardinality window. */
   private def q35(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(col("lang"), explode(tokens(col("text"))).as("term"))
       .groupBy("lang", "term")
       .agg(count(lit(1)).as("cnt"))
+    val partial = counts
+      .withColumn("shard", pmod(xxhash64(col("term")), lit(64)))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("lang", "shard").orderBy(col("cnt").desc, col("term"))))
+      .filter(col("prk") <= 10)
+    partial
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
       .filter(col("rk") <= 10)
+      .select("lang", "term", "cnt", "rk")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

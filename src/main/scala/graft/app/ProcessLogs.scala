@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object ProcessLogs {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Config(
       logsRoot: String,
       outputRoot: String,
@@ -47,19 +49,25 @@ object ProcessLogs {
       days: Seq[LocalDate]): Dataset[Job] = {
     implicit val s: SparkSession = spark
     val globs = days.map(d => dayGlob(cfg.logsRoot, cluster, d) + "/*.log")
-    val existing = {
-      // tolerate missing day dirs (the reference skips absent inputs,
-      // JobStatsProcessing.java:69-90)
-      val fs = new org.apache.hadoop.fs.Path(cfg.logsRoot)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      globs.filter(g =>
-        fs.globStatus(new org.apache.hadoop.fs.Path(g)) match {
-          case null => false
-          case st => st.nonEmpty
-        })
-    }
+    val existing = existingGlobs(spark, globs)
     if (existing.isEmpty) spark.emptyDataset[Job](jobEncoder(spark))
     else JobAssembly.assembleJobs(spark.read.textFile(existing: _*), cluster)
+  }
+
+  /** Globs that match at least one path — absent day dirs are skipped
+    * with a log line (the reference skips absent inputs,
+    * `JobStatsProcessing.java:69-90`). */
+  private def existingGlobs(spark: SparkSession, globs: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    globs.filter { g =>
+      val p = new org.apache.hadoop.fs.Path(g)
+      val found = p.getFileSystem(conf).globStatus(p) match {
+        case null => false
+        case st => st.nonEmpty
+      }
+      if (!found) log.info(s"skipping absent input: $g")
+      found
+    }
   }
 
   private def jobEncoder(spark: SparkSession) = {
@@ -85,16 +93,22 @@ object ProcessLogs {
         })
       val days = plan.map(_.date)
 
-      // stage 1: job confs (map-only)
-      val confGlobs = days.map(d => dayGlob(cfg.logsRoot, cluster, d))
-      confGlobs.foreach { g =>
-        try {
-          ConfParsing.parseConfDir(g, cluster)
-            .toDF()
-            .withColumn("date", to_date(regexp_extract(col("path"),
-              "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
-            .write.mode("append").parquet(s"${cfg.outputRoot}/confs")
-        } catch { case _: org.apache.spark.sql.AnalysisException => () }
+      // stage 1: job confs (map-only) — written exactly like jobs/
+      // usage: parquet partitioned by cluster/date under DYNAMIC
+      // overwrite, so re-running the forced trailing window (T5)
+      // replaces those day partitions instead of appending duplicate
+      // conf rows (the old per-day append was non-idempotent)
+      val confDirs = existingGlobs(
+        spark, days.map(d => dayGlob(cfg.logsRoot, cluster, d)))
+      if (confDirs.nonEmpty) {
+        confDirs
+          .map(g => ConfParsing.parseConfDir(g, cluster).toDF())
+          .reduce(_ unionAll _)
+          .withColumn("date", to_date(regexp_extract(col("path"),
+            "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
+          .write.mode("overwrite")
+          .partitionBy("cluster", "date")
+          .parquet(s"${cfg.outputRoot}/confs")
       }
 
       // stage 2: merged job trees

@@ -10,9 +10,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * reducer that mutates a union of fragments
   * (`parsing/ParseJobsFromLogs.java:228-378`). Spark-first shape:
   * `Dataset[String].flatMap(parse)` → `groupByKey(_.jobId)` →
-  * `mapGroups(assemble)`. One shuffle, typed the whole way, and the merge
-  * functions are commutative (max / first-non-null) so Spark's unordered
-  * group iteration is safe (SURVEY.md §7.4).
+  * `mapGroups(assemble)`. One shuffle, typed the whole way (SURVEY.md §7.4).
+  *
+  * Determinism note: time merges are order-free (max), but the
+  * overwrite-if-non-null fields are last-defined-wins over Spark's
+  * unordered group iteration — when fragments carry CONFLICTING values
+  * for the same field the winner is nondeterministic. This matches the
+  * reference exactly (its reducer mutates in MR shuffle arrival order,
+  * `ParseJobsFromLogs.java:380-456`); in practice fragments partition
+  * the fields (submit line vs finish line), so conflicts don't arise in
+  * well-formed logs. The final (status, finishTime) pair is anchored to
+  * the unique fragment defining both, which IS order-free.
   *
   * Merge semantics reproduced:
   *  - Job fragments: status+finishTime only adopted together — the final

@@ -34,7 +34,15 @@ object Dedup {
     * shingle→minhash→band→bucket-join: docs sharing ≥1 of 4 band
     * hashes become candidates; candidates are verified with true
     * token-set jaccard ≥ `threshold`. Output: doc_a, doc_b, jac.
-    */
+    *
+    * Cache lifecycle: the returned plan pins the signature intermediate
+    * via `.cache()` (both self-join sides read it; recomputing the
+    * hashing pipeline per side would double the dominant cost). The
+    * entry stays in the session's CacheManager until the caller drops
+    * it — one-shot jobs get it freed with the session, long-lived
+    * sessions should `spark.sharedState.cacheManager.clearCache()` (or
+    * `uncacheTable`) after materializing (Bench does exactly this
+    * between queries). */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // 5-gram char shingles, not token sets: the synthetic corpus shares
     // one small vocabulary, so token-set jaccard is degenerately high

@@ -73,11 +73,35 @@ class ProcessLogsSpec extends AnyFunSuite {
     assert(series.agg(sum("value")).head().getDouble(0) == 90.0)
   }
 
-  test("incremental re-run: existing non-forced partitions are skipped") {
-    // plan-level check with the partition-exists predicate wired to the
-    // output we just wrote is covered in StreamingConfSpec; here assert
-    // a re-run with everything outside the forced window is a no-op
-    // (no exception, outputs still readable)
-    succeed
+  test("forced-window re-run is idempotent: no duplicate conf/job/usage rows") {
+    // the reference skips already-processed days but always re-runs the
+    // trailing numDaysForced days (JobStatsProcessing.java:69-90); a
+    // re-run must REPLACE those partitions, not append to them
+    val root = Files.createTempDirectory("graft_idem")
+    val logs = root.resolve("logs")
+    val out = root.resolve("out")
+    val day = logs.resolve("prod/daily/default/2024/0110")
+    Files.createDirectories(day)
+    val jan10h8 = 1704873600000L
+    Files.write(day.resolve("history.log"),
+      (s"""Job JOBID="job_7_1" JOBNAME="etl" USER="bob" SUBMIT_TIME="$jan10h8" JOB_QUEUE="default" .""" + "\n" +
+        s"""Job JOBID="job_7_1" FINISH_TIME="${jan10h8 + 3600000}" JOB_STATUS="SUCCESS" .""" + "\n" +
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="task_7_1_m_000000" TASK_ATTEMPT_ID="attempt_7_1_m_000000_0" START_TIME="$jan10h8" .""" + "\n" +
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="task_7_1_m_000000" TASK_ATTEMPT_ID="attempt_7_1_m_000000_0" TASK_STATUS="SUCCESS" FINISH_TIME="${jan10h8 + 3600000}" .""").getBytes("UTF-8"))
+    Files.write(day.resolve("job_7_1_conf.xml"),
+      "<configuration><property><name>k</name><value>v</value></property></configuration>"
+        .getBytes("UTF-8"))
+
+    // today = Jan 11, forced = 2 days → Jan 10 is re-parsed EVERY run
+    val cfg = ProcessLogs.Config(
+      logsRoot = logs.toString, outputRoot = out.toString,
+      clusters = Seq("prod"), numDays = 10, numDaysForced = 2,
+      today = LocalDate.of(2024, 1, 11))
+    ProcessLogs.run(spark, cfg)
+    ProcessLogs.run(spark, cfg)
+
+    assert(spark.read.parquet(s"$out/confs").count() == 1)
+    assert(spark.read.parquet(s"$out/jobs").count() == 1)
+    assert(spark.read.parquet(s"$out/usage").count() == 1)
   }
 }
