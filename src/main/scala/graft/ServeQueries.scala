@@ -215,16 +215,39 @@ object ServeQueries {
         |FROM sessions
         |GROUP BY user_id, sess_idx""".stripMargin,
     "q28_multimodal" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
-        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS content_hash,
-        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
-        |         (acc, c) -> (acc * 31 + c) % 1000000007) % 640 AS INTEGER) AS width,
-        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
-        |         (acc, c) -> (acc * 31 + c) % 1000000007) % 480 AS INTEGER) AS height
-        |FROM documents""".stripMargin)
+      // arithmetic mirror of ImageHeaders.pngFixture/jpegFixture byte
+      // layout (33-/15-byte headers; w,h < 2^16 so the u32/u16 encodings
+      // reduce to [0,0,w//256,w%256] / [w//256,w%256]); content_hash is
+      // the byte fold over header ++ UTF-8 payload (ASCII corpus:
+      // codepoint == byte)
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |         doc_id % 1024 + 1 AS w,
+        |         doc_id % 768 + 1 AS h,
+        |         list_transform(range(1, length(text)+1),
+        |           i -> CAST(unicode(substr(text,i,1)) AS BIGINT)) AS payload
+        |  FROM documents
+        |), built AS (
+        |  SELECT doc_id, w, h,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |              WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |              ELSE 'unknown' END AS format,
+        |         CASE WHEN doc_id % 3 = 0 THEN list_concat(
+        |                [CAST(137 AS BIGINT),80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+        |                 0,0, w//256, w%256, 0,0, h//256, h%256, 8,2,0,0,0, 0,0,0,0], payload)
+        |              WHEN doc_id % 3 = 1 THEN list_concat(
+        |                [CAST(255 AS BIGINT),216,255,192,0,11,8, h//256, h%256, w//256, w%256, 1,1,17,0], payload)
+        |              ELSE payload END AS bytes
+        |  FROM m
+        |), hashed AS (
+        |  SELECT doc_id, format, w, h,
+        |         CAST(len(bytes) AS BIGINT) AS n_bytes,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) AS content_hash
+        |  FROM built
+        |)
+        |SELECT doc_id, format, n_bytes, content_hash,
+        |       CAST(CASE WHEN format = 'unknown' THEN content_hash % 640 ELSE w END AS INTEGER) AS width,
+        |       CAST(CASE WHEN format = 'unknown' THEN content_hash % 480 ELSE h END AS INTEGER) AS height
+        |FROM hashed""".stripMargin)
 }

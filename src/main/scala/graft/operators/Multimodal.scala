@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side machinery (schema, partitioning, batch iteration,
-  * output shape) is real and tested; the actual media decode is a
-  * deterministic STUB (`decodeStub`) because no image/audio libraries
-  * ship in this container — swap `decodeStub` for a real decoder
-  * (JavaCV / TwelveMonkeys / ffmpeg-over-pipe) without touching the
-  * plumbing.
+  * The decode is two-tier:
+  *  - PNG / JPEG / GIF payloads get REAL dimensions parsed from the
+  *    container header ([[ImageHeaders]] — pure JVM byte reading);
+  *  - unknown formats fall back to the deterministic stub (byte-fold
+  *    hash + fake dimensions) that stands in for a full media decoder
+  *    (no image/audio libraries ship in this container — swap the
+  *    fallback for JavaCV / TwelveMonkeys / ffmpeg-over-pipe without
+  *    touching the plumbing).
   *
   * Scale notes: `mapPartitions` keeps one decoder instance per
   * partition (amortized init — the reason not to use a per-row UDF);
@@ -24,24 +26,34 @@ object Multimodal {
   /** Extracted features for one media blob. */
   final case class MediaFeatures(
       doc_id: Long,
+      format: String, // png | jpeg | gif | unknown
       n_bytes: Long,
       content_hash: Long,
-      // stub "decode" outputs — a real decoder would fill
-      // width/height/duration etc. from the media header
       width: Int,
       height: Int)
 
-  /** Deterministic fake decode: byte-fold hash + fake dimensions from
-    * the payload. Stands in for the real media decoder. */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+  /** Byte-fold polynomial hash (= the text fingerprint for ASCII
+    * payloads — keeps the pipeline oracle-checkable). */
+  def byteFoldHash(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
       h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
       i += 1
     }
-    MediaFeatures(id, bytes.length.toLong, h,
-      width = (h % 640).toInt, height = (h % 480).toInt)
+    h
+  }
+
+  /** Header-parse known formats; stub dimensions for everything else. */
+  def decodeFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val h = byteFoldHash(bytes)
+    ImageHeaders.decode(bytes) match {
+      case Some(m) =>
+        MediaFeatures(id, m.format, bytes.length.toLong, h, m.width, m.height)
+      case None =>
+        MediaFeatures(id, "unknown", bytes.length.toLong, h,
+          width = (h % 640).toInt, height = (h % 480).toInt)
+    }
   }
 
   /** Batch feature extraction over a (doc_id, media: binary) frame.
@@ -52,20 +64,35 @@ object Multimodal {
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: init decoder once here, close after
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // a heavyweight decoder would be initialized once HERE
+        it.map { case (id, bytes) => decodeFeatures(id, bytes) }
       }
   }
 
-  /** Demo pipeline over the shared testdata: treats each document's
-    * UTF-8 text as an opaque media payload (binary column + metadata),
-    * runs the batch extraction. The content_hash equals the polynomial
-    * text fingerprint for ASCII payloads, which makes this
-    * oracle-checkable end-to-end. */
+  /** Demo pipeline over the shared testdata: wraps each document's
+    * UTF-8 text in a deterministic media container by doc_id — PNG
+    * (id%3==0), JPEG (id%3==1), raw text (id%3==2, the unknown-format
+    * stub path) — then runs the batch extraction. Every branch is
+    * oracle-checkable: the fixture byte layout is pure arithmetic over
+    * (doc_id, text), mirrored in the DuckDB SQL. */
   def documentMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val media = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val w = (id % 1024 + 1).toInt
+        val h = (id % 768 + 1).toInt
+        val bytes = (id % 3) match {
+          case 0 => ImageHeaders.pngFixture(w, h, payload)
+          case 1 => ImageHeaders.jpegFixture(w, h, payload)
+          case _ => payload
+        }
+        (id, bytes)
+      }
+      .toDF("doc_id", "media")
     extractFeatures(media).toDF()
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{ImageHeaders, Multimodal}
+import graft.operators.ImageHeaders.ImageMeta
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-crafted container headers pin the byte-level parsing (offsets,
+  * endianness, marker walk) independently of the fixture builders. */
+class ImageHeadersSpec extends AnyFunSuite {
+
+  test("PNG: hand-written signature + IHDR, big-endian dims") {
+    val b = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', // IHDR chunk header
+      0, 0, 0x02, 0x80, // width 640
+      0, 0, 0x01, 0xe0, // height 480
+      8, 2, 0, 0, 0, 0xde, 0xad, 0xbe, 0xef // depth.. + CRC (ignored)
+    ).map(_.toByte)
+    assert(ImageHeaders.decode(b).contains(ImageMeta("png", 640, 480)))
+  }
+
+  test("PNG fixture round-trips and large dims use full u32") {
+    val b = ImageHeaders.pngFixture(70000, 3, Array[Byte](1, 2, 3))
+    assert(ImageHeaders.decode(b).contains(ImageMeta("png", 70000, 3)))
+    assert(b.length == 33 + 3)
+  }
+
+  test("JPEG: marker walk skips APP0/comment segments before SOF0") {
+    val app0 = Array[Int](0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0,
+      1, 2, 0, 0, 1, 0, 1, 0, 0) // 16-byte APP0 segment
+    val com = Array[Int](0xff, 0xfe, 0x00, 0x04, 'h', 'i') // comment
+    val sof = Array[Int](0xff, 0xc2, 0x00, 0x0b, 8, // SOF2 (progressive)
+      0x01, 0x00, // height 256
+      0x00, 0x64, // width 100
+      1, 1, 0x11, 0)
+    val b = (Array(0xff, 0xd8) ++ app0 ++ com ++ sof).map(_.toByte)
+    assert(ImageHeaders.decode(b).contains(ImageMeta("jpeg", 100, 256)))
+  }
+
+  test("JPEG fixture round-trips; SOS before SOF gives None") {
+    val b = ImageHeaders.jpegFixture(1024, 768, "payload".getBytes)
+    assert(ImageHeaders.decode(b).contains(ImageMeta("jpeg", 1024, 768)))
+    val scanFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x02, 1, 2, 3).map(_.toByte)
+    assert(ImageHeaders.decodeJpeg(scanFirst).isEmpty)
+  }
+
+  test("GIF: little-endian logical screen descriptor") {
+    val b = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x10, 0x01, 0x08, 0x00, 0, 0, 0).map(_.toByte))
+    assert(ImageHeaders.decode(b).contains(ImageMeta("gif", 272, 8)))
+    val b87 = ("GIF87a".getBytes("US-ASCII") ++
+      Array[Int](2, 0, 3, 0, 0, 0, 0).map(_.toByte))
+    assert(ImageHeaders.decode(b87).contains(ImageMeta("gif", 2, 3)))
+  }
+
+  test("truncation and garbage never throw, return None") {
+    val png = ImageHeaders.pngFixture(10, 10, Array.emptyByteArray)
+    assert(ImageHeaders.decode(png.take(20)).isEmpty)
+    assert(ImageHeaders.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageHeaders.decode("plain text, not an image".getBytes).isEmpty)
+    // JPEG cut inside a segment length
+    val jpg = ImageHeaders.jpegFixture(5, 5, Array.emptyByteArray)
+    assert(ImageHeaders.decode(jpg.take(6)).isEmpty)
+  }
+
+  test("decodeFeatures: real dims for containers, stub for unknown") {
+    val png = Multimodal.decodeFeatures(1L, ImageHeaders.pngFixture(11, 7, "x".getBytes))
+    assert(png.format == "png" && png.width == 11 && png.height == 7)
+    val raw = Multimodal.decodeFeatures(2L, "hello".getBytes)
+    val h = "hello".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(raw.format == "unknown" && raw.content_hash == h &&
+      raw.width == (h % 640).toInt && raw.height == (h % 480).toInt)
+  }
+}
