@@ -63,6 +63,48 @@ object StressBench {
         .count()
     }
 
+    // --- stage 1b: skewed assembly — one monster job --------------- //
+    // 1 jobId carrying `nMonster` attempts (2 log lines each) among
+    // 1000 normal 10-attempt jobs: the worst-case key for the
+    // groupByKey(jobId) shuffle. Validates the JobAssembly scale note
+    // ("group size bounded by tasks-per-job ⇒ fits an executor") with
+    // an observed run instead of a claim.
+    val nMonster = 100000L
+    val monsterLines = spark.range(nMonster).flatMap { i =>
+      val att = f"attempt_900000_1_m_$i%06d_0"
+      val tid = f"task_900000_1_m_$i%06d"
+      Seq(
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" START_TIME="${1000 + i}" .""",
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" TASK_STATUS="SUCCESS" FINISH_TIME="${2000 + i}" COUNTERS="[(CPU_MILLISECONDS)(cpu)(500)]" .""")
+    }
+    val normalLines = spark.range(1000L * 10).flatMap { k =>
+      val j = 10000 + k / 10; val i = k % 10
+      val att = f"attempt_${j}_2_m_$i%06d_0"
+      val tid = f"task_${j}_2_m_$i%06d"
+      Seq(
+        s"""Job JOBID="job_${j}_2" JOBNAME="x" USER="u$j" SUBMIT_TIME="500" .""",
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" START_TIME="${1000 + i}" .""",
+        s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" TASK_STATUS="SUCCESS" FINISH_TIME="${2000 + i}" .""",
+        s"""Job JOBID="job_${j}_2" FINISH_TIME="3000" JOB_STATUS="SUCCESS" .""")
+    }
+    val skewedInput = monsterLines
+      .union(spark.createDataset(Seq(
+        """Job JOBID="job_900000_1" JOBNAME="monster" USER="um" SUBMIT_TIME="500" .""",
+        """Job JOBID="job_900000_1" FINISH_TIME="999999" JOB_STATUS="SUCCESS" .""")))
+      .union(normalLines)
+    val nSkewLines = 2 * nMonster + 2 + 4 * 1000 * 10
+    timed("skewed_assembly_monster_job", nSkewLines) {
+      implicit val s: SparkSession = spark
+      val jobs = graft.etl.JobAssembly.assembleJobs(skewedInput, "c")
+      // force full tree construction AND read a derived value
+      val (nJobs, nAttempts2) = jobs
+        .map(j => (1L, j.tasks.map(_.attempts.size.toLong).sum))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      require(nJobs == 1001 && nAttempts2 == nMonster + 10000,
+        s"assembly mismatch: $nJobs jobs, $nAttempts2 attempts")
+      nJobs
+    }
+
     // --- stage 2: shingle + minhash signatures over synthetic docs -- //
     val words = (0 until 64).map(i => s"w$i")
     val wordArr = array(words.map(lit): _*)

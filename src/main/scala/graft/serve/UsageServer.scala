@@ -1,0 +1,88 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The HTTP layer over [[UsageApi]] — the reference's Sinatra server
+  * surface (`server/app.rb:32-157`) on the JDK's built-in
+  * `com.sun.net.httpserver` (zero extra dependencies):
+  *
+  *  - `GET  /api/clusters`         → `["east", …]`
+  *  - `GET  /api/users?cluster=c`  → `["alice", …]`
+  *  - `POST /api/usage`  (UsageRequest JSON)  → UsageResponse JSON
+  *    (`app.rb:44-106`)
+  *  - `POST /api/table`  (UsageRequest JSON)  → `text/csv`
+  *    (`app.rb:110-157`)
+  *
+  * JSON via json4s-jackson (ships with Spark). Scale posture: this
+  * process is a query coordinator in front of the cached fact —
+  * exactly the reference's JRuby-over-HSQLDB role; all heavy lifting
+  * runs distributed in [[UsageQueries]], and [[UsageApi]]'s memo makes
+  * repeat dashboards driver-local.
+  */
+final class UsageServer(api: UsageApi, port: Int = 0) {
+
+  private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+  import org.json4s.jackson.Serialization
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/api/clusters", handle { _ =>
+    (200, "application/json", Serialization.write(api.clusters()))
+  })
+  server.createContext("/api/users", handle { ex =>
+    val params = queryParams(ex)
+    val cluster = params.getOrElse("cluster",
+      throw new IllegalArgumentException("missing ?cluster="))
+    (200, "application/json", Serialization.write(api.users(cluster)))
+  })
+  server.createContext("/api/usage", handle { ex =>
+    val req = Serialization.read[UsageRequest](body(ex))
+    (200, "application/json", Serialization.write(api.usage(req)))
+  })
+  server.createContext("/api/table", handle { ex =>
+    val req = Serialization.read[UsageRequest](body(ex))
+    (200, "text/csv", api.exportCsv(req).mkString("\n"))
+  })
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------------ //
+
+  private def handle(
+      f: HttpExchange => (Int, String, String)): com.sun.net.httpserver.HttpHandler = { ex =>
+    val (status, ctype, payload) =
+      try f(ex)
+      catch {
+        case e: IllegalArgumentException =>
+          (400, "application/json",
+            Serialization.write(Map("error" -> String.valueOf(e.getMessage))))
+        case e: Exception =>
+          (500, "application/json",
+            Serialization.write(Map("error" -> String.valueOf(e.getMessage))))
+      }
+    val bytes = payload.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", s"$ctype; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>
+      q.split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+    }
+}

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.etl.JobAssembly
 import graft.model._
 import graft.parse.LineParsing
+import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -12,68 +13,132 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batches; state accumulates them; the assembled [[Job]] is
   * emitted when the job reaches a final state (status + finishTime
   * together — the reference's "only the final state has both",
-  * `ParseJobsFromLogs.java:384-389`). Jobs that never reach a final
-  * state (truncated logs) are NOT emitted by the stream; they surface
-  * through the batch trailing-window reprocess (T5), which assembles
-  * whatever fragments exist — the same division of labor as the
-  * reference (its loader also only saw completed day files).
+  * `ParseJobsFromLogs.java:384-389`).
   *
-  * State size is bounded by fragments-per-job (≈ tasks×attempts×3
-  * lines), and keys expire on emit — the state store holds only
-  * in-flight jobs, not history.
+  * Jobs that never reach a final state (truncated logs) are flushed by
+  * an EVENT-TIME timeout: when the watermark passes
+  * last-fragment-time + 5 days (the reference's late-data window,
+  * `base.properties:21`, T5), the partial tree is emitted as-is and the
+  * key expires — the state store holds only in-flight jobs, never
+  * history. (Processing-time timeouts are deliberately not used: the
+  * engine keeps scheduling wake-ups under `processAllAvailable`, which
+  * livelocks tests; event-time timeouts only fire when data moves the
+  * watermark.)
+  *
+  * Fragments older than the watermark are dropped by the engine before
+  * the stateful operator — the same 5-day late-arrival contract as the
+  * batch trailing-window reprocess.
+  *
+  * Lines are parsed ONCE into a sparse union [[Fragment]] (same
+  * Encoder-friendly shape the batch shuffle uses) — key extraction and
+  * assembly reuse the parsed record.
   */
 object StreamingAssembly {
 
+  /** T5: the reference reprocesses a 5-day trailing window. */
+  val DefaultLatenessMs: Long = 5L * 24 * 60 * 60 * 1000
+
+  /** One parsed fragment, keyed and timestamped for the stateful
+    * shuffle. `ts` = the fragment's own latest timestamp (its event
+    * time); timestampless fragments get the epoch and are subject to
+    * late-drop like any >5-day-old data. */
+  final case class Fragment(
+      jobId: String,
+      ts: Timestamp,
+      job: Option[JobLine],
+      task: Option[TaskLine],
+      attempt: Option[AttemptLine])
+
+  def toFragment(p: LineParsing.Parsed): Fragment = p match {
+    case LineParsing.PJob(j) =>
+      Fragment(j.jobId, new Timestamp(maxDefined(
+        j.submitTime, j.launchTime, j.finishTime)), Some(j), None, None)
+    case LineParsing.PTask(t) =>
+      Fragment(t.jobId, new Timestamp(maxDefined(
+        t.startTime, t.finishTime)), None, Some(t), None)
+    case LineParsing.PAttempt(a) =>
+      Fragment(a.jobId, new Timestamp(maxDefined(
+        a.startTime, a.finishTime, a.shuffleFinished, a.sortFinished)),
+        None, None, Some(a))
+  }
+
+  private def maxDefined(ts: Option[Long]*): Long =
+    ts.flatten.foldLeft(0L)(math.max)
+
   /** Accumulated fragments for one in-flight job. */
   final case class Frags(
-      jobs: Seq[JobLine], tasks: Seq[TaskLine], attempts: Seq[AttemptLine]) {
-    def add(p: LineParsing.Parsed): Frags = p match {
-      case LineParsing.PJob(j)     => copy(jobs = jobs :+ j)
-      case LineParsing.PTask(t)    => copy(tasks = tasks :+ t)
-      case LineParsing.PAttempt(a) => copy(attempts = attempts :+ a)
+      jobs: Seq[JobLine], tasks: Seq[TaskLine], attempts: Seq[AttemptLine],
+      maxEventMs: Long) {
+    def add(f: Fragment): Frags = {
+      val bumped = math.max(maxEventMs, f.ts.getTime)
+      f match {
+        case Fragment(_, _, Some(j), _, _) =>
+          copy(jobs = jobs :+ j, maxEventMs = bumped)
+        case Fragment(_, _, _, Some(t), _) =>
+          copy(tasks = tasks :+ t, maxEventMs = bumped)
+        case Fragment(_, _, _, _, Some(a)) =>
+          copy(attempts = attempts :+ a, maxEventMs = bumped)
+        case _ => copy(maxEventMs = bumped)
+      }
     }
     def isFinal: Boolean =
       jobs.exists(j => j.status.isDefined && j.finishTime.isDefined)
   }
-  object Frags { val empty: Frags = Frags(Nil, Nil, Nil) }
+  object Frags { val empty: Frags = Frags(Nil, Nil, Nil, 0L) }
 
   /** The per-key state function. Emits zero or one assembled Job per
-    * invocation. */
-  def assembleFn(cluster: String)(
+    * invocation: complete on final state, truncated on event-time
+    * timeout. `useTimeout` is false under batch execution, where
+    * timeouts don't exist (static runs assemble everything in one
+    * pass anyway). */
+  def assembleFn(cluster: String, latenessMs: Long, useTimeout: Boolean)(
       jobId: String,
-      lines: Iterator[String],
+      frags: Iterator[Fragment],
       state: GroupState[Frags]): Iterator[Job] = {
-    val merged = lines
-      .flatMap(LineParsing.parseLine(_))
-      .foldLeft(state.getOption.getOrElse(Frags.empty))(_ add _)
-    if (merged.isFinal) {
+    if (useTimeout && state.hasTimedOut) {
+      // watermark passed last activity + lateness: flush the partial
+      // tree (assemble synthesizes the missing job line)
+      val st = state.getOption.getOrElse(Frags.empty)
       state.remove()
       Iterator.single(JobAssembly.assemble(
-        jobId, cluster, merged.jobs, merged.tasks, merged.attempts))
+        jobId, cluster, st.jobs, st.tasks, st.attempts))
     } else {
-      state.update(merged)
-      Iterator.empty
+      val merged = frags.foldLeft(state.getOption.getOrElse(Frags.empty))(_ add _)
+      if (merged.isFinal) {
+        state.remove()
+        Iterator.single(JobAssembly.assemble(
+          jobId, cluster, merged.jobs, merged.tasks, merged.attempts))
+      } else {
+        state.update(merged)
+        if (useTimeout) {
+          // never earlier than the current watermark (a very late
+          // fragment could otherwise set an already-passed timeout)
+          state.setTimeoutTimestamp(math.max(
+            merged.maxEventMs + latenessMs, state.getCurrentWatermarkMs() + 1))
+        }
+        Iterator.empty
+      }
     }
   }
 
   /** Wire the stateful assembly over a (possibly streaming) Dataset of
     * raw log lines. Works identically on a static Dataset (state
-    * machinery runs once over the whole input). */
-  def assembleJobsStream(lines: Dataset[String], cluster: String)(
+    * machinery runs once over the whole input; watermark/timeout are
+    * no-ops there). */
+  def assembleJobsStream(lines: Dataset[String], cluster: String,
+      latenessMs: Long = DefaultLatenessMs)(
       implicit spark: SparkSession): Dataset[Job] = {
     import spark.implicits._
-    lines
-      .flatMap(raw => LineParsing.parseLine(raw).map(_ => raw))
-      .groupByKey { raw =>
-        LineParsing.parseLine(raw) match {
-          case Some(LineParsing.PJob(j))     => j.jobId
-          case Some(LineParsing.PTask(t))    => t.jobId
-          case Some(LineParsing.PAttempt(a)) => a.jobId
-          case None                          => ""
-        }
-      }
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        assembleFn(cluster))
+    val streaming = lines.isStreaming
+    val frags = lines
+      .flatMap(raw => LineParsing.parseLine(raw).map(toFragment))
+      .withWatermark("ts", s"${latenessMs / 1000} seconds")
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    frags
+      .groupByKey(_.jobId)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        assembleFn(cluster, latenessMs, streaming))
   }
 }

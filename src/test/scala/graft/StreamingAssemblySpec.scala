@@ -59,6 +59,40 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("truncated job (no final fragment) flushes when the watermark passes +5 days") {
+    val in = Files.createTempDirectory("sa_to_in")
+    val ckpt = Files.createTempDirectory("sa_to_ck")
+    // batch 1: job_9_1 opens but never finishes (max event time 2000)
+    Files.write(in.resolve("b1.txt"),
+      String.join("\n", openLines: _*).getBytes)
+
+    val stream = spark.readStream.textFile(in.toString)
+    val jobs = StreamingAssembly.assembleJobsStream(stream, "cl")
+    val q = jobs.writeStream
+      .outputMode("append")
+      .format("memory").queryName("flushed")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("flushed").count() == 0) // state held, nothing final
+
+      // batch 2: an unrelated job whose event time pushes the watermark
+      // past job_9_1's last activity + 2×lateness (delay + timeout)
+      val far = 2000L + 2 * StreamingAssembly.DefaultLatenessMs + 1000000L
+      Files.write(in.resolve("b2.txt"),
+        s"""Job JOBID="job_9_2" JOBNAME="x" USER="mallory" SUBMIT_TIME="$far" .""".getBytes)
+      q.processAllAvailable()
+
+      val out = spark.table("flushed").collect()
+      assert(out.length == 1)
+      val job = out.head
+      assert(job.getAs[String]("jobId") == "job_9_1")
+      assert(job.getAs[String]("user") == "eve") // partial fields kept
+      assert(job.getAs[String]("status") == null) // truncated: no final state
+    } finally q.stop()
+  }
+
   test("static execution matches batch assembly") {
     val all = (openLines ++ closingLines).toDS()
     val streaming = StreamingAssembly.assembleJobsStream(all, "cl").collect()

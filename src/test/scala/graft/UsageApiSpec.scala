@@ -1,6 +1,6 @@
 package graft
 
-import graft.serve.{UsageApi, UsageRequest}
+import graft.serve.{UsageApi, UsageRequest, UsageServer}
 import graft.streaming.StreamingUsage
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -78,6 +78,83 @@ class UsageApiSpec extends AnyFunSuite {
       api.usage(UsageRequest("c1", Nil, Nil, "nope", "DAYS", "UTC", 0, 1))
     }
     assert(e.getMessage.contains("nope"))
+  }
+
+  test("uncached usage request costs at most 3 driver actions (meta + perUser + aggregate)") {
+    val api = new UsageApi(fact)
+    // warm the fact cache outside the measurement
+    api.usage(UsageRequest("c1", Nil, Nil, "minutesTotal", "DAYS", "UTC",
+      jan1, jan1 + 6 * D))
+    // count SQL executions (1 per action; AQE splits each into many
+    // scheduler jobs, so job count is not the round-trip metric)
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      api.usage(UsageRequest("c1", Seq("alice"), Seq("carol"), "minutesTotal",
+        "DAYS", "UTC", jan1, jan1 + 6 * D))
+      // listener delivery is async; wait for the count to settle
+      var last = -1
+      var spins = 0
+      while (execs.get() != last && spins < 20) {
+        last = execs.get(); spins += 1; Thread.sleep(100)
+      }
+      // bounds are computed once and forwarded — without forwarding this
+      // request would run 4+ actions (timeBounds recomputed per series)
+      assert(execs.get() <= 3, s"expected <=3 driver actions, got ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("HTTP facade: clusters/users/usage/table round-trip (app.rb surface)") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s.jackson.Serialization
+    val api = new UsageApi(fact)
+    val server = new UsageServer(api)
+    val port = server.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      def post(path: String, payload: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(payload.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+
+      assert(get("/api/clusters") == (200, """["c1"]"""))
+      assert(get("/api/users?cluster=c1")._2.contains("alice"))
+      assert(get("/api/users")._1 == 400) // missing param → client error
+
+      val req = UsageRequest("c1", Seq("alice"), Seq("carol"),
+        "minutesTotal", "DAYS", "UTC", jan1, jan1 + 6 * D)
+      val (code, bodyJson) = post("/api/usage", Serialization.write(req))
+      assert(code == 200)
+      val resp = Serialization.read[graft.serve.UsageResponse](bodyJson)
+      assert(resp == api.usage(req)) // HTTP result == programmatic result
+
+      val (tcode, csv) = post("/api/table", Serialization.write(req))
+      assert(tcode == 200 && csv.linesIterator.next() == "time,alice")
+
+      val (bcode, berr) = post("/api/usage",
+        Serialization.write(req.copy(queryType = "nope")))
+      assert(bcode == 400 && berr.contains("nope"))
+    } finally server.stop()
   }
 
   test("streaming late-data semantics: watermark admits in-window rows (T5)") {
