@@ -178,6 +178,52 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** All `nPlanes` random-hyperplane projections of an embedding in one
+    * pass: proj_j = Σ_i emb[i]·(±1 by parity of (A_j·(i+1)+B_j) mod P),
+    * accumulated as a sequential left fold in doubles — bit-identical
+    * to the `aggregate(zip_with(...))` per-plane formulation (x·1.0 and
+    * x·(−1.0) are exact; addition order unchanged) and to the DuckDB
+    * oracle's `list_reduce`, but one tight loop instead of
+    * nPlanes×dim interpreted lambda calls (the dominant cost of the
+    * LSH signature stage). */
+  case class LshProjections(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    private val A = TextFunctions.MinHashA.toArray
+    private val B = TextFunctions.MinHashB.toArray
+    require(nPlanes <= A.length, s"at most ${A.length} planes")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "lsh_projections"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      val n = e.numElements()
+      val out = new Array[Double](nPlanes)
+      var j = 0
+      while (j < nPlanes) {
+        val a = A(j)
+        val b = B(j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          if ((a * (i + 1) + b) % P % 2 == 0) acc += x else acc += -x
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): LshProjections =
+      copy(child = c)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -208,4 +254,6 @@ object HashExpressions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
   def polyHash(c: Column): Column =
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+  def lshProjections(c: Column, nPlanes: Int): Column =
+    ColumnBridge.column(LshProjections(ColumnBridge.expression(c), nPlanes))
 }

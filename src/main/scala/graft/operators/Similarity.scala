@@ -170,26 +170,22 @@ object Similarity {
     * scored once.
     * Output: query_id, neighbor_id, rank, cosine. */
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
-    import graft.functions.TextFunctions.{MinHashA, MinHashB, P}
+    import graft.functions.TextFunctions.MinHashA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
     require(nPlanes <= MinHashA.size, s"at most ${MinHashA.size} planes")
     val rowsPerBand = nPlanes / nBands
-    // proj_j = sequential left fold of emb(i)·H(j,i), double precision
-    val projs = (0 until nPlanes).map { j =>
-      val planes = transform(
-        sequence(lit(1), lit(dim)),
-        i => when(((lit(MinHashA(j)) * i + lit(MinHashB(j))) % P) % 2 === 0,
-          lit(1.0)).otherwise(lit(-1.0)))
-      aggregate(
-        zip_with(col("embedding"), planes, (x, h) => x.cast("double") * h),
-        lit(0.0), (a, v) => a + v)
-    }
+    // all projections in one native pass (identical sequential double
+    // fold as the per-plane aggregate(zip_with(...)) — see
+    // HashExpressions.LshProjections; the oracle mirrors the fold)
+    val withProjs = embeddings.withColumn("projs",
+      graft.functions.HashExpressions.lshProjections(col("embedding"), nPlanes))
     val bands = (0 until nBands).map { b =>
       (0 until rowsPerBand).map { r =>
-        when(projs(b * rowsPerBand + r) >= 0, lit(1L << r)).otherwise(lit(0L))
+        when(col("projs").getItem(b * rowsPerBand + r) >= 0, lit(1L << r))
+          .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val base = embeddings
+    val base = withProjs
       .withColumn("bnds", array(bands: _*))
       .withColumn("nrm", l2Norm(col("embedding")))
     val eb = base.select(col("vec_id"),
