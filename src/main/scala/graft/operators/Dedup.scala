@@ -133,4 +133,43 @@ object Dedup {
       .withColumn("hashes", tokenHashes(col("toks")))
       .select(col("doc_id"), simHash30(col("hashes")).as("simhash"),
         size(col("toks")).as("n_tokens"))
+
+  /** SimHash near-duplicate pairs: all (doc_a < doc_b) with Hamming
+    * distance ≤ `maxHamming` between 30-bit signatures.
+    *
+    * Candidates come from a band bucket-join (the signature split into
+    * `nBands` bit-slices; a pair is considered iff some slice matches
+    * exactly). Unlike minhash banding this is LOSSLESS: `maxHamming`
+    * differing bits can dirty at most `maxHamming` bands, so with
+    * `maxHamming < nBands` the pigeonhole principle guarantees a clean
+    * shared band for every qualifying pair — the operator returns
+    * EXACTLY the Hamming-ball pairs while the shuffle stays a bucket
+    * equi-join, never all-pairs (the brute-force oracle returns the
+    * identical set). Output: doc_a, doc_b, hamming. */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int,
+      nBands: Int = 5): DataFrame = {
+    val bits = 30
+    require(maxHamming < nBands, "pigeonhole completeness needs maxHamming < nBands")
+    require(bits % nBands == 0, s"$nBands bands must divide $bits bits")
+    val per = bits / nBands
+    val mask = (1L << per) - 1
+    val sigs = simHashSignatures(docs).select(col("doc_id"), col("simhash"))
+    val bandCols = (0 until nBands).map(b =>
+      shiftright(col("simhash"), b * per).bitwiseAND(lit(mask)))
+    val eb = sigs
+      .withColumn("bnds", array(bandCols: _*))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
+    val a = eb.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = eb.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
 }
