@@ -55,9 +55,13 @@ object ServeQueries {
     graft.operators.Multimodal.documentMediaFeatures(s, d)
 
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
-    * per daily tick. */
+    * per daily tick. The fact is cached (the serving layer's
+    * in-memory-fact contract, as in q26): topNWithOther scans it
+    * twice — once for the winners' totals, once for the final
+    * collapse — and without the cache each scan re-runs the whole
+    * events→explode→aggregate chain. */
   private def q29(s: SparkSession, d: String): DataFrame = {
-    val fact = analogFact(s, d)
+    val fact = analogFact(s, d).cache()
     UsageQueries.topNWithOther(fact, "east",
       QueryType("elapsedTotal", "elapsedMs"), "DAYS", "UTC", 3)
       .withColumn("value_min", col("value") / 60000.0)

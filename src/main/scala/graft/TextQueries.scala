@@ -110,7 +110,7 @@ object TextQueries {
     * bit-identically in DuckDB). */
   private def q25(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d),
-      dim = 64, nPlanes = 16, nBands = 4, k = 3)
+      dim = 64, nPlanes = 32, nBands = 4, k = 3)
 
   /** Embedding-cosine near-dup pairs within label blocks. */
   private def q32(s: SparkSession, d: String): DataFrame =
@@ -178,28 +178,36 @@ object TextQueries {
       "(acc, v) -> acc + v)"
 
   /** DuckDB mirror of [[Similarity.lshTopK]]'s hyperplane projections:
-    * proj_j = Σ_i emb[i]·(±1 by parity of (A_j·i+B_j) mod P), the same
-    * sequential double fold the Spark side computes. */
-  private val lshProjEntries = (0 until 16).map { j =>
+    * proj_j = Σ_i emb[i]·(±1 by parity of ((A_j·i+B_j)² mod P) — the
+    * square is what makes the planes independent, see
+    * [[graft.functions.HashExpressions.LshProjections]]), the same
+    * sequential double fold the Spark side computes — generated from
+    * the SAME [[TextFunctions.LshA]]/`LshB` constants. */
+  private val lshProjEntries = (0 until 32).map { j =>
+    val h = s"(${TextFunctions.LshA(j)}*i + ${TextFunctions.LshB(j)})"
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
-      s"(CASE WHEN ((${MinHashA(j)}*i + ${MinHashB(j)}) % 1000000007) % 2 = 0 " +
+      s"(CASE WHEN (($h * $h) % 1000000007) % 2 = 0 " +
       s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), (acc, v) -> acc + v)"
   }.mkString("[", ",\n           ", "]")
 
-  /** 4 bands × 4 sign bits packed from the 16 projections (1-based). */
+  /** 4 bands × 8 sign bits packed from the 32 projections (1-based). */
   private val lshBandEntries = (0 until 4).map { b =>
-    (0 until 4).map { r =>
-      s"(CASE WHEN projs[${b * 4 + r + 1}] >= 0 THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    (0 until 8).map { r =>
+      s"(CASE WHEN projs[${b * 8 + r + 1}] >= 0 THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
   }.mkString("[", ",\n            ", "]")
 
   /** The q33 quantizer as a DuckDB VALUES literal — generated from the
-    * SAME [[IvfCentroids.Centroids16]] object the Spark query uses
-    * (Double.toString round-trips exactly; DuckDB parses the decimal
-    * string to the identical IEEE double). */
+    * SAME [[IvfCentroids.Centroids16]] object the Spark query uses.
+    * Each value is forced through a string→DOUBLE cast: a bare decimal
+    * literal would be typed DECIMAL first, and a 17-significant-digit
+    * unscaled value exceeds 2^53, so the DECIMAL→DOUBLE cast can land
+    * 1 ulp away from the correctly-rounded string parse. CAST('…' AS
+    * DOUBLE) makes DuckDB parse the exact string Double.toString
+    * round-trips. */
   private val centroidValues = IvfCentroids.Centroids16.map { case (i, c) =>
-    s"($i, [${c.mkString(", ")}])"
+    s"($i, [${c.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(

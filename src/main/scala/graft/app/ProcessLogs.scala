@@ -107,6 +107,7 @@ object ProcessLogs {
           .withColumn("date", to_date(regexp_extract(col("path"),
             "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
           .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cluster", "date")
           .parquet(s"${cfg.outputRoot}/confs")
       }
@@ -117,6 +118,7 @@ object ProcessLogs {
         .withColumn("date", to_date(timestamp_millis(
           coalesce(col("submitTime"), col("launchTime"), col("finishTime")))))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster", "date")
         .parquet(s"${cfg.outputRoot}/jobs")
 

@@ -179,8 +179,15 @@ object HashExpressions {
   }
 
   /** All `nPlanes` random-hyperplane projections of an embedding in one
-    * pass: proj_j = Σ_i emb[i]·(±1 by parity of (A_j·(i+1)+B_j) mod P),
-    * accumulated as a sequential left fold in doubles — bit-identical
+    * pass: proj_j = Σ_i emb[i]·(±1 by parity of ((A_j·(i+1)+B_j)² mod
+    * P)). The SQUARE is load-bearing: A_j·(i+1)+B_j never exceeds P, so
+    * its parity is just parity(i+1)·parity(A_j)⊕parity(B_j) — with
+    * all-odd constants every plane j collapses to the SAME alternating
+    * ±1 vector (measured: 2 distinct band hashes over the whole table,
+    * a half-quadratic candidate join). Squaring pushes the value past P
+    * so the mod genuinely mixes bits per (i, j) — measured 254–256
+    * distinct hashes per 8-bit band. Accumulated as a sequential left
+    * fold in doubles — bit-identical
     * to the `aggregate(zip_with(...))` per-plane formulation (x·1.0 and
     * x·(−1.0) are exact; addition order unchanged) and to the DuckDB
     * oracle's `list_reduce`, but one tight loop instead of
@@ -188,8 +195,8 @@ object HashExpressions {
     * LSH signature stage). */
   case class LshProjections(child: Expression, nPlanes: Int)
       extends UnaryExpression with CodegenFallback {
-    private val A = TextFunctions.MinHashA.toArray
-    private val B = TextFunctions.MinHashB.toArray
+    private val A = TextFunctions.LshA.toArray
+    private val B = TextFunctions.LshB.toArray
     require(nPlanes <= A.length, s"at most ${A.length} planes")
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "lsh_projections"
@@ -211,7 +218,8 @@ object HashExpressions {
         var i = 0
         while (i < n) {
           val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
-          if ((a * (i + 1) + b) % P % 2 == 0) acc += x else acc += -x
+          val h = a * (i + 1) + b // ≤ ~1.3e7, so h² < 2^63: no overflow
+          if (h * h % P % 2 == 0) acc += x else acc += -x
           i += 1
         }
         out(j) = acc

@@ -60,6 +60,24 @@ object TextFunctions {
     IndexedSeq(3, 17, 29, 41, 53, 67, 79, 97, 101, 113, 127, 139, 151,
       163, 179, 191)
 
+  /** Separate, larger family for the LSH hyperplanes (q25): 32 planes
+    * → bands carry 8 sign bits each (256 buckets/band) instead of 4
+    * (16 buckets/band), which is what keeps the band self-join from
+    * going quadratic as the table grows. Kept distinct from the
+    * 16-entry minhash family so minhash signatures (q21) are
+    * untouched. Same contract: arbitrary fixed constants mirrored
+    * verbatim in the DuckDB oracle. */
+  val LshA: IndexedSeq[Long] =
+    IndexedSeq(200003, 200017, 200029, 200033, 200041, 200063, 200087,
+      200117, 200131, 200153, 200159, 200171, 200177, 200183, 200191,
+      200201, 200227, 200231, 200237, 200257, 200273, 200293, 200297,
+      200323, 200329, 200341, 200351, 200357, 200363, 200371, 200381,
+      200383)
+  val LshB: IndexedSeq[Long] =
+    IndexedSeq(5, 11, 19, 31, 43, 59, 71, 83, 103, 107, 131, 137, 149,
+      157, 167, 173, 181, 193, 199, 211, 223, 227, 233, 239, 251, 257,
+      263, 269, 271, 277, 281, 283)
+
   /** Exact-arithmetic minhash signature (k = 16): element j is
     * `min over token hashes h of (A(j)*h + B(j)) mod P`. Input must be
     * a column of token-hash arrays ([[tokenHashes]]); empty docs get

@@ -153,13 +153,13 @@ object Similarity {
   /** Banded random-hyperplane LSH top-k (the scale path when the query
     * set is the whole table).
     *
-    * Hyperplane component i (1-based) of plane j is ±1 by the parity of
-    * the same polynomial-hash family the minhash oracle uses
-    * (`(A_j·i + B_j) mod P mod 2`, constants
-    * [[graft.functions.TextFunctions.MinHashA]]/`MinHashB`) — exact
-    * integer arithmetic, so the DuckDB oracle computes bit-identical
-    * signatures and q25 gets a full hash-match check (the former
-    * xxhash64 planes were not SQL-expressible).
+    * Hyperplane component i (1-based) of plane j is ±1 by parity of a
+    * polynomial hash (`(A_j·i + B_j) mod P mod 2`, constants
+    * [[graft.functions.TextFunctions.LshA]]/`LshB` — a 32-entry family
+    * separate from the minhash one) — exact integer arithmetic, so the
+    * DuckDB oracle computes bit-identical signatures and q25 gets a
+    * full hash-match check (the former xxhash64 planes were not
+    * SQL-expressible).
     *
     * Banding: `nPlanes` sign bits split into `nBands` bucket keys of
     * `nPlanes/nBands` bits. A pair is a candidate when it collides in
@@ -167,12 +167,15 @@ object Similarity {
     * grows, unlike a single full-signature bucket. Candidate
     * generation stays a bucket equi-join (never all-pairs); pairs are
     * deduped before the exact cosine re-rank so each candidate is
-    * scored once.
+    * scored once. Bits-per-band is the collision-volume knob: b bits →
+    * 2^b buckets per band, and the self-join volume scales as
+    * nBands·N²/2^b — 8 bits (32 planes / 4 bands) keeps it sub-
+    * quadratic where 4 bits measurably did not.
     * Output: query_id, neighbor_id, rank, cosine. */
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
-    import graft.functions.TextFunctions.MinHashA
+    import graft.functions.TextFunctions.LshA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
-    require(nPlanes <= MinHashA.size, s"at most ${MinHashA.size} planes")
+    require(nPlanes <= LshA.size, s"at most ${LshA.size} planes")
     val rowsPerBand = nPlanes / nBands
     // all projections in one native pass (identical sequential double
     // fold as the per-plane aggregate(zip_with(...)) — see

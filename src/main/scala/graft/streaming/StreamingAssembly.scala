@@ -40,8 +40,13 @@ object StreamingAssembly {
 
   /** One parsed fragment, keyed and timestamped for the stateful
     * shuffle. `ts` = the fragment's own latest timestamp (its event
-    * time); timestampless fragments get the epoch and are subject to
-    * late-drop like any >5-day-old data. */
+    * time). Fragments whose lines carry no timestamps inherit the
+    * running max event time of their partition (history-log lines are
+    * chronological within a file), so they ride the watermark with
+    * their neighbors instead of being stamped epoch-0 and silently
+    * late-dropped; a fragment before ANY timestamped line still gets
+    * the epoch — counted by the `epochTsFragments` observed metric so
+    * the loss is visible. */
   final case class Fragment(
       jobId: String,
       ts: Timestamp,
@@ -129,9 +134,20 @@ object StreamingAssembly {
       latenessMs: Long = DefaultLatenessMs)(
       implicit spark: SparkSession): Dataset[Job] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     val streaming = lines.isStreaming
     val frags = lines
-      .flatMap(raw => LineParsing.parseLine(raw).map(toFragment))
+      .mapPartitions { it =>
+        var runMax = 0L
+        it.flatMap(raw => LineParsing.parseLine(raw).map { p =>
+          val f = toFragment(p)
+          if (f.ts.getTime == 0L) f.copy(ts = new Timestamp(runMax))
+          else { runMax = math.max(runMax, f.ts.getTime); f }
+        })
+      }
+      .observe("graft_assembly",
+        count(when(col("ts") === lit(new Timestamp(0L)), 1))
+          .as("epochTsFragments"))
       .withWatermark("ts", s"${latenessMs / 1000} seconds")
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout
