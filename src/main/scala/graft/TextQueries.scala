@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, IvfCentroids, Similarity}
+import graft.operators.{Corpus, Dedup, IvfCentroids, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -153,7 +153,44 @@ object TextQueries {
       .select("lang", "term", "cnt", "rk")
   }
 
+  /** Gopher repetition signals per document. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Corpus.repetitionStats(Tables.documents(s, d))
+
+  /** Reproducible stratified sampling: downsample the dominant
+    * language (en at 4/20) and keep the rest at 10/20 — the
+    * rebalancing move of a pretraining data mix. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    Corpus.hashStratifiedSample(Tables.documents(s, d), "lang",
+      Map("en" -> 4L), defaultKeep = 10L, mod = 20L)
+
+  /** Top-3 characteristic terms per document (rational TF-IDF). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Corpus.tfIdfTopTerms(Tables.documents(s, d), 3)
+
+  /** C4-style composite quality filter with per-rule audit flags. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Corpus.qualityFilter(Tables.documents(s, d))
+
+  /** Minhash estimator accuracy vs true jaccard (blocked pairs). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Corpus.minHashAccuracyPairs(Tables.documents(s, d), Seq("lang", "source"))
+
+  /** Recall@3 of the banded-LSH ANN vs exact brute force over the
+    * first 100 query vectors, at both LSH operating points: the fast
+    * 4-band×8-bit production config and the high-recall 8-band×4-bit
+    * config. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Corpus.lshRecallAtK(Tables.embeddings(s, d),
+      dim = 64, configs = Seq((32, 4), (32, 8)), k = 3, nQueries = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_repetition"     -> (q36 _),
+    "q37_strat_sample"   -> (q37 _),
+    "q38_tfidf"          -> (q38 _),
+    "q39_quality_filter" -> (q39 _),
+    "q40_minhash_acc"    -> (q40 _),
+    "q41_lsh_recall"     -> (q41 _),
     "q15_token_stats"    -> (q15 _),
     "q16_quality_score"  -> (q16 _),
     "q17_langid"         -> (q17 _),
@@ -191,12 +228,54 @@ object TextQueries {
       s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), (acc, v) -> acc + v)"
   }.mkString("[", ",\n           ", "]")
 
-  /** 4 bands × 8 sign bits packed from the 32 projections (1-based). */
-  private val lshBandEntries = (0 until 4).map { b =>
-    (0 until 8).map { r =>
-      s"(CASE WHEN projs[${b * 8 + r + 1}] >= 0 THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
-  }.mkString("[", ",\n            ", "]")
+  /** nBands bands × per sign bits packed from the projections
+    * (1-based), as a DuckDB list literal. */
+  private def lshBandEntriesFor(nBands: Int, per: Int): String =
+    (0 until nBands).map { b =>
+      (0 until per).map { r =>
+        s"(CASE WHEN projs[${b * per + r + 1}] >= 0 THEN CAST(${1L << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    }.mkString("[", ",\n            ", "]")
+
+  /** q25's production config: 4 bands × 8 sign bits. */
+  private val lshBandEntries = lshBandEntriesFor(4, 8)
+
+  /** One q41 LSH-config CTE chain (suffix `tag`): band signatures →
+    * band explode → candidate pairs → exact cosine → top-3 per query,
+    * restricted to the 100-query evaluation set. */
+  private def lshRecallCfgCtes(tag: String, nBands: Int, per: Int): String =
+    s"""sig_$tag AS (
+       |  SELECT vec_id, ${lshBandEntriesFor(nBands, per)} AS bnds
+       |  FROM base
+       |), eb_$tag AS (
+       |  SELECT vec_id, unnest(${(0 until nBands).mkString("[", ",", "]")}) AS band_idx, unnest(bnds) AS band_hash
+       |  FROM sig_$tag
+       |), pairs_$tag AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM eb_$tag a JOIN eb_$tag b USING (band_idx, band_hash)
+       |  WHERE a.vec_id != b.vec_id
+       |), scored_$tag AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |         ${duckDot("qa.embedding", "qb.embedding")} / (qa.nrm * qb.nrm) AS cosine
+       |  FROM pairs_$tag p
+       |  JOIN base qa ON qa.vec_id = p.query_id
+       |  JOIN base qb ON qb.vec_id = p.neighbor_id
+       |), approx_$tag AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM scored_$tag) WHERE rank <= 3 AND query_id < 100
+       |)""".stripMargin
+
+  /** One q41 summary row for config `tag` labeled `label`. */
+  private def lshRecallCfgSelect(label: String, tag: String): String =
+    s"""SELECT '$label' AS config,
+       |       CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+       |       CAST(COUNT(*) AS BIGINT) AS expected,
+       |       CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / COUNT(*) AS recall
+       |FROM exact e LEFT JOIN approx_$tag a USING (query_id, neighbor_id)""".stripMargin
 
   /** The q33 quantizer as a DuckDB VALUES literal — generated from the
     * SAME [[IvfCentroids.Centroids16]] object the Spark query uses.
@@ -211,6 +290,134 @@ object TextQueries {
   }.mkString(",\n        ")
 
   val oracles: Map[String, String] = Map(
+    "q36_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bigr
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, unnest(bigr) AS bg FROM b
+        |), c AS (
+        |  SELECT doc_id, bg, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_cnt FROM c GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_words, b.n_distinct,
+        |       CAST(greatest(b.n_words - 1, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(m.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |       CASE WHEN b.n_words = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words END AS dup_word_frac,
+        |       CASE WHEN b.n_words <= 1 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(COALESCE(m.top_cnt, 0) AS DOUBLE) / (b.n_words - 1) END AS top_bigram_frac
+        |FROM b LEFT JOIN m USING (doc_id)""".stripMargin,
+    "q37_strat_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text)+1), i -> CAST(unicode(substr(text,i,1)) AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000000007) % 20 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM f
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 4 ELSE 10 END""".stripMargin,
+    "q38_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+    "q39_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |         CAST(len(tk) AS BIGINT) AS n_words,
+         |         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(tk, x -> length(x))), (a, x) -> a + x) AS BIGINT) AS sum_wl,
+         |         CAST(len(list_intersect(list_distinct(tk),
+         |                ${Corpus.StopWords.map(w => s"'$w'").mkString("[", ",", "]")})) AS BIGINT) AS n_stop
+         |  FROM t
+         |)
+         |SELECT doc_id, n_words,
+         |       CAST(sum_wl AS DOUBLE) / n_words AS mean_wl,
+         |       n_stop,
+         |       n_words >= 10 AND n_words <= 1000 AS pass_len,
+         |       CAST(sum_wl AS DOUBLE) / n_words >= 2.0
+         |         AND CAST(sum_wl AS DOUBLE) / n_words <= 8.0 AS pass_word_len,
+         |       n_stop >= 2 AS pass_stop,
+         |       (n_words - n_distinct) * 2 <= n_words AS pass_rep,
+         |       (n_words >= 10 AND n_words <= 1000)
+         |         AND (CAST(sum_wl AS DOUBLE) / n_words >= 2.0
+         |              AND CAST(sum_wl AS DOUBLE) / n_words <= 8.0)
+         |         AND n_stop >= 2
+         |         AND (n_words - n_distinct) * 2 <= n_words AS keep
+         |FROM s""".stripMargin,
+    "q40_minhash_acc" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, source,
+         |         list_distinct(list_transform(
+         |           list_transform(range(1, length(text)-3), i -> substr(text, i, 5)),
+         |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+         |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS hs
+         |  FROM documents
+         |), sigs AS (
+         |  SELECT doc_id, lang, source, hs, $sigEntries AS sig
+         |  FROM sh
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(range(1, 17),
+         |                i -> CASE WHEN a.sig[i] = b.sig[i] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |            (acc, v) -> acc + v) AS BIGINT) AS n_sig_match,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |              list_transform(range(1, 17),
+         |                i -> CASE WHEN a.sig[i] = b.sig[i] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |            (acc, v) -> acc + v) AS DOUBLE) / 16 AS est_sim,
+         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+         |FROM sigs a JOIN sigs b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+    "q41_lsh_recall" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         $lshProjEntries AS projs
+         |  FROM embeddings
+         |), ${lshRecallCfgCtes("f", 4, 8)},
+         |${lshRecallCfgCtes("r", 8, 4)},
+         |ex_scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM base q JOIN base c ON q.vec_id < 100 AND q.vec_id != c.vec_id
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM ex_scored) WHERE rank <= 3
+         |)
+         |${lshRecallCfgSelect("32p4b", "f")}
+         |UNION ALL
+         |${lshRecallCfgSelect("32p8b", "r")}""".stripMargin,
     "q33_ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT * FROM (VALUES

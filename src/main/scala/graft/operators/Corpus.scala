@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.functions.HashExpressions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline:
+  * repetition signals, composite quality filtering, TF-IDF term
+  * extraction, reproducible stratified sampling, and sketch/ANN
+  * accuracy evaluation. Everything is exact integer/rational
+  * arithmetic (counts, and IEEE-correctly-rounded divisions of exact
+  * integers), so every operator carries a bit-exact SQL oracle.
+  *
+  * Scale posture: per-document operators are narrow map-side work; the
+  * corpus-wide ones (TF-IDF document frequency, bigram counting)
+  * shuffle on (doc, term)/(term) keys with partial aggregation — never
+  * a cross join, never a global window.
+  */
+object Corpus {
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models", table A1 repetition filters): duplicate-word
+    * fraction and most-frequent-bigram fraction per document.
+    *
+    * Counters are emitted as exact integers alongside the derived
+    * fractions so downstream thresholds can re-derive any ratio
+    * without re-tokenizing. Output: doc_id, n_words, n_distinct,
+    * n_bigrams, top_bigram_cnt, dup_word_frac, top_bigram_frac. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
+    // bigram top count: explode → two-level partial-agg count (the
+    // max-of-counts collapses map-side; no per-doc array blowup)
+    val top = base
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
+          " slice(tk, 2, greatest(size(tk)-1, 0))," +
+          " (x, y) -> concat(x, ' ', y))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_bigram_cnt"))
+    base.join(top, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_bigram_cnt"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        greatest(col("n_words") - 1, lit(0L)).as("n_bigrams"),
+        col("top_bigram_cnt"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise((col("n_words") - col("n_distinct")).cast("double") /
+            col("n_words")).as("dup_word_frac"),
+        when(col("n_words") <= 1, lit(0.0))
+          .otherwise(col("top_bigram_cnt").cast("double") /
+            (col("n_words") - 1)).as("top_bigram_frac"))
+  }
+
+  /** Reproducible hash-stratified sampling: bucket = polynomial
+    * content hash mod `mod`; a document is kept iff its bucket falls
+    * below its stratum's keep-count (so stratum s is sampled at rate
+    * keepOf(s)/mod). Content-hash bucketing — not rand() — means the
+    * sample is stable across runs, engines, and partitionings, and
+    * exact duplicates land in the same bucket (sample-then-dedup and
+    * dedup-then-sample agree). A pure narrow filter: pushes to the
+    * scan, no shuffle, no state. */
+  def hashStratifiedSample(docs: DataFrame, strataCol: String,
+      keepOf: Map[String, Long], defaultKeep: Long, mod: Long): DataFrame = {
+    val keep = keepOf.foldLeft(lit(defaultKeep)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket",
+        pmod(HashExpressions.polyHash(col("text")), lit(mod)))
+      .filter(col("bucket") < keep)
+      .select(col("doc_id"), col(strataCol), col("bucket"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF, with the IDF
+    * kept RATIONAL: score = tf·N / df (one exact integer product, one
+    * correctly-rounded division) instead of tf·ln(N/df). Monotone in
+    * the usual log formulation for fixed tf, exactly reproducible
+    * across engines (ln is not required to be correctly rounded), and
+    * the integer numerators travel with the row. Output: doc_id, term,
+    * tf, df, score, rk. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+  }
+
+  /** Stopword set for [[qualityFilter]]'s has-common-words signal
+    * (C4's "contains a stop word" heuristic, adapted to the corpus
+    * vocabulary). */
+  val StopWords: Seq[String] = Seq("the", "a", "join", "data", "value")
+
+  /** C4-style composite quality filter (Raffel et al. 2020 §2.2's
+    * heuristic battery): length bounds, mean-word-length bounds,
+    * stopword presence, repetition bound — each emitted as its own
+    * flag plus the conjunctive keep decision, so downstream can audit
+    * which rule rejected a document. All signals are exact counts or
+    * exact-integer ratios. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val stops = array(StopWords.map(lit): _*)
+    docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
+      .withColumn("sum_wl", expr("aggregate(tk, 0L, (a, t) -> a + length(t))"))
+      .withColumn("mean_wl", col("sum_wl").cast("double") / col("n_words"))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("tk")), stops)).cast("long"))
+      .withColumn("pass_len", col("n_words") >= 10 && col("n_words") <= 1000)
+      .withColumn("pass_word_len", col("mean_wl") >= 2.0 && col("mean_wl") <= 8.0)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("pass_rep",
+        (col("n_words") - col("n_distinct")) * 2 <= col("n_words"))
+      .withColumn("keep",
+        col("pass_len") && col("pass_word_len") && col("pass_stop") &&
+          col("pass_rep"))
+      .select("doc_id", "n_words", "mean_wl", "n_stop", "pass_len",
+        "pass_word_len", "pass_stop", "pass_rep", "keep")
+  }
+
+  /** Sketch-accuracy evaluation: minhash-estimated jaccard
+    * (matching-signature-component fraction, the unbiased minhash
+    * estimator) vs the true shingle-set jaccard, per candidate pair
+    * inside explicit blocks. The evidence query for trusting the
+    * minhash dedup path: est_sim is what LSH banding thresholds on,
+    * jac is ground truth. Output: doc_a, doc_b, n_sig_match, est_sim,
+    * jac. */
+  def minHashAccuracyPairs(docs: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val sh = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        HashExpressions.shingleHashes(col("text"), 5).as("hs"): _*)
+      .withColumn("sig", HashExpressions.minHashSig(col("hs")))
+    val a = sh.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("hs").as("hs_a") :+ col("sig").as("sig_a"): _*)
+    val b = sh.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("hs").as("hs_b") :+ col("sig").as("sig_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_sig_match", expr(
+        "aggregate(zip_with(sig_a, sig_b," +
+          " (x, y) -> CASE WHEN x = y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("est_sim", col("n_sig_match").cast("double") / 16)
+      .withColumn("jac",
+        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+      .select("doc_a", "doc_b", "n_sig_match", "est_sim", "jac")
+  }
+
+  /** Recall@k of the banded-LSH ANN against exact brute force, over
+    * the query set `vec_id < nQueries`, at one or more (nPlanes,
+    * nBands) operating points — the evidence query for the LSH
+    * bucketing knobs. Bits-per-band trades candidate volume (cost,
+    * ∝ nBands·N²/2^bits) against exactly this recall number: for a
+    * pair at angle θ each plane agrees with probability p = 1 − θ/π,
+    * a band of b bits collides with p^b, and any-of-nBands gives
+    * 1 − (1−p^b)^nBands — so wide bands are cheap and low-recall,
+    * narrow bands expensive and high-recall. One summary row per
+    * config: config, n_queries, expected (= k per query), hits (ANN
+    * pairs that are true top-k), recall. */
+  def lshRecallAtK(embeddings: DataFrame, dim: Int,
+      configs: Seq[(Int, Int)], k: Int, nQueries: Int): DataFrame = {
+    val exact = Similarity
+      .bruteForceTopK(embeddings.filter(col("vec_id") < nQueries), embeddings, k)
+      .select("query_id", "neighbor_id")
+    configs.map { case (nPlanes, nBands) =>
+      val approx = Similarity
+        .lshTopK(embeddings, dim, nPlanes, nBands, k)
+        .filter(col("query_id") < nQueries)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("found"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("expected"),
+          sum(when(col("found"), lit(1L)).otherwise(lit(0L))).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / col("expected"))
+        .select(lit(s"${nPlanes}p${nBands}b").as("config"),
+          col("n_queries"), col("expected"), col("hits"), col("recall"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -122,7 +122,18 @@ object Similarity {
     import spark.implicits._
     val cdf = centroids.toDF("cell", "centroid")
     // one ranking serves both sides: pr == 1 is the home-cell
-    // assignment (candidate side), pr <= nProbe the probe list
+    // assignment (candidate side), pr <= nProbe the probe list.
+    // The ranking is pinned AND materialized eagerly: this is the IVF
+    // index-build step (at warehouse scale you would persist the
+    // assignment table and share it across queries). Lazy caching is
+    // not enough here — the two join-input stages are scheduled
+    // concurrently, so both miss the in-flight cache and re-run the
+    // crossJoin+window chain (and the planner cannot deduplicate the
+    // branches itself: their inferred WindowGroupLimit limits differ,
+    // 1 vs nProbe, which defeats exchange reuse). Cache lifecycle as
+    // in Dedup.minHashLshPairs: one-shot jobs free it with the
+    // session; long-lived sessions clear the CacheManager after
+    // materializing (Bench does exactly this between queries).
     val ranked = embeddings
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cdf))
@@ -133,6 +144,8 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
       .filter(col("pr") <= math.max(nProbe, 1))
       .select("vec_id", "cell", "pr", "embedding", "nrm")
+      .cache()
+    ranked.count() // eager index build (see above)
     val assigned = ranked.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("e_b"), col("nrm").as("n_b"))

@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val P = 1000000007L
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+
+  test("repetitionStats: hand-computed counters and fractions") {
+    val docs = Seq(
+      (1L, "a a b"),    // bigrams: "a a", "a b" → top 1
+      (2L, "x x x"),    // bigrams: "x x", "x x" → top 2
+      (3L, "z"),        // no bigrams
+      (4L, "p q r s"))  // all distinct
+      .toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 3 && got(1L).getLong(2) == 2) // n_words, n_distinct
+    assert(got(1L).getLong(3) == 2 && got(1L).getLong(4) == 1) // n_bigrams, top cnt
+    assert(got(1L).getDouble(5) == 1.0 / 3)                    // dup_word_frac
+    assert(got(2L).getLong(4) == 2 && got(2L).getDouble(6) == 1.0) // "x x" twice
+    assert(got(3L).getLong(3) == 0 && got(3L).getLong(4) == 0)
+    assert(got(3L).getDouble(6) == 0.0) // guarded division
+    assert(got(4L).getDouble(5) == 0.0 && got(4L).getDouble(6) == 1.0 / 3)
+  }
+
+  test("hashStratifiedSample: keeps exactly content-bucket < stratum rate, reproducibly") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc number $i body", if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Corpus
+      .hashStratifiedSample(docs, "lang", Map("en" -> 4L), 10L, 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = (0L until 200L).flatMap { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val b = polyHash(s"doc number $i body") % 20
+      if (b < (if (lang == "en") 4 else 10)) Some((i, lang, b)) else None
+    }
+    assert(kept.sorted.toSeq == expected.sorted)
+    // en downsampled below fr despite equal stratum sizes
+    assert(kept.count(_._2 == "en") < kept.count(_._2 == "fr"))
+  }
+
+  test("tfIdfTopTerms: corpus-common terms rank below doc-specific ones") {
+    val docs = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared rare2 rare2"),
+      (3L, "shared other"))
+      .toDF("doc_id", "text")
+    val got = Corpus.tfIdfTopTerms(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val byDoc = got.groupBy(_._1)
+    // doc 1: rare1 tf=1 df=1 → 3.0; shared tf=2 df=3 → 2.0
+    assert(byDoc(1L).sortBy(_._6).map(t => (t._2, t._5)).toSeq ==
+      Seq(("rare1", 3.0), ("shared", 2.0)))
+    // doc 2: rare2 tf=2 df=1 → 6.0 beats shared 1.0
+    assert(byDoc(2L).minBy(_._6)._2 == "rare2")
+    assert(byDoc(2L).minBy(_._6)._5 == 6.0)
+  }
+
+  test("qualityFilter: each rule flags independently; keep is the conjunction") {
+    val good = "the data " + (1 to 10).map(i => s"word$i").mkString(" ")
+    val tooShort = "the data x"
+    val noStops = (1 to 12).map(i => s"word$i").mkString(" ")
+    val repetitive = "the data " + ("dup " * 12).trim
+    val docs = Seq((1L, good), (2L, tooShort), (3L, noStops), (4L, repetitive))
+      .toDF("doc_id", "text")
+    val got = Corpus.qualityFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8))                                // keep
+    assert(!got(2L).getBoolean(4) && !got(2L).getBoolean(8))     // pass_len fails
+    assert(!got(3L).getBoolean(7 - 1))                           // pass_stop fails
+    assert(!got(4L).getBoolean(7) && !got(4L).getBoolean(8))     // pass_rep fails
+    assert(got(1L).getLong(3) == 2)                              // n_stop: the, data
+  }
+
+  test("minHashAccuracyPairs: identical docs estimate 1.0 and match true jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, base, "en", "s0"),
+      (2L, base, "en", "s0"),
+      (3L, "completely different text with other words entirely " * 3, "en", "s0"),
+      (4L, base, "fr", "s0")) // different block: never paired with 1/2
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.minHashAccuracyPairs(docs, Seq("lang", "source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got((1L, 2L)) == ((16L, 1.0, 1.0)))
+    assert(got((1L, 3L))._2 <= 0.25) // dissimilar pair estimates low
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // estimator within 0.5 of truth everywhere on this fixture
+    got.values.foreach { case (_, est, jac) => assert(math.abs(est - jac) <= 0.5) }
+  }
+
+  test("lshRecallAtK: one row per config; narrower bands never lose recall") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Corpus
+      .lshRecallAtK(emb, 64, Seq((32, 4), (32, 8)), k = 3, nQueries = 20)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set("32p4b", "32p8b"))
+    got.values.foreach { case (nq, exp, hits, rec) =>
+      assert(nq == 20 && exp == 60)
+      assert(hits >= 0 && hits <= exp)
+      assert(rec == hits.toDouble / exp)
+    }
+    // 4-bit bands collide strictly more often than 8-bit bands
+    assert(got("32p8b")._3 >= got("32p4b")._3)
+  }
+}
