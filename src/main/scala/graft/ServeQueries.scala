@@ -107,6 +107,24 @@ object ServeQueries {
         expr("percentile(value, 0.5)").as("med_value"),
         expr("percentile(value, 0.95)").as("p95_value"))
 
+  /** The 100 TB form of the q34 profile: sketch-based distincts and
+    * percentiles. `approx_count_distinct` (HyperLogLog++, fixed-size
+    * sketch vs an exact distinct's full shuffle of the key set) and
+    * `approx_percentile` (KLL-style quantile sketch vs a full sort per
+    * group) keep the aggregation one bounded-state pass — the variant
+    * a dashboard runs when the exact q34 stops being interactive.
+    * Engine-specific sketches are not SQL-oracle-reproducible, so this
+    * surface is pinned by ServeSpec (tolerance against the exact
+    * profile) rather than a gate query. */
+  def profileApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", rsd = 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_events"),
+        expr("approx_percentile(value, 0.5, 10000)").as("med_value_approx"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95_value_approx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_serve_daily"  -> (q26 _),
     "q27_stream_hourly" -> (q27 _),

@@ -20,6 +20,8 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val nAttempts = if (args.nonEmpty) args(0).toLong else 20000000L
     val nDocs = if (args.length > 1) args(1).toLong else 200000L
+    // optional 3rd arg: only run stages whose name contains this substring
+    val only = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,6 +34,7 @@ object StressBench {
     import spark.implicits._
 
     def timed(name: String, inputRows: Long)(f: => Long): Unit = {
+      if (only.nonEmpty && !name.contains(only)) return
       val t0 = System.nanoTime()
       val outRows = f
       val s = (System.nanoTime() - t0) / 1e9
@@ -123,6 +126,37 @@ object StressBench {
         .select(sum(element_at(col("sig"), 1)).as("s"))
         .first().getLong(0)
       checksum % 1000000
+    }
+
+    // --- stage 3: corpus-curation operators over the same docs ------ //
+    val docsWithId = docs.withColumnRenamed("id", "doc_id")
+    timed("repetition_stats", nDocs) {
+      graft.operators.Corpus.repetitionStats(docsWithId)
+        .agg(sum("top_bigram_cnt")).first().getLong(0) % 1000000
+    }
+    timed("tfidf_topk", nDocs) {
+      graft.operators.Corpus.tfIdfTopTerms(docsWithId, 3).count()
+    }
+
+    // --- stage 4: banded-LSH ANN at 100× the bench vector count ----- //
+    // Deterministic pseudo-random embeddings straight from spark.range,
+    // components from xxhash64(id, i) — a linear-congruential formula
+    // here collapses to id mod 2000 and yields 100-deep identical
+    // vectors, whose duplicate groups no bucketing can split.
+    // Bits-per-band must grow with N to stay sub-quadratic
+    // (volume ∝ nBands·N²/2^bits): at 200 k vectors the 2-band×16-bit
+    // config keeps the candidate join ~N²/65536 per band.
+    val nVecs = 200000L
+    val emb = spark.range(nVecs)
+      .withColumn("vec_id", col("id"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000L)) - 1000L) / 1000.0)
+            .cast("float")))
+    timed("lsh_ann_200k_vectors", nVecs) {
+      graft.operators.Similarity
+        .lshTopK(emb, dim = 64, nPlanes = 32, nBands = 2, k = 3)
+        .count()
     }
 
     spark.stop()

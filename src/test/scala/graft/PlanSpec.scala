@@ -70,4 +70,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
       plan.take(2000))
   }
+
+  test("q37: hash-stratified sample is a narrow shuffle-free filter") {
+    val plan = physical("q37_strat_sample")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("q38: TF-IDF top-k window is partitioned by doc_id, never global") {
+    val plan = physical("q38_tfidf")
+    assert(plan.contains("windowspecdefinition(doc_id"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition(,"), plan.take(4000))
+  }
+
+  test("corpus queries: no cartesian products anywhere") {
+    Seq("q36_repetition", "q38_tfidf", "q39_quality_filter",
+      "q40_minhash_acc", "q41_lsh_recall").foreach { q =>
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("q36: bigram top count aggregates partially before the shuffle") {
+    val plan = physical("q36_repetition")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
 }

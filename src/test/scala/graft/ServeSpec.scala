@@ -160,4 +160,30 @@ class ServeSpec extends AnyFunSuite {
       .toMap
     assert(m("alice") == 100.0 && m("bob") == 12.0)
   }
+
+  test("profileApprox tracks the exact q34 profile within sketch tolerance") {
+    val d = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q34_profile")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = graft.ServeQueries.profileApprox(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (et, e) =>
+      val a = approx(et)
+      // row counts are exact in both
+      assert(a.getLong(a.fieldIndex("n_events")) ==
+        e.getLong(e.fieldIndex("n_events")))
+      // HLL++ at rsd 2%: allow 10% slack on this small cardinality
+      val nu = e.getLong(e.fieldIndex("n_users")).toDouble
+      assert(math.abs(a.getLong(a.fieldIndex("n_users_approx")) - nu) <=
+        math.max(2.0, nu * 0.1))
+      // quantile sketch with accuracy 10000 on small groups: near-exact
+      val med = e.getDouble(e.fieldIndex("med_value"))
+      val p95 = e.getDouble(e.fieldIndex("p95_value"))
+      assert(math.abs(a.getDouble(a.fieldIndex("med_value_approx")) - med) <=
+        math.abs(med) * 0.05 + 0.5)
+      assert(math.abs(a.getDouble(a.fieldIndex("p95_value_approx")) - p95) <=
+        math.abs(p95) * 0.05 + 0.5)
+    }
+  }
 }

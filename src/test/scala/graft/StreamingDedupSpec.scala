@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", TimestampType)))
+
+  private def jsonLine(id: Long, text: String, tsMs: Long): String =
+    s"""{"doc_id":$id,"text":"$text","ts":"${new java.sql.Timestamp(tsMs)}"}"""
+
+  test("duplicate content arriving in a later micro-batch is dropped") {
+    val in = Files.createTempDirectory("sd_in")
+    val ckpt = Files.createTempDirectory("sd_ck")
+    Files.write(in.resolve("b1.json"), String.join("\n",
+      jsonLine(1, "alpha beta", 1000000L),
+      jsonLine(2, "gamma delta", 1001000L)).getBytes)
+
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val deduped = StreamingDedup.dedupByContent(stream, "ts",
+      latenessMs = 3600 * 1000L)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("deduped")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+
+      // batch 2: same content as doc 1 (later event time, inside the
+      // window) + one genuinely new doc
+      Files.write(in.resolve("b2.json"), String.join("\n",
+        jsonLine(3, "alpha beta", 1002000L),
+        jsonLine(4, "epsilon zeta", 1003000L)).getBytes)
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L)) // 3 dropped as duplicate
+    } finally q.stop()
+  }
+
+  test("batch execution: plain exact dedup, one survivor per content") {
+    val docs = Seq(
+      (1L, "same text", new java.sql.Timestamp(1000)),
+      (2L, "same text", new java.sql.Timestamp(2000)),
+      (3L, "other text", new java.sql.Timestamp(3000)))
+      .toDF("doc_id", "text", "ts")
+    val got = StreamingDedup.dedupByContent(docs, "ts", 60000L)
+    assert(got.count() == 2)
+    assert(got.select("content_hash").distinct().count() == 2)
+  }
+}
