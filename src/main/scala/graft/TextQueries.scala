@@ -184,7 +184,21 @@ object TextQueries {
     Corpus.lshRecallAtK(Tables.embeddings(s, d),
       dim = 64, configs = Seq((32, 4), (32, 8)), k = 3, nQueries = 100)
 
+  /** Context-window chunking: 32-token chunks, stride 24. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    Corpus.chunkDocuments(Tables.documents(s, d), chunkTokens = 32, stride = 24)
+
+  /** Benchmark decontamination: 5-token-gram overlap vs the probe set
+    * doc_id < 5 (stand-in held-out benchmark). */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.contaminationCheck(docs, docs.filter(col("doc_id") < 5),
+      n = 5, minMatches = 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_chunking"       -> (q42 _),
+    "q43_contamination"  -> (q43 _),
     "q36_repetition"     -> (q36 _),
     "q37_strat_sample"   -> (q37 _),
     "q38_tfidf"          -> (q38 _),
@@ -289,7 +303,47 @@ object TextQueries {
     s"($i, [${c.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
   }.mkString(",\n        ")
 
+  /** DuckDB polynomial fold of an arbitrary string SQL expression. */
+  private def duckPolyHash(sExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($sExpr)+1), ci -> CAST(unicode(substr($sExpr,ci,1)) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
   val oracles: Map[String, String] = Map(
+    "q42_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 24)) AS start
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, start // 24 AS chunk_idx,
+        |         list_slice(tk, start + 1, start + 32) AS chunk_tk
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       array_to_string(chunk_tk, ' ') AS chunk_text,
+        |       CAST(len(chunk_tk) AS BIGINT) AS n_tokens
+        |FROM c WHERE len(chunk_tk) > 0""".stripMargin,
+    "q43_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) < 5 THEN CAST([] AS BIGINT[])
+         |              ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+         |                     i -> ${duckPolyHash("array_to_string(list_slice(tk, i, i + 4), ' ')")})) END AS grams
+         |  FROM t
+         |), pg AS (
+         |  SELECT list_sort(list_distinct(flatten(list(grams)))) AS pg
+         |  FROM g WHERE doc_id < 5
+         |)
+         |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+         |       CAST(len(list_intersect(g.grams, pg.pg)) AS BIGINT) AS n_matched,
+         |       len(list_intersect(g.grams, pg.pg)) >= 1 AS contaminated
+         |FROM g CROSS JOIN pg""".stripMargin,
     "q36_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk

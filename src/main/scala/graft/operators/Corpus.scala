@@ -161,6 +161,62 @@ object Corpus {
       .select("doc_a", "doc_b", "n_sig_match", "est_sim", "jac")
   }
 
+  /** Split documents into fixed-size token windows with stride — the
+    * training-prep chunking step (context-window packing). Chunk c
+    * covers tokens [c·stride+1, c·stride+chunkTokens]; the tail chunk
+    * is the possibly-short remainder; empty docs yield no chunks. A
+    * pure narrow generate (explode of in-row slices): no shuffle, no
+    * state, scales linearly. Output: doc_id, chunk_idx, chunk_text,
+    * n_tokens. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, "positive chunk/stride")
+    docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+          lit(stride))))
+      .withColumn("chunk_tk",
+        slice(col("tk"), col("start") + 1, lit(chunkTokens)))
+      .filter(size(col("chunk_tk")) > 0)
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", col("chunk_tk")).as("chunk_text"),
+        size(col("chunk_tk")).cast("long").as("n_tokens"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥
+    * `minMatches` distinct token n-grams with ANY document of a probe
+    * set (the held-out benchmark). The standard pretraining hygiene
+    * pass (GPT-3 appendix C uses 13-gram overlap; `n` here is a
+    * parameter). Grams are polynomial-hashed token windows, the probe
+    * gram set is collected once and broadcast (a benchmark is small by
+    * definition — at 100 TB the corpus side stays a narrow scan +
+    * broadcast semi-join, no shuffle of the corpus). Output: doc_id,
+    * n_grams, n_matched, contaminated. */
+  def contaminationCheck(docs: DataFrame, probes: DataFrame, n: Int,
+      minMatches: Int): DataFrame = {
+    val gramHashes = (tk: org.apache.spark.sql.Column) =>
+      when(size(tk) < n, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(tk) - (n - 1)),
+          i => HashExpressions.polyHash(
+            concat_ws(" ", slice(tk, i, lit(n)))))))
+    val probeGrams = probes
+      .select(explode(gramHashes(tokens(col("text")))).as("g"))
+      .distinct()
+      .agg(sort_array(collect_set("g")).as("pg"))
+    docs
+      .withColumn("grams", gramHashes(tokens(col("text"))))
+      .crossJoin(broadcast(probeGrams))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"), col("pg"))).cast("long")
+          .as("n_matched"))
+      .withColumn("contaminated", col("n_matched") >= minMatches)
+  }
+
   /** Recall@k of the banded-LSH ANN against exact brute force, over
     * the query set `vec_id < nQueries`, at one or more (nPlanes,
     * nBands) operating points — the evidence query for the LSH

@@ -107,6 +107,42 @@ class CorpusSpec extends AnyFunSuite {
     got.values.foreach { case (_, est, jac) => assert(math.abs(est - jac) <= 0.5) }
   }
 
+  test("chunkDocuments: stride windows, short tail kept, empty doc dropped") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // doc 1: starts 0,3,6,9 → chunks of 4,4,4,1
+    assert(got((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(got((1L, 1L)) == (("t4 t5 t6 t7", 4L)))
+    assert(got((1L, 3L)) == (("t10", 1L)))
+    assert(got((2L, 0L)) == (("only three tokens", 3L)))
+    assert(!got.keySet.exists(_._1 == 3L))
+    assert(got.keySet.count(_._1 == 1L) == 4)
+  }
+
+  test("contaminationCheck: probe overlap flags exactly the sharing docs") {
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (1L, shared + " suffix here"),        // shares 5-grams with probe
+      (2L, "totally different words apple banana cherry date elder fig"),
+      (3L, "tiny doc"))                     // < 5 tokens → no grams
+      .toDF("doc_id", "text")
+    val probes = Seq((99L, shared)).toDF("doc_id", "text")
+    val got = Corpus.contaminationCheck(docs, probes, n = 5, minMatches = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L)._3 && got(1L)._2 == 2)  // "one..five" and "two..six"
+    assert(!got(2L)._3 && got(2L)._2 == 0)
+    assert(got(3L) == ((0L, 0L, false)))   // gramless, still reported
+  }
+
   test("lshRecallAtK: one row per config; narrower bands never lose recall") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L)

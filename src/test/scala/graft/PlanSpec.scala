@@ -94,4 +94,16 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical("q36_repetition")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
+
+  test("q42: chunking is a narrow generate — no shuffle at all") {
+    val plan = physical("q42_chunking")
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("q43: decontamination broadcasts the probe gram set, corpus side unshuffled") {
+    val plan = physical("q43_contamination")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
