@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,11 +75,34 @@ object HashExpressions {
   /** Jaccard similarity |a∩b| / |a∪b| of two SORTED distinct long
     * arrays via a primitive merge scan — the verify step of the dedup
     * joins. Replaces `array_intersect` (per-row hash-set build, boxed
-    * access: ~10 s for 230 k candidate pairs at sf0.1 → ~1 s). */
+    * access: ~10 s for 230 k candidate pairs at sf0.1 → ~1 s).
+    * Participates in whole-stage codegen (no fallback row-by-row
+    * eval boundary in the verify join's generated loop). */
   case class SortedJaccard(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sorted_jaccard"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |int $uni = $na + $nb - $inter;
+           |${ev.value} = ($uni == 0) ? 0.0 : ((double) $inter) / ((double) $uni);
+         """.stripMargin
+      })
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -143,9 +166,12 @@ object HashExpressions {
     * arrays — bit-identical to the `aggregate(zip_with(...))`
     * formulation (same accumulation order) and to the oracle's
     * `list_reduce`, but a primitive loop instead of per-element
-    * lambda interpretation. */
+    * lambda interpretation. Participates in whole-stage codegen: the
+    * ANN re-rank loops (brute-force, LSH, IVF) evaluate millions of
+    * dot products per task, and a CodegenFallback here forces a
+    * boxed InternalRow round-trip per pair. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
 
@@ -157,6 +183,24 @@ object HashExpressions {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val getA =
+          if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB =
+          if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $getA * $getB;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
