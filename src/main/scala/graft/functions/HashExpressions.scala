@@ -29,11 +29,26 @@ object HashExpressions {
 
   final val P = 1000000007L
 
-  /** Distinct rolling n-gram polynomial hashes of a string. */
+  /** Distinct rolling n-gram polynomial hashes of a string.
+    *
+    * Codegen note (applies to every loop-heavy unary expression here):
+    * instead of CodegenFallback — which materializes the WHOLE input
+    * row into an InternalRow per call just to re-extract one column —
+    * `doGenCode` registers this instance as a reference object and
+    * emits a direct `nullSafeEval(column)` call, so only the needed
+    * value crosses the generated-code boundary and the enclosing
+    * WholeStageCodegen stage stays intact. */
   case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleExpr", this,
+        classOf[ShingleHashes].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
@@ -133,11 +148,18 @@ object HashExpressions {
     * (same (A·h+B) mod P permutation family as
     * [[TextFunctions.minHashSignature]]; empty input → P sentinels). */
   case class MinHashSig(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     private val A = TextFunctions.MinHashA.toArray
     private val B = TextFunctions.MinHashB.toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minHashExpr", this,
+        classOf[MinHashSig].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val hashes = input.asInstanceOf[ArrayData]
@@ -239,11 +261,20 @@ object HashExpressions {
     * LSH signature stage). */
   case class LshProjections(child: Expression, nPlanes: Int)
       extends UnaryExpression with CodegenFallback {
+    // CodegenFallback is DELIBERATE here, unlike the other expressions
+    // in this file: the projs array feeds nPlanes downstream getItem
+    // band-bit expressions, and once this expression participates in
+    // whole-stage codegen the planner inlines the full 32-plane × dim
+    // fold into EVERY consumer (no cross-reference CSE) — measured 2×
+    // on the LSH query. The fallback boundary forces the Project to
+    // materialize the array once per row, which is exactly the right
+    // evaluation shape for a build-once/read-many intermediate.
     private val A = TextFunctions.LshA.toArray
     private val B = TextFunctions.LshB.toArray
     require(nPlanes <= A.length, s"at most ${A.length} planes")
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def prettyName: String = "lsh_projections"
+
 
     private lazy val isFloat = child.dataType match {
       case ArrayType(FloatType, _) => true
@@ -278,9 +309,23 @@ object HashExpressions {
 
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "poly_hash"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s"); val h = ctx.freshName("h")
+        val i = ctx.freshName("i")
+        s"""
+           |java.lang.String $s = $c.toString();
+           |long $h = 0L;
+           |for (int $i = 0; $i < $s.length(); $i++) {
+           |  $h = ($h * 31 + $s.charAt($i)) % ${P}L;
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
