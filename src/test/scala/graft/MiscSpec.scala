@@ -26,6 +26,10 @@ class MiscSpec extends AnyFunSuite {
     assert(qs.forall(_.matches("q\\d{2}_[a-z_]+")))
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("GraftSession.create registers functions on a tuned session") {
     val s = graft.GraftSession.create("misc-test")
     assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
