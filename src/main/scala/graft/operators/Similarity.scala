@@ -117,23 +117,27 @@ object Similarity {
     * arithmetic that an external SQL engine reproduces bit-identically
     * (the q33 oracle). */
   def ivfTopKWithCentroids(embeddings: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame =
+    ivfSearch(buildIvfIndex(embeddings, centroids, nProbe), nProbe, k)
+
+  /** The IVF index: every vector ranked against the broadcast
+    * centroids, keeping its `nProbe` nearest cells (`pr` = rank; pr==1
+    * is the home-cell assignment). Pinned AND materialized eagerly —
+    * build once, search many (at warehouse scale you would persist
+    * this table and share it across queries). Lazy caching is not
+    * enough: the search join's two input stages are scheduled
+    * concurrently, so both miss an in-flight cache and re-run the
+    * crossJoin+window chain (and the planner cannot deduplicate the
+    * branches itself: their inferred WindowGroupLimit limits differ,
+    * 1 vs nProbe, which defeats exchange reuse). Cache lifecycle as in
+    * Dedup.minHashLshPairs: one-shot jobs free it with the session;
+    * long-lived sessions clear the CacheManager after materializing
+    * (Bench does exactly this between queries). */
+  def buildIvfIndex(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cdf = centroids.toDF("cell", "centroid")
-    // one ranking serves both sides: pr == 1 is the home-cell
-    // assignment (candidate side), pr <= nProbe the probe list.
-    // The ranking is pinned AND materialized eagerly: this is the IVF
-    // index-build step (at warehouse scale you would persist the
-    // assignment table and share it across queries). Lazy caching is
-    // not enough here — the two join-input stages are scheduled
-    // concurrently, so both miss the in-flight cache and re-run the
-    // crossJoin+window chain (and the planner cannot deduplicate the
-    // branches itself: their inferred WindowGroupLimit limits differ,
-    // 1 vs nProbe, which defeats exchange reuse). Cache lifecycle as
-    // in Dedup.minHashLshPairs: one-shot jobs free it with the
-    // session; long-lived sessions clear the CacheManager after
-    // materializing (Bench does exactly this between queries).
     val ranked = embeddings
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cdf))
@@ -145,11 +149,19 @@ object Similarity {
       .filter(col("pr") <= math.max(nProbe, 1))
       .select("vec_id", "cell", "pr", "embedding", "nrm")
       .cache()
-    ranked.count() // eager index build (see above)
+    ranked.count() // eager build (see above)
+    ranked
+  }
+
+  /** Search a prebuilt IVF index ([[buildIvfIndex]]): candidates are
+    * the home-cell members of each query's probe cells, exact-reranked
+    * by cosine. */
+  def ivfSearch(ranked: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val assigned = ranked.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("e_b"), col("nrm").as("n_b"))
     val probes = ranked
+      .filter(col("pr") <= math.max(nProbe, 1)) // allow probing narrower than built
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("e_a"), col("nrm").as("n_a"))
     probes.join(assigned, "cell")

@@ -37,6 +37,22 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(ImageHeaders.decode(b).contains(ImageMeta("jpeg", 100, 256)))
   }
 
+  test("JPEG: 0xFF fill bytes before a marker are skipped (B.1.1.2)") {
+    // padded stream: SOI, then 4 fill bytes before the SOF0 marker
+    val sof = Array[Int](0xc0, 0x00, 0x0b, 8,
+      0x01, 0x00, // height 256
+      0x00, 0x32, // width 50
+      1, 1, 0x11, 0)
+    val b = (Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff) ++ sof)
+      .map(_.toByte)
+    assert(ImageHeaders.decode(b).contains(ImageMeta("jpeg", 50, 256)))
+    // fill bytes between segments too: APP0, pad, SOF
+    val app0 = Array[Int](0xff, 0xe0, 0x00, 0x04, 0, 0)
+    val b2 = (Array(0xff, 0xd8) ++ app0 ++ Array(0xff, 0xff, 0xff) ++ sof)
+      .map(_.toByte)
+    assert(ImageHeaders.decode(b2).contains(ImageMeta("jpeg", 50, 256)))
+  }
+
   test("JPEG fixture round-trips; SOS before SOF gives None") {
     val b = ImageHeaders.jpegFixture(1024, 768, "payload".getBytes)
     assert(ImageHeaders.decode(b).contains(ImageMeta("jpeg", 1024, 768)))

@@ -93,6 +93,45 @@ class StreamingAssemblySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("timestampless fragment inherits partition running-max ts, survives watermark") {
+    val in = Files.createTempDirectory("sa_nt_in")
+    val ckpt = Files.createTempDirectory("sa_nt_ck")
+    // batch 1: an old job advances the watermark far past the epoch
+    val base = 100L * 24 * 3600 * 1000 // day 100
+    Files.write(in.resolve("b1.txt"),
+      s"""Job JOBID="job_7_1" JOBNAME="w" USER="ann" SUBMIT_TIME="$base" .""".getBytes)
+
+    val stream = spark.readStream.textFile(in.toString)
+    val jobs = StreamingAssembly.assembleJobsStream(stream, "cl")
+    val q = jobs.writeStream
+      .outputMode("append")
+      .format("memory").queryName("no_ts")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // watermark now ≈ base − 5 d ≫ epoch
+
+      // batch 2: a timestamped line followed (same file/partition) by a
+      // TIMESTAMPLESS job-metadata fragment (JOBNAME/USER, no time
+      // fields — batch assembly merges it last-non-null), then the
+      // final state. Epoch-0 stamping would have the engine late-drop
+      // the metadata fragment and lose the user; inheriting the
+      // running max keeps it.
+      Files.write(in.resolve("b2.txt"), String.join("\n",
+        s"""Job JOBID="job_7_1" SUBMIT_TIME="${base + 1000}" .""",
+        """Job JOBID="job_7_1" JOBNAME="w" USER="ann" .""",
+        s"""Job JOBID="job_7_1" FINISH_TIME="${base + 9000}" JOB_STATUS="SUCCESS" .""").getBytes)
+      q.processAllAvailable()
+
+      val out = spark.table("no_ts").collect()
+      assert(out.length == 1)
+      val job = out.head
+      assert(job.getAs[String]("status") == "SUCCESS")
+      assert(job.getAs[String]("user") == "ann",
+        "timestampless metadata fragment was late-dropped")
+    } finally q.stop()
+  }
+
   test("static execution matches batch assembly") {
     val all = (openLines ++ closingLines).toDS()
     val streaming = StreamingAssembly.assembleJobsStream(all, "cl").collect()
