@@ -44,6 +44,13 @@ object GraftFunctions {
     reg(spark, "sorted_jaccard", 2)(e => SortedJaccard(e(0), e(1)))
     reg(spark, "poly_hash", 1)(e => PolyHash(e.head))
     reg(spark, "dot_product", 2)(e => DotProduct(e(0), e(1)))
+    reg(spark, "lsh_projections", 2) { e =>
+      val n = e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Number].intValue()
+      }
+      LshProjections(e.head, n)
+    }
     // the reference's roundTimestampToWeek (Sunday weeks, zone-aware):
     // composition of built-ins, SQL-registered for parity with
     // `usage_database.rb:132-168`

@@ -59,6 +59,11 @@ object Dedup {
         HashExpressions.shingleHashes(col("text"), 5).as("hs"))
       .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
       .cache()
+    // materialize eagerly: the self-join's two input stages are
+    // scheduled concurrently, so both would miss a lazy cache and run
+    // the hashing pipeline anyway (same race as Similarity's IVF
+    // index build) — this IS the signature-build step
+    sigs.count()
     // Single bucket self-join carrying the hash arrays (4 bands ×
     // O(docs) rows of ~3.6 KB each side — far cheaper than joining
     // arrays back onto the candidate-pair list), verify jaccard inside
