@@ -196,7 +196,14 @@ object TextQueries {
       n = 5, minMatches = 1)
   }
 
+  /** Hybrid semantic+lexical near-dup: LSH candidates → cosine ≥ 0.2
+    * gate → exact token-jaccard verify (is_dup at jac ≥ 0.5). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Corpus.hybridNearDupPairs(Tables.documents(s, d), Tables.embeddings(s, d),
+      nPlanes = 32, nBands = 4, cosineThreshold = 0.2, jacThreshold = 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_hybrid_dedup"   -> (q44 _),
     "q42_chunking"       -> (q42 _),
     "q43_contamination"  -> (q43 _),
     "q36_repetition"     -> (q36 _),
@@ -310,6 +317,37 @@ object TextQueries {
       "(acc, c) -> (acc * 31 + c) % 1000000007)"
 
   val oracles: Map[String, String] = Map(
+    "q44_hybrid_dedup" ->
+      s"""WITH $toksCte, base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         $lshProjEntries AS projs
+         |  FROM embeddings
+         |), sig AS (
+         |  SELECT vec_id, $lshBandEntries AS bnds FROM base
+         |), eb AS (
+         |  SELECT vec_id, unnest([0,1,2,3]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM sig
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM eb a JOIN eb b USING (band_idx, band_hash)
+         |  WHERE a.vec_id < b.vec_id
+         |), gated AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+         |  FROM pairs p
+         |  JOIN base x ON x.vec_id = p.doc_a
+         |  JOIN base y ON y.vec_id = p.doc_b
+         |)
+         |SELECT g.doc_a, g.doc_b, g.cosine,
+         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac,
+         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5 AS is_dup
+         |FROM gated g
+         |JOIN hashed a ON a.doc_id = g.doc_a
+         |JOIN hashed b ON b.doc_id = g.doc_b
+         |WHERE g.cosine >= 0.2""".stripMargin,
     "q42_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk

@@ -161,6 +161,45 @@ object Corpus {
       .select("doc_a", "doc_b", "n_sig_match", "est_sim", "jac")
   }
 
+  /** Hybrid semantic+lexical near-dup detection — the two-stage
+    * pipeline production dedup actually runs: (1) cheap LSH banding
+    * over embeddings proposes candidate pairs (never all-pairs),
+    * (2) an exact cosine gate keeps semantically-close pairs,
+    * (3) the surviving pairs are verified LEXICALLY with true
+    * token-set jaccard on the documents — embeddings find paraphrases
+    * that shingles miss, the text check separates true duplicates from
+    * mere topical neighbors. Only stage-3 touches document text, and
+    * only for the (few) cosine-gated pairs. Output: doc_a, doc_b,
+    * cosine, jac, is_dup (= jac ≥ jacThreshold). */
+  def hybridNearDupPairs(docs: DataFrame, embeddings: DataFrame,
+      nPlanes: Int, nBands: Int,
+      cosineThreshold: Double, jacThreshold: Double): DataFrame = {
+    val undirected = Similarity
+      .lshCandidatePairs(embeddings, nPlanes, nBands)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b"))
+    val side = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val gated = undirected
+      .join(side.select(col("vec_id").as("doc_a"),
+        col("embedding").as("e_a"), col("nrm").as("n_a")), "doc_a")
+      .join(side.select(col("vec_id").as("doc_b"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "doc_b")
+      .withColumn("cosine",
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("doc_a", "doc_b", "cosine")
+    val toks = docs.select(col("doc_id"),
+      array_sort(tokenHashes(tokenSet(col("text")))).as("hs"))
+    gated
+      .join(toks.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jac",
+        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+      .withColumn("is_dup", col("jac") >= jacThreshold)
+      .select("doc_a", "doc_b", "cosine", "jac", "is_dup")
+  }
+
   /** Split documents into fixed-size token windows with stride — the
     * training-prep chunking step (context-window packing). Chunk c
     * covers tokens [c·stride+1, c·stride+chunkTokens]; the tail chunk

@@ -197,7 +197,11 @@ object Similarity {
     * nBands·N²/2^b — 8 bits (32 planes / 4 bands) keeps it sub-
     * quadratic where 4 bits measurably did not.
     * Output: query_id, neighbor_id, rank, cosine. */
-  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
+  /** Directed LSH candidate pairs (both orderings present): vectors
+    * colliding in ≥ 1 of the `nBands` sign-bit band buckets. The pair
+    * generator shared by [[lshTopK]] and the hybrid dedup — a bucket
+    * equi-join, never all-pairs. Output: query_id, neighbor_id. */
+  def lshCandidatePairs(embeddings: DataFrame, nPlanes: Int, nBands: Int): DataFrame = {
     import graft.functions.TextFunctions.LshA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
     require(nPlanes <= LshA.size, s"at most ${LshA.size} planes")
@@ -213,18 +217,22 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val base = withProjs
+    val eb = withProjs
       .withColumn("bnds", array(bands: _*))
-      .withColumn("nrm", l2Norm(col("embedding")))
-    val eb = base.select(col("vec_id"),
-      posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
-    val pairs = eb.select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
+      .select(col("vec_id"),
+        posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
+    eb.select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
       .join(eb.select(col("vec_id").as("neighbor_id"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val side = base.select(col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
+    val pairs = lshCandidatePairs(embeddings, nPlanes, nBands)
+    val side = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     pairs
       .join(side.select(col("vec_id").as("query_id"),
         col("embedding").as("e_a"), col("nrm").as("n_a")), "query_id")

@@ -143,6 +143,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, false)))   // gramless, still reported
   }
 
+  test("hybridNearDupPairs: paraphrase-similar vectors verified by text jaccard") {
+    val rnd = new scala.util.Random(11)
+    val v1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v3 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val emb = Seq(
+      (1L, v1), (2L, v1),          // identical vectors: certain candidates
+      (3L, v3), (4L, v3.map(-_)))  // antipodal: cosine −1, gated out
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // high jaccard with 1
+      (3L, "one two three four five"),
+      (4L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Corpus
+      .hybridNearDupPairs(docs, emb, nPlanes = 32, nBands = 4,
+        cosineThreshold = 0.5, jacThreshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (cos12, jac12, dup12) = got((1L, 2L))
+    assert(cos12 > 0.999 && jac12 == 4.0 / 6 && dup12)
+    assert(!got.contains((3L, 4L))) // antipodal pair never survives the gate
+  }
+
   test("lshRecallAtK: one row per config; narrower bands never lose recall") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L)
