@@ -54,6 +54,17 @@ object ServeQueries {
   private def q28(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentMediaFeatures(s, d)
 
+  /** Video-style frame sampling: each document's UTF-8 bytes as a
+    * 16-byte-frame "video", every 4th frame sampled (stub byte-slice
+    * decode, real narrow-generate plumbing). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    graft.operators.Multimodal
+      .sampleFrames(media, frameBytes = 16, stride = 4).toDF()
+  }
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -132,9 +143,28 @@ object ServeQueries {
     "q29_serve_topn"   -> (q29 _),
     "q30_week_tz"      -> (q30 _),
     "q31_sessionize"   -> (q31 _),
-    "q34_profile"      -> (q34 _))
+    "q34_profile"      -> (q34 _),
+    "q45_frame_sample" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q45_frame_sample" ->
+      // ASCII corpus: UTF-8 byte == codepoint, so the byte-fold frame
+      // hash is reproducible from substr/unicode arithmetic
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text, unnest(range(0, greatest(n_frames, 0), 4)) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(frame_idx * 16 AS BIGINT) AS byte_off,
+        |       CAST(16 AS BIGINT) AS n_bytes,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
+        |           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
+        |FROM s""".stripMargin,
     "q34_profile" ->
       """SELECT event_type,
         |       COUNT(DISTINCT user_id) AS n_users,

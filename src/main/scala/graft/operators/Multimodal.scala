@@ -69,6 +69,42 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame of a video-like payload. */
+  final case class SampledFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      byte_off: Long,
+      n_bytes: Long,
+      frame_hash: Long)
+
+  /** Frame-sample a video-like binary column: treat the payload as
+    * consecutive fixed-size frames (a truncated tail frame is dropped,
+    * the codec contract) and emit every `stride`-th frame. The frame
+    * "decode" is a byte-slice + fold hash — the stub standing in for a
+    * real codec, which slots into the same per-partition seam — but
+    * the plumbing is the real thing: a narrow flatMap generate, frames
+    * sliced in place, only (id, idx, hash) rows flow downstream, the
+    * binary never shuffles. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int)(
+      implicit spark: SparkSession): Dataset[SampledFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0, "positive frame size / stride")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real codec would be initialized once HERE
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val off = f * frameBytes
+            val slice = java.util.Arrays.copyOfRange(bytes, off, off + frameBytes)
+            SampledFrame(id, f.toLong, off.toLong, frameBytes.toLong,
+              byteFoldHash(slice))
+          }
+        }
+      }
+  }
+
   /** Demo pipeline over the shared testdata: wraps each document's
     * UTF-8 text in a deterministic media container by doc_id — PNG
     * (id%3==0), JPEG (id%3==1), raw text (id%3==2, the unknown-format

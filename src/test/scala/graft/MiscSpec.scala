@@ -30,6 +30,23 @@ class MiscSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("sampleFrames: fixed frames, stride, truncated tail dropped") {
+    import graft.operators.Multimodal
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val bytes = Array.tabulate[Byte](40)(_.toByte) // 2 full 16-byte frames
+    val media = Seq((7L, bytes)).toDF("doc_id", "media")
+    val got = Multimodal.sampleFrames(media, frameBytes = 16, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2) // 8-byte tail dropped
+    assert(got.map(_.byte_off).toSeq == Seq(0L, 16L))
+    assert(got(1).frame_hash ==
+      Multimodal.byteFoldHash(bytes.slice(16, 32)))
+    val strided = Multimodal.sampleFrames(media, frameBytes = 8, stride = 3)
+      .collect().map(_.frame_idx).sorted
+    assert(strided.toSeq == Seq(0L, 3L)) // frames 0..4, every 3rd
+  }
+
   test("GraftSession.create registers functions on a tuned session") {
     val s = graft.GraftSession.create("misc-test")
     assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
