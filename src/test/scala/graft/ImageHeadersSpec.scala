@@ -79,6 +79,24 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(ImageHeaders.decode(jpg.take(6)).isEmpty)
   }
 
+  test("WAV: fixture round-trips; chunk walk skips LIST; garbage is None") {
+    import graft.operators.AudioHeaders
+    val b = AudioHeaders.wavFixture(channels = 2, sampleRateHz = 16000,
+      bitsPerSample = 16, nFrames = 8000)
+    val m = AudioHeaders.decodeWav(b).get
+    assert(m.channels == 2 && m.sampleRateHz == 16000 && m.bitsPerSample == 16)
+    assert(m.nFrames == 8000 && m.durationMs == 500)
+    // hand-build: RIFF/WAVE + a LIST chunk before fmt/data
+    val base = AudioHeaders.wavFixture(1, 8000, 8, 100)
+    val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = base.slice(0, 12) ++ list ++ base.drop(12)
+    // fix RIFF size irrelevant to parser; chunk walk must skip LIST
+    val m2 = AudioHeaders.decodeWav(withList).get
+    assert(m2.sampleRateHz == 8000 && m2.nFrames == 100)
+    assert(AudioHeaders.decodeWav("notawavfile".getBytes).isEmpty)
+    assert(AudioHeaders.decodeWav(base.slice(0, 20)).isEmpty)
+  }
+
   test("decodeFeatures: real dims for containers, stub for unknown") {
     val png = Multimodal.decodeFeatures(1L, ImageHeaders.pngFixture(11, 7, "x".getBytes))
     assert(png.format == "png" && png.width == 11 && png.height == 7)
