@@ -177,12 +177,14 @@ object TextQueries {
     Corpus.minHashAccuracyPairs(Tables.documents(s, d), Seq("lang", "source"))
 
   /** Recall@3 of the banded-LSH ANN vs exact brute force over the
-    * first 100 query vectors, at both LSH operating points: the fast
-    * 4-band×8-bit production config and the high-recall 8-band×4-bit
-    * config. */
+    * first 100 query vectors, at three LSH operating points: the fast
+    * 4-band×8-bit production config, the same config with Hamming-1
+    * multi-probe (all 8 bit positions), and the high-recall
+    * 8-band×4-bit config. */
   private def q41(s: SparkSession, d: String): DataFrame =
     Corpus.lshRecallAtK(Tables.embeddings(s, d),
-      dim = 64, configs = Seq((32, 4), (32, 8)), k = 3, nQueries = 100)
+      dim = 64, configs = Seq((32, 4, 0), (32, 4, 8), (32, 8, 0)),
+      k = 3, nQueries = 100)
 
   /** Context-window chunking: 32-token chunks, stride 24. */
   private def q42(s: SparkSession, d: String): DataFrame =
@@ -262,18 +264,27 @@ object TextQueries {
   private val lshBandEntries = lshBandEntriesFor(4, 8)
 
   /** One q41 LSH-config CTE chain (suffix `tag`): band signatures →
-    * band explode → candidate pairs → exact cosine → top-3 per query,
-    * restricted to the 100-query evaluation set. */
-  private def lshRecallCfgCtes(tag: String, nBands: Int, per: Int): String =
+    * band explode → candidate pairs (the probe side expanded with
+    * 1-bit-flip neighbors when `probeBits` > 0, mirroring
+    * [[Similarity.lshCandidatePairs]]'s multi-probe) → exact cosine →
+    * top-3 per query, restricted to the 100-query evaluation set. */
+  private def lshRecallCfgCtes(tag: String, nBands: Int, per: Int,
+      probeBits: Int = 0): String = {
+    val probeList = ("band_hash" +:
+      (0 until probeBits).map(r => s"xor(band_hash, ${1L << r})"))
+      .mkString("[", ", ", "]")
     s"""sig_$tag AS (
        |  SELECT vec_id, ${lshBandEntriesFor(nBands, per)} AS bnds
        |  FROM base
        |), eb_$tag AS (
        |  SELECT vec_id, unnest(${(0 until nBands).mkString("[", ",", "]")}) AS band_idx, unnest(bnds) AS band_hash
        |  FROM sig_$tag
+       |), probe_$tag AS (
+       |  SELECT vec_id, band_idx, unnest($probeList) AS band_hash
+       |  FROM eb_$tag
        |), pairs_$tag AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-       |  FROM eb_$tag a JOIN eb_$tag b USING (band_idx, band_hash)
+       |  FROM probe_$tag a JOIN eb_$tag b USING (band_idx, band_hash)
        |  WHERE a.vec_id != b.vec_id
        |), scored_$tag AS (
        |  SELECT p.query_id, p.neighbor_id,
@@ -287,6 +298,7 @@ object TextQueries {
        |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |    FROM scored_$tag) WHERE rank <= 3 AND query_id < 100
        |)""".stripMargin
+  }
 
   /** One q41 summary row for config `tag` labeled `label`. */
   private def lshRecallCfgSelect(label: String, tag: String): String =
@@ -496,6 +508,7 @@ object TextQueries {
          |         $lshProjEntries AS projs
          |  FROM embeddings
          |), ${lshRecallCfgCtes("f", 4, 8)},
+         |${lshRecallCfgCtes("m", 4, 8, probeBits = 8)},
          |${lshRecallCfgCtes("r", 8, 4)},
          |ex_scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -508,6 +521,8 @@ object TextQueries {
          |    FROM ex_scored) WHERE rank <= 3
          |)
          |${lshRecallCfgSelect("32p4b", "f")}
+         |UNION ALL
+         |${lshRecallCfgSelect("32p4b+mp8", "m")}
          |UNION ALL
          |${lshRecallCfgSelect("32p8b", "r")}""".stripMargin,
     "q33_ann_ivf" ->

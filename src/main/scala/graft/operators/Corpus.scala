@@ -258,32 +258,36 @@ object Corpus {
 
   /** Recall@k of the banded-LSH ANN against exact brute force, over
     * the query set `vec_id < nQueries`, at one or more (nPlanes,
-    * nBands) operating points — the evidence query for the LSH
-    * bucketing knobs. Bits-per-band trades candidate volume (cost,
+    * nBands, probeBits) operating points — the evidence query for the
+    * LSH bucketing knobs. Bits-per-band trades candidate volume (cost,
     * ∝ nBands·N²/2^bits) against exactly this recall number: for a
     * pair at angle θ each plane agrees with probability p = 1 − θ/π,
     * a band of b bits collides with p^b, and any-of-nBands gives
     * 1 − (1−p^b)^nBands — so wide bands are cheap and low-recall,
-    * narrow bands expensive and high-recall. One summary row per
-    * config: config, n_queries, expected (= k per query), hits (ANN
-    * pairs that are true top-k), recall. */
+    * narrow bands expensive and high-recall. Multi-probe (probeBits,
+    * see [[Similarity.lshCandidatePairs]]) is the third axis: recall
+    * between those extremes at a fraction of narrow-band cost. One
+    * summary row per config: config, n_queries, expected (= k per
+    * query), hits (ANN pairs that are true top-k), recall. */
   def lshRecallAtK(embeddings: DataFrame, dim: Int,
-      configs: Seq[(Int, Int)], k: Int, nQueries: Int): DataFrame = {
+      configs: Seq[(Int, Int, Int)], k: Int, nQueries: Int): DataFrame = {
     val exact = Similarity
       .bruteForceTopK(embeddings.filter(col("vec_id") < nQueries), embeddings, k)
       .select("query_id", "neighbor_id")
-    configs.map { case (nPlanes, nBands) =>
+    configs.map { case (nPlanes, nBands, probeBits) =>
       val approx = Similarity
-        .lshTopK(embeddings, dim, nPlanes, nBands, k)
+        .lshTopK(embeddings, dim, nPlanes, nBands, k, probeBits)
         .filter(col("query_id") < nQueries)
         .select(col("query_id"), col("neighbor_id"), lit(true).as("found"))
+      val label = s"${nPlanes}p${nBands}b" +
+        (if (probeBits > 0) s"+mp$probeBits" else "")
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(
           countDistinct("query_id").as("n_queries"),
           count(lit(1)).as("expected"),
           sum(when(col("found"), lit(1L)).otherwise(lit(0L))).as("hits"))
         .withColumn("recall", col("hits").cast("double") / col("expected"))
-        .select(lit(s"${nPlanes}p${nBands}b").as("config"),
+        .select(lit(label).as("config"),
           col("n_queries"), col("expected"), col("hits"), col("recall"))
     }.reduce(_ unionAll _)
   }

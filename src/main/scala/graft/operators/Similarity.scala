@@ -200,12 +200,24 @@ object Similarity {
   /** Directed LSH candidate pairs (both orderings present): vectors
     * colliding in ≥ 1 of the `nBands` sign-bit band buckets. The pair
     * generator shared by [[lshTopK]] and the hybrid dedup — a bucket
-    * equi-join, never all-pairs. Output: query_id, neighbor_id. */
-  def lshCandidatePairs(embeddings: DataFrame, nPlanes: Int, nBands: Int): DataFrame = {
+    * equi-join, never all-pairs. Output: query_id, neighbor_id.
+    *
+    * `probeBits` > 0 enables MULTI-PROBE: the query side also probes
+    * each band bucket at Hamming distance 1 (the first `probeBits`
+    * bit positions flipped), so a pair collides when some band's
+    * hashes differ by ≤ 1 probed bit. The standard recall/cost knob
+    * (Lv et al. 2007): per-band collision probability rises from p^b
+    * to p^b + probeBits·p^(b−1)(1−p) for query-side row growth of
+    * ×(probeBits+1) — much cheaper than halving bits-per-band, which
+    * multiplies JOIN volume by 2^(b/2). */
+  def lshCandidatePairs(embeddings: DataFrame, nPlanes: Int, nBands: Int,
+      probeBits: Int = 0): DataFrame = {
     import graft.functions.TextFunctions.LshA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
     require(nPlanes <= LshA.size, s"at most ${LshA.size} planes")
     val rowsPerBand = nPlanes / nBands
+    require(probeBits >= 0 && probeBits <= rowsPerBand,
+      s"probeBits must be 0..$rowsPerBand")
     // all projections in one native pass (identical sequential double
     // fold as the per-plane aggregate(zip_with(...)) — see
     // HashExpressions.LshProjections; the oracle mirrors the fold)
@@ -221,7 +233,18 @@ object Similarity {
       .withColumn("bnds", array(bands: _*))
       .select(col("vec_id"),
         posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
-    eb.select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
+    // probe side: the true hash plus (optionally) its 1-bit-flip
+    // neighbors; the index side always keeps the true hash only
+    val probeSide =
+      if (probeBits == 0) eb
+      else {
+        val variants = col("band_hash") +:
+          (0 until probeBits).map(r => col("band_hash").bitwiseXOR(lit(1L << r)))
+        eb.select(col("vec_id"), col("band_idx"),
+          explode(array(variants: _*)).as("band_hash"))
+      }
+    probeSide
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
       .join(eb.select(col("vec_id").as("neighbor_id"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -229,8 +252,9 @@ object Similarity {
       .distinct()
   }
 
-  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int, k: Int): DataFrame = {
-    val pairs = lshCandidatePairs(embeddings, nPlanes, nBands)
+  def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,
+      k: Int, probeBits: Int = 0): DataFrame = {
+    val pairs = lshCandidatePairs(embeddings, nPlanes, nBands, probeBits)
     val side = embeddings.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     pairs

@@ -174,17 +174,20 @@ class CorpusSpec extends AnyFunSuite {
       .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
       .toDF("vec_id", "embedding")
     val got = Corpus
-      .lshRecallAtK(emb, 64, Seq((32, 4), (32, 8)), k = 3, nQueries = 20)
+      .lshRecallAtK(emb, 64, Seq((32, 4, 0), (32, 4, 8), (32, 8, 0)),
+        k = 3, nQueries = 20)
       .collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(got.keySet == Set("32p4b", "32p8b"))
+    assert(got.keySet == Set("32p4b", "32p4b+mp8", "32p8b"))
     got.values.foreach { case (nq, exp, hits, rec) =>
       assert(nq == 20 && exp == 60)
       assert(hits >= 0 && hits <= exp)
       assert(rec == hits.toDouble / exp)
     }
-    // 4-bit bands collide strictly more often than 8-bit bands
+    // 4-bit bands collide strictly more often than 8-bit bands, and
+    // multi-probe can only add candidates over the same-config base
     assert(got("32p8b")._3 >= got("32p4b")._3)
+    assert(got("32p4b+mp8")._3 >= got("32p4b")._3)
   }
 }
