@@ -66,4 +66,24 @@ object UsageEtl {
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
+
+  /** Catalog-table variant of the fact, BUCKETED by user: the serving
+    * workload is user-grained (per-user series, user top-N, user
+    * joins), and bucketing pre-partitions the data so those
+    * aggregations and self-joins read bucket-aligned files with NO
+    * exchange — the co-located-join layout for a fact that is written
+    * once per ETL window and queried many times. `buckets` should be
+    * sized so a bucket's rows fit one task comfortably (users ×
+    * hours × 12 per bucket / `buckets`). Requires a catalog
+    * (`saveAsTable`) — bucket metadata lives in the metastore, which
+    * is why [[writeFact]]'s plain-path layout can't carry it. */
+  def writeFactBucketed(fact: DataFrame, table: String, buckets: Int): Unit =
+    fact
+      .withColumn("date", to_date(timestamp_millis(col("time"))))
+      .write
+      .bucketBy(buckets, "user")
+      .sortBy("user")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
 }
