@@ -77,13 +77,15 @@ object UsageEtl {
     * hours × 12 per bucket / `buckets`). Requires a catalog
     * (`saveAsTable`) — bucket metadata lives in the metastore, which
     * is why [[writeFact]]'s plain-path layout can't carry it. */
-  def writeFactBucketed(fact: DataFrame, table: String, buckets: Int): Unit =
-    fact
+  def writeFactBucketed(fact: DataFrame, table: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = fact
       .withColumn("date", to_date(timestamp_millis(col("time"))))
       .write
       .bucketBy(buckets, "user")
       .sortBy("user")
       .mode("overwrite")
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }
