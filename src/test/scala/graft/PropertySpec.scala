@@ -1,0 +1,149 @@
+package graft
+
+import graft.functions.HashExpressions
+import graft.operators.{AudioHeaders, Corpus, ImageHeaders}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded-random property loops (scalacheck is not in the offline
+  * cache) for the native expressions and operators whose correctness
+  * the oracles depend on — each checked against an independent
+  * reference formulation. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("dotProduct == HOF fold == Scala reference, floats and doubles") {
+    val rows = Seq.fill(50)(
+      (Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      HashExpressions.dotProduct(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    got.zip(rows).foreach { case (r, (a, b)) =>
+      val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      assert(r.getDouble(0) == ref) // bit-identical, not approx
+      assert(r.getDouble(1) == ref)
+    }
+  }
+
+  test("sortedJaccard == set-based reference on random sorted arrays") {
+    val rows = Seq.fill(100)((
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(50) + 1).sorted.toArray,
+      rnd.shuffle((0L until 200L).toList).take(rnd.nextInt(50) + 1).sorted.toArray))
+    val got = rows.toDF("a", "b")
+      .select(HashExpressions.sortedJaccard(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    got.zip(rows).foreach { case (j, (a, b)) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val ref = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j == ref)
+    }
+  }
+
+  test("lshProjections == per-plane HOF fold; planes are NOT all identical") {
+    val rows = Seq.fill(20)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val df = rows.toDF("embedding")
+    val hofPlanes = (0 until 32).map { j =>
+      val a = graft.functions.TextFunctions.LshA(j)
+      val b = graft.functions.TextFunctions.LshB(j)
+      expr(s"aggregate(zip_with(embedding, sequence(1, 64), (x, i) -> " +
+        s"CAST(x AS DOUBLE) * (CASE WHEN (CAST($a AS BIGINT) * i + $b) * (CAST($a AS BIGINT) * i + $b) % 1000000007 % 2 = 0 " +
+        s"THEN 1.0D ELSE -1.0D END)), 0.0D, (acc, v) -> acc + v)")
+    }
+    val got = df.select(
+      HashExpressions.lshProjections(col("embedding"), 32).as("native"),
+      array(hofPlanes: _*).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1)) // bit-identical
+    }
+    // regression for the all-odd-constant degeneracy: sign patterns
+    // must differ across planes (the bug made every plane identical)
+    val signs = (0 until 32).map { j =>
+      val a = graft.functions.TextFunctions.LshA(j)
+      val b = graft.functions.TextFunctions.LshB(j)
+      (1 to 64).map(i => (a * i + b) * (a * i + b) % 1000000007L % 2).toVector
+    }
+    assert(signs.distinct.size == 32, "hyperplane sign patterns collapsed")
+  }
+
+  test("TimeBuckets.bucket is idempotent and never exceeds its input") {
+    import graft.serve.TimeBuckets
+    val zones = Seq("UTC", "America/New_York", "Asia/Tokyo")
+    val units = Seq("HOURS", "DAYS", "WEEKS", "MONTHS", "QUARTERS")
+    val ts = Seq.fill(200)(1500000000000L + (rnd.nextLong() % 200000000000L).abs)
+    val df = ts.toDF("t")
+    for (z <- zones; u <- units) {
+      val got = df.select(col("t"),
+        TimeBuckets.bucket(col("t"), u, z).as("b1"))
+        .withColumn("b2", TimeBuckets.bucket(col("b1"), u, z))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(1) <= r.getLong(0), s"$u/$z bucket after input")
+        assert(r.getLong(2) == r.getLong(1), s"$u/$z not idempotent")
+      }
+    }
+  }
+
+  test("header decoders never throw on random or truncated bytes") {
+    (1 to 500).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(128))(rnd.nextInt(256).toByte)
+      ImageHeaders.decode(b)
+      AudioHeaders.decodeWav(b)
+    }
+    val png = ImageHeaders.pngFixture(64, 48, Array[Byte](1, 2))
+    val jpg = ImageHeaders.jpegFixture(64, 48, Array[Byte](1, 2))
+    val wav = AudioHeaders.wavFixture(1, 8000, 16, 10)
+    Seq(png, jpg, wav).foreach { full =>
+      (0 to full.length).foreach { n =>
+        ImageHeaders.decode(full.take(n)) // must not throw at any cut
+        AudioHeaders.decodeWav(full.take(n))
+      }
+    }
+  }
+
+  test("chunking with stride == chunk size reconstructs every token") {
+    val docs = (0L until 30L)
+      .map(i => (i, Seq.fill(rnd.nextInt(40) + 1)(s"w${rnd.nextInt(20)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(docs, chunkTokens = 7, stride = 7)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).mkString(" "))
+      .toMap
+    docs.collect().foreach { r =>
+      val expected = r.getString(1).trim
+      assert(chunks(r.getLong(0)) == expected)
+    }
+  }
+
+  test("repetitionStats invariants on random texts") {
+    val docs = (0L until 50L)
+      .map(i => (i, Seq.fill(rnd.nextInt(30) + 1)(s"t${rnd.nextInt(8)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    Corpus.repetitionStats(docs).collect().foreach { r =>
+      val (nw, nd, nb, top) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd <= nw && nd >= 1)
+      assert(nb == math.max(nw - 1, 0))
+      assert(top <= nb)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+}
