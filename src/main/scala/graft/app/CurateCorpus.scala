@@ -1,0 +1,91 @@
+package graft.app
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the operator family composed the way a
+  * pretraining data pipeline actually runs it, documents in → training
+  * chunks out:
+  *
+  *   1. quality filter (C4-style rule battery, keep only passing docs)
+  *   2. exact dedup (keep the canonical min-id copy per content hash)
+  *   3. minhash near-dup (drop the higher-id side of verified pairs)
+  *   4. benchmark decontamination (drop docs overlapping the probe set)
+  *   5. hash-stratified sampling (per-language rates, reproducible)
+  *   6. context-window chunking (the training-ready output)
+  *
+  * Order matters and is load-bearing: exact dedup BEFORE similarity
+  * (identical copies defeat LSH bucketing — measured in STRESS.md),
+  * filters before pair generators (fewer candidates), sampling after
+  * dedup (or the sample rate compounds with duplication), chunking
+  * last.
+  *
+  * Every stage is a narrow filter or a bucket-join — the pipeline
+  * inherits each operator's documented 100 TB posture. Stage counts
+  * are returned for observability (a silent 90% drop is a data bug,
+  * not a success).
+  */
+object CurateCorpus {
+
+  final case class StageCounts(
+      input: Long, quality: Long, exactDedup: Long, nearDedup: Long,
+      decontaminated: Long, sampled: Long, chunks: Long)
+
+  /** Run the chain; write the chunk table to `outDir` partitioned by
+    * language; return per-stage document counts. `probes` is the
+    * held-out benchmark set for decontamination (pass an empty
+    * DataFrame with a `text` column to skip). */
+  def run(docs: DataFrame, probes: DataFrame, outDir: String,
+      sampleKeepOf: Map[String, Long] = Map.empty,
+      sampleDefaultKeep: Long = 20L, sampleMod: Long = 20L,
+      chunkTokens: Int = 64, chunkStride: Int = 48)(
+      implicit spark: SparkSession): StageCounts = {
+    val input = docs.count()
+
+    // 1. quality: keep passing doc_ids (filters are narrow — they
+    // reach the scan when the fact is columnar)
+    val quality = docs.join(
+      Corpus.qualityFilter(docs).filter(col("keep")).select("doc_id"),
+      "doc_id")
+    val nQuality = quality.count()
+
+    // 2. exact dedup: canonical copy only
+    val exact = quality.join(
+      Dedup.exactDupGroups(quality)
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+      "doc_id")
+    val nExact = exact.count()
+
+    // 3. near-dup: verified minhash pairs, drop the higher id
+    val dropNear = Dedup.minHashLshPairs(exact, 0.6)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val near = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    val nNear = near.count()
+
+    // 4. decontamination vs the probe set
+    val contaminated = Corpus
+      .contaminationCheck(near, probes, n = 5, minMatches = 1)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+
+    // 5. reproducible stratified sample
+    val sampled = clean.join(
+      Corpus.hashStratifiedSample(clean, "lang",
+        sampleKeepOf, sampleDefaultKeep, sampleMod).select("doc_id"),
+      "doc_id")
+    val nSampled = sampled.count()
+
+    // 6. chunk and write, partitioned by language
+    val chunks = Corpus.chunkDocuments(sampled, chunkTokens, chunkStride)
+      .join(sampled.select("doc_id", "lang"), "doc_id")
+    chunks.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang")
+      .parquet(outDir)
+    val nChunks = spark.read.parquet(outDir).count()
+
+    StageCounts(input, nQuality, nExact, nNear, nClean, nSampled, nChunks)
+  }
+}

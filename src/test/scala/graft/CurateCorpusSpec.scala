@@ -1,0 +1,53 @@
+package graft
+
+import graft.app.CurateCorpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurateCorpusSpec extends AnyFunSuite {
+
+  lazy implicit val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("full curation chain on the sf0.001 corpus: monotone stages, chunked output") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probes = docs.filter(col("doc_id") < 3) // stand-in benchmark
+    val out = java.nio.file.Files.createTempDirectory("curate_out").toString
+
+    val c = CurateCorpus.run(docs, probes, out,
+      sampleKeepOf = Map("en" -> 10L), sampleDefaultKeep = 16L,
+      sampleMod = 20L, chunkTokens = 32, chunkStride = 24)
+
+    // every doc-level stage can only shrink the set
+    assert(c.input == 500)
+    assert(c.quality <= c.input && c.quality > 0)
+    assert(c.exactDedup <= c.quality)
+    assert(c.nearDedup <= c.exactDedup)
+    assert(c.decontaminated <= c.nearDedup)
+    // the probe docs themselves overlap themselves → dropped (those
+    // that survived to stage 4)
+    assert(c.decontaminated < c.nearDedup)
+    assert(c.sampled <= c.decontaminated && c.sampled > 0)
+    assert(c.chunks >= c.sampled) // every surviving doc yields ≥1 chunk
+
+    // output is lang-partitioned parquet; chunk sizes respect the cap
+    val chunks = spark.read.parquet(out)
+    assert(chunks.columns.toSet ==
+      Set("doc_id", "chunk_idx", "chunk_text", "n_tokens", "lang"))
+    assert(chunks.agg(max("n_tokens")).head().getLong(0) <= 32)
+    assert(chunks.select("lang").distinct().count() >= 2)
+
+    // reproducibility: the same inputs give the same survivor set
+    val out2 = java.nio.file.Files.createTempDirectory("curate_out2").toString
+    val c2 = CurateCorpus.run(docs, probes, out2,
+      sampleKeepOf = Map("en" -> 10L), sampleDefaultKeep = 16L,
+      sampleMod = 20L, chunkTokens = 32, chunkStride = 24)
+    assert(c == c2)
+  }
+}
