@@ -41,51 +41,58 @@ object CurateCorpus {
       sampleDefaultKeep: Long = 20L, sampleMod: Long = 20L,
       chunkTokens: Int = 64, chunkStride: Int = 48)(
       implicit spark: SparkSession): StageCounts = {
-    val input = docs.count()
+    // Each stage output is pinned and materialized by its count —
+    // without the persist, every downstream stage (and the final
+    // write) re-executes the whole upstream chain, making the
+    // pipeline cost quadratic in stages. The counts are wanted for
+    // observability anyway, so materialization is free; caches are
+    // dropped once the chunks are written.
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stage(df: DataFrame): (DataFrame, Long) = {
+      val c = df.cache(); pinned += c; (c, c.count())
+    }
+    try {
+      val input = docs.count()
 
-    // 1. quality: keep passing doc_ids (filters are narrow — they
-    // reach the scan when the fact is columnar)
-    val quality = docs.join(
-      Corpus.qualityFilter(docs).filter(col("keep")).select("doc_id"),
-      "doc_id")
-    val nQuality = quality.count()
+      // 1. quality: keep passing doc_ids (filters are narrow — they
+      // reach the scan when the fact is columnar)
+      val (quality, nQuality) = stage(docs.join(
+        Corpus.qualityFilter(docs).filter(col("keep")).select("doc_id"),
+        "doc_id"))
 
-    // 2. exact dedup: canonical copy only
-    val exact = quality.join(
-      Dedup.exactDupGroups(quality)
-        .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
-      "doc_id")
-    val nExact = exact.count()
+      // 2. exact dedup: canonical copy only
+      val (exact, nExact) = stage(quality.join(
+        Dedup.exactDupGroups(quality)
+          .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+        "doc_id"))
 
-    // 3. near-dup: verified minhash pairs, drop the higher id
-    val dropNear = Dedup.minHashLshPairs(exact, 0.6)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val near = exact.join(dropNear, Seq("doc_id"), "left_anti")
-    val nNear = near.count()
+      // 3. near-dup: verified minhash pairs, drop the higher id
+      val dropNear = Dedup.minHashLshPairs(exact, 0.6)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val (near, nNear) = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
 
-    // 4. decontamination vs the probe set
-    val contaminated = Corpus
-      .contaminationCheck(near, probes, n = 5, minMatches = 1)
-      .filter(col("contaminated")).select("doc_id")
-    val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
-    val nClean = clean.count()
+      // 4. decontamination vs the probe set
+      val contaminated = Corpus
+        .contaminationCheck(near, probes, n = 5, minMatches = 1)
+        .filter(col("contaminated")).select("doc_id")
+      val (clean, nClean) = stage(near.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 5. reproducible stratified sample
-    val sampled = clean.join(
-      Corpus.hashStratifiedSample(clean, "lang",
-        sampleKeepOf, sampleDefaultKeep, sampleMod).select("doc_id"),
-      "doc_id")
-    val nSampled = sampled.count()
+      // 5. reproducible stratified sample
+      val (sampled, nSampled) = stage(clean.join(
+        Corpus.hashStratifiedSample(clean, "lang",
+          sampleKeepOf, sampleDefaultKeep, sampleMod).select("doc_id"),
+        "doc_id"))
 
-    // 6. chunk and write, partitioned by language
-    val chunks = Corpus.chunkDocuments(sampled, chunkTokens, chunkStride)
-      .join(sampled.select("doc_id", "lang"), "doc_id")
-    chunks.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("lang")
-      .parquet(outDir)
-    val nChunks = spark.read.parquet(outDir).count()
+      // 6. chunk and write, partitioned by language
+      val chunks = Corpus.chunkDocuments(sampled, chunkTokens, chunkStride)
+        .join(sampled.select("doc_id", "lang"), "doc_id")
+      chunks.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(outDir)
+      val nChunks = spark.read.parquet(outDir).count()
 
-    StageCounts(input, nQuality, nExact, nNear, nClean, nSampled, nChunks)
+      StageCounts(input, nQuality, nExact, nNear, nClean, nSampled, nChunks)
+    } finally pinned.foreach(_.unpersist())
   }
 }

@@ -53,10 +53,16 @@ object AudioHeaders {
       } else if (id == "data") {
         dataLen = math.min(len, (b.length - i - 8).toLong)
       }
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
-      if (len < 0 || len > Int.MaxValue - 16) return None
+      // advance AFTER validating the length: a near-Int.MaxValue len
+      // would wrap `i` negative and index out of bounds on the next
+      // iteration. A len beyond the buffer ends the walk (the chunk we
+      // just handled — possibly a truncated trailing data chunk — was
+      // already recorded above).
+      if (len > b.length) i = b.length
+      else i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0 || dataLen < 0)
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0 ||
+        blockAlign <= 0 || dataLen < 0)
       None
     else
       Some(AudioMeta("wav", channels, rate.toInt, bits, dataLen / blockAlign))

@@ -271,9 +271,15 @@ object Corpus {
     * query), hits (ANN pairs that are true top-k), recall. */
   def lshRecallAtK(embeddings: DataFrame, dim: Int,
       configs: Seq[(Int, Int, Int)], k: Int, nQueries: Int): DataFrame = {
+    // the exact brute-force ranking is shared ground truth for every
+    // config branch of the union — pin and materialize it eagerly
+    // (branch stages run concurrently, so a lazy cache is missed by
+    // all of them; lifecycle as in Dedup.minHashLshPairs)
     val exact = Similarity
       .bruteForceTopK(embeddings.filter(col("vec_id") < nQueries), embeddings, k)
       .select("query_id", "neighbor_id")
+      .cache()
+    exact.count()
     configs.map { case (nPlanes, nBands, probeBits) =>
       val approx = Similarity
         .lshTopK(embeddings, dim, nPlanes, nBands, k, probeBits)

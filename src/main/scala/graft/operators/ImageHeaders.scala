@@ -52,8 +52,12 @@ object ImageHeaders {
       if (u8(b, i) != 0xff) return None
       // JPEG permits any number of 0xFF fill bytes before a marker
       // (ISO/IEC 10918-1 §B.1.1.2) — skip to the last 0xFF so the next
-      // byte is the marker code, not another fill byte.
+      // byte is the marker code, not another fill byte. The skip
+      // advances i, so the outer bounds guard must be re-checked: a
+      // stream ending in fill bytes would otherwise reach the default
+      // branch with too few bytes left for its u16be length read.
       while (i + 3 < b.length && u8(b, i + 1) == 0xff) i += 1
+      if (i + 3 >= b.length) return None
       u8(b, i + 1) match {
         case 0xd8 | 0x01 => i += 2 // standalone: SOI again / TEM
         case m if m >= 0xd0 && m <= 0xd7 => i += 2 // RSTn

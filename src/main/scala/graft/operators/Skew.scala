@@ -25,12 +25,20 @@ object Skew {
   /** Salted inner equi-join of `fact` (skewed on `key`) with `dim`
     * (every `key` at most once per salt replica). Result rows are
     * identical to `fact.join(dim, key)` — only the shuffle layout
-    * changes. */
+    * changes.
+    *
+    * The salt hashes the fact row's CONTENT (all columns), never a
+    * per-execution id: `monotonically_increasing_id`/`rand` salts are
+    * recompute-nondeterministic, and when a lost executor forces
+    * partial recomputation mid-shuffle, re-salted rows hash to
+    * different reducers and are silently dropped or duplicated. Rows
+    * identical in every column share a salt, which is harmless — they
+    * are interchangeable. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -32,7 +32,7 @@ object StreamingDedup {
     val hashed = docs.withColumn("content_hash", sha2(col("text"), 256))
     if (docs.isStreaming)
       hashed
-        .withWatermark(tsCol, s"${latenessMs / 1000} seconds")
+        .withWatermark(tsCol, s"$latenessMs milliseconds")
         .dropDuplicatesWithinWatermark("content_hash")
     else hashed.dropDuplicates("content_hash")
   }

@@ -51,6 +51,21 @@ class ImageHeadersSpec extends AnyFunSuite {
     val b2 = (Array(0xff, 0xd8) ++ app0 ++ Array(0xff, 0xff, 0xff) ++ sof)
       .map(_.toByte)
     assert(ImageHeaders.decode(b2).contains(ImageMeta("jpeg", 50, 256)))
+    // stream ENDING in fill bytes: the skip advances past the outer
+    // bounds guard — must return None, not read out of bounds
+    val fillTail = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(ImageHeaders.decodeJpeg(fillTail).isEmpty)
+  }
+
+  test("WAV: near-MaxValue chunk length must not wrap the offset negative") {
+    import graft.operators.AudioHeaders
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("RIFF".getBytes); b.write(Array[Byte](36, 0, 0, 0))
+    b.write("WAVE".getBytes)
+    b.write("JUNK".getBytes)
+    b.write(Array(0xee, 0xff, 0xff, 0x7f).map(_.toByte)) // len 0x7FFFFFEE
+    b.write(new Array[Byte](20))
+    assert(AudioHeaders.decodeWav(b.toByteArray).isEmpty) // and no throw
   }
 
   test("JPEG fixture round-trips; SOS before SOF gives None") {
