@@ -95,4 +95,27 @@ object CurateCorpus {
       StageCounts(input, nQuality, nExact, nNear, nClean, nSampled, nChunks)
     } finally pinned.foreach(_.unpersist())
   }
+
+  /** CLI: `runMain graft.app.CurateCorpus <docsPath> <outDir>
+    * [probesPath]` — docs as parquet or .jsonl/.json (JSONL goes
+    * through the quarantining reader); probes optional (parquet). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateCorpus <docsPath> <outDir> [probesPath]")
+    implicit val spark: SparkSession = graft.GraftSession.create("curate-corpus")
+    val docs =
+      if (args(0).endsWith(".jsonl") || args(0).endsWith(".json")) {
+        val (clean, quarantine) =
+          graft.sources.CorpusSources.readJsonlDocs(spark, args(0))
+        val nBad = quarantine.count()
+        if (nBad > 0) println(s"[curate] quarantined $nBad malformed lines")
+        clean
+      } else spark.read.parquet(args(0))
+    val probes =
+      if (args.length > 2) spark.read.parquet(args(2))
+      else spark.emptyDataFrame.withColumn("text", lit(""))
+        .limit(0).select(col("text"))
+    val counts = run(docs, probes, args(1))
+    println(s"[curate] $counts")
+    spark.stop()
+  }
 }
