@@ -56,6 +56,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus quality filter runs unchanged under readStream (stateless parity)") {
+    val in = Files.createTempDirectory("sq_in")
+    val ckpt = Files.createTempDirectory("sq_ck")
+    val good = "the data " + (1 to 10).map(i => s"word$i").mkString(" ")
+    Files.write(in.resolve("b1.json"), String.join("\n",
+      s"""{"doc_id":1,"text":"$good"}""",
+      """{"doc_id":2,"text":"too short"}""").getBytes)
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).json(in.toString)
+    // the same batch operator, applied verbatim to a streaming frame —
+    // stateless narrow ops need no watermark, no state store
+    val q = graft.operators.Corpus.qualityFilter(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_quality").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+      assert(rows == Map(1L -> true, 2L -> false))
+      // micro-batch 2 flows through the same plan
+      Files.write(in.resolve("b2.json"),
+        s"""{"doc_id":3,"text":"$good extra"}""".getBytes)
+      q.processAllAvailable()
+      assert(spark.table("stream_quality").count() == 3)
+    } finally q.stop()
+  }
+
   test("batch execution: plain exact dedup, one survivor per content") {
     val docs = Seq(
       (1L, "same text", new java.sql.Timestamp(1000)),
