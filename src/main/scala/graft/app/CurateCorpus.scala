@@ -110,10 +110,10 @@ object CurateCorpus {
         if (nBad > 0) println(s"[curate] quarantined $nBad malformed lines")
         clean
       } else spark.read.parquet(args(0))
+    import spark.implicits._
     val probes =
       if (args.length > 2) spark.read.parquet(args(2))
-      else spark.emptyDataFrame.withColumn("text", lit(""))
-        .limit(0).select(col("text"))
+      else Seq.empty[String].toDF("text")
     val counts = run(docs, probes, args(1))
     println(s"[curate] $counts")
     spark.stop()

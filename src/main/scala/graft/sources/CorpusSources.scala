@@ -19,24 +19,29 @@ object CorpusSources {
     StructField("source", StringType)))
 
   /** Read a JSONL corpus (one JSON document per line — the lingua
-    * franca of text-corpus distribution). Malformed lines are NOT
-    * dropped silently and NOT allowed to fail the job: PERMISSIVE mode
-    * routes them to `_corrupt_record`, and the result is split into
-    * (clean docs, quarantined raw lines) so the loss is observable and
-    * re-processable. Scale: the JSON source is splittable per line;
-    * compression (.gz per-file) parallelizes per file. */
+    * franca of text-corpus distribution). Bad input is NOT dropped
+    * silently and NOT allowed to fail the job: PERMISSIVE mode routes
+    * unparseable lines to `_corrupt_record`, and rows that parsed but
+    * miss a required field (doc_id/text) are quarantined too — as
+    * their re-serialized JSON — so EVERY excluded line is observable
+    * and re-processable (a schema-valid-but-incomplete row vanishing
+    * into neither split would be exactly the silent loss this reader
+    * exists to prevent). The two frames re-scan the source rather than
+    * share a cache: JSON scans are splittable and cheap, while a
+    * session-lifetime cache of every corpus read is a leak. */
   def readJsonlDocs(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val raw = spark.read
       .schema(DocSchema.add("_corrupt_record", StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // one scan serves both splits; caller unpersists via clean
-    val clean = raw.filter(col("_corrupt_record").isNull &&
-      col("doc_id").isNotNull && col("text").isNotNull)
-      .drop("_corrupt_record")
-    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
+    val complete = col("_corrupt_record").isNull &&
+      col("doc_id").isNotNull && col("text").isNotNull
+    val clean = raw.filter(complete).drop("_corrupt_record")
+    val quarantine = raw.filter(!complete)
+      .select(coalesce(col("_corrupt_record"),
+        to_json(struct(DocSchema.fieldNames.map(col).toIndexedSeq: _*)))
+        .as("raw_line"))
     (clean, quarantine)
   }
 
@@ -71,42 +76,46 @@ object CorpusSources {
       .toDF()
   }
 
-  /** Walk the records of one WARC file. Never throws on malformed
-    * input — parsing stops at the first unparseable record. */
-  def parseWarc(path: String, b: Array[Byte]): Iterator[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var i = 0
-    var ok = true
-    while (ok && i < b.length) {
-      headerBlock(b, i) match {
+  /** Walk the records of one WARC file LAZILY — records stream out as
+    * the consumer pulls, so a task never holds the whole file's
+    * payloads a second time alongside the input array (the file IS the
+    * task's memory unit at Common Crawl sizes). Never throws on
+    * malformed input — parsing stops at the first unparseable record,
+    * keeping what came before. */
+  def parseWarc(path: String, b: Array[Byte]): Iterator[WarcRecord] =
+    Iterator.unfold(0) { i =>
+      if (i >= b.length) None
+      else headerBlock(b, i) match {
         case Some((headers, bodyStart)) if headers.contains("content-length") =>
           val len = headers("content-length").toLongOption.getOrElse(-1L)
-          if (len < 0 || bodyStart + len > b.length) ok = false
+          if (len < 0 || bodyStart + len > b.length) None
           else {
             val payload = java.util.Arrays.copyOfRange(
               b, bodyStart, (bodyStart + len).toInt)
-            out += WarcRecord(
+            var next = (bodyStart + len).toInt
+            // skip the record-terminating CRLFCRLF (tolerate fewer)
+            var skipped = 0
+            while (next < b.length && skipped < 4 &&
+                (b(next) == '\r' || b(next) == '\n')) { next += 1; skipped += 1 }
+            Some((WarcRecord(
               path,
               headers.getOrElse("warc-type", ""),
               headers.getOrElse("warc-target-uri", ""),
               headers.getOrElse("content-type", ""),
               len,
-              payload)
-            i = (bodyStart + len).toInt
-            // skip the record-terminating CRLFCRLF (tolerate fewer)
-            var skipped = 0
-            while (i < b.length && skipped < 4 &&
-                (b(i) == '\r' || b(i) == '\n')) { i += 1; skipped += 1 }
+              payload), next))
           }
-        case _ => ok = false
+        case _ => None
       }
     }
-    out.result().iterator
-  }
 
   /** Parse one `WARC/1.0` header block at `start`: returns lowercased
     * header map and the payload start offset, or None if the bytes at
-    * `start` are not a WARC header. */
+    * `start` are not a WARC header. Lines are decoded as UTF-8 (the
+    * WARC spec's header encoding — per-char Byte.toChar would
+    * sign-extend bytes ≥ 0x80 into garbage), and RFC-2822-style folded
+    * continuation lines (leading space/tab) extend the previous
+    * header's value instead of aborting the file. */
   private def headerBlock(b: Array[Byte],
       start: Int): Option[(Map[String, String], Int)] = {
     val magic = "WARC/"
@@ -114,23 +123,31 @@ object CorpusSources {
         !(0 until magic.length).forall(k => b(start + k) == magic(k).toByte))
       return None
     var i = start
-    val headers = Map.newBuilder[String, String]
-    var line = new StringBuilder
+    var lineStart = start
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
     var firstLine = true
     while (i < b.length) {
-      val c = b(i)
-      if (c == '\n') {
-        val s = line.toString.stripSuffix("\r")
-        if (s.isEmpty) return Some((headers.result(), i + 1))
+      if (b(i) == '\n') {
+        val lineEnd = if (i > lineStart && b(i - 1) == '\r') i - 1 else i
+        val s = new String(b, lineStart, lineEnd - lineStart,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (s.isEmpty) return Some((headers.toMap, i + 1))
         if (!firstLine) {
-          val sep = s.indexOf(':')
-          if (sep < 0) return None
-          headers += (s.substring(0, sep).trim.toLowerCase ->
-            s.substring(sep + 1).trim)
+          if (s.charAt(0) == ' ' || s.charAt(0) == '\t') {
+            // folded continuation of the previous header
+            if (lastKey == null) return None
+            headers(lastKey) = headers(lastKey) + " " + s.trim
+          } else {
+            val sep = s.indexOf(':')
+            if (sep < 0) return None
+            lastKey = s.substring(0, sep).trim.toLowerCase
+            headers(lastKey) = s.substring(sep + 1).trim
+          }
         }
         firstLine = false
-        line = new StringBuilder
-      } else line.append(c.toChar)
+        lineStart = i + 1
+      }
       i += 1
     }
     None // ran out of bytes before the blank line

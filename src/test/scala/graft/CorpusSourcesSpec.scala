@@ -24,8 +24,13 @@ class CorpusSourcesSpec extends AnyFunSuite {
     val (clean, quarantine) = CorpusSources.readJsonlDocs(spark, dir.toString)
     val docs = clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(docs == Map(1L -> "hello world", 2L -> "bonjour"))
-    val bad = quarantine.collect().map(_.getString(0))
-    assert(bad.length == 1 && bad.head.startsWith("this is not json"))
+    // BOTH failure classes are quarantined: the unparseable line as-is,
+    // and the valid-JSON-but-missing-text row as re-serialized JSON —
+    // nothing vanishes into neither split
+    val bad = quarantine.collect().map(_.getString(0)).sorted
+    assert(bad.length == 2)
+    assert(bad.exists(_.startsWith("this is not json")))
+    assert(bad.exists(l => l.contains("\"doc_id\":3") && l.contains("\"lang\":\"de\"")))
   }
 
   private def warcRecord(uri: String, body: String): Array[Byte] = {
@@ -50,6 +55,24 @@ class CorpusSourcesSpec extends AnyFunSuite {
     assert(got == Map(
       "http://a.example/x" -> "first body",
       "http://b.example/y" -> "second, longer body text"))
+  }
+
+  test("WARC: UTF-8 header values and folded continuation lines") {
+    val payload = "x".getBytes("US-ASCII")
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://ex.ample/café\r\n" + // é = 2 UTF-8 bytes
+      "Content-Type: text/plain;\r\n" +
+      " charset=utf-8\r\n" + // folded continuation (RFC 2822 LWSP)
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n").getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes
+    val second = ("WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 0\r\n\r\n")
+      .getBytes ++ "\r\n\r\n".getBytes
+    val recs = CorpusSources.parseWarc("p", rec ++ second).toList
+    assert(recs.length == 2) // a folded header must not abort the walk
+    assert(recs.head.targetUri == "http://ex.ample/café")
+    assert(recs.head.contentType == "text/plain; charset=utf-8")
+    assert(recs(1).warcType == "request")
   }
 
   test("WARC: malformed tail keeps the records parsed before it; garbage → empty") {
