@@ -322,6 +322,15 @@ object TextQueries {
     s"($i, [${c.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
   }.mkString(",\n        ")
 
+  /** Guarded DuckDB mirror of [[HashExpressions.sortedJaccard]]: the
+    * Spark side returns 0.0 when both hash sets are empty, while a bare
+    * len/(len+len-len) is NULL on 0/0 — pin the same empty-set
+    * semantics (reachable for docs with <n chars / zero tokens). */
+  private def duckJaccard(a: String, b: String): String =
+    s"CASE WHEN len($a) + len($b) = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) " +
+      s"/ (len($a) + len($b) - len(list_intersect($a, $b))) END"
+
   /** DuckDB polynomial fold of an arbitrary string SQL expression. */
   private def duckPolyHash(sExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -352,10 +361,8 @@ object TextQueries {
          |  JOIN base y ON y.vec_id = p.doc_b
          |)
          |SELECT g.doc_a, g.doc_b, g.cosine,
-         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac,
-         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5 AS is_dup
+         |       ${duckJaccard("a.hs", "b.hs")} AS jac,
+         |       ${duckJaccard("a.hs", "b.hs")} >= 0.5 AS is_dup
          |FROM gated g
          |JOIN hashed a ON a.doc_id = g.doc_a
          |JOIN hashed b ON b.doc_id = g.doc_b
@@ -490,15 +497,14 @@ object TextQueries {
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |              list_transform(range(1, 17),
+         |              list_transform(range(1, ${TextFunctions.MinHashA.size + 1}),
          |                i -> CASE WHEN a.sig[i] = b.sig[i] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
          |            (acc, v) -> acc + v) AS BIGINT) AS n_sig_match,
          |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |              list_transform(range(1, 17),
+         |              list_transform(range(1, ${TextFunctions.MinHashA.size + 1}),
          |                i -> CASE WHEN a.sig[i] = b.sig[i] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |            (acc, v) -> acc + v) AS DOUBLE) / 16 AS est_sim,
-         |       CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         |         / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+         |            (acc, v) -> acc + v) AS DOUBLE) / ${TextFunctions.MinHashA.size} AS est_sim,
+         |       ${duckJaccard("a.hs", "b.hs")} AS jac
          |FROM sigs a JOIN sigs b
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
     "q41_lsh_recall" ->
@@ -624,22 +630,20 @@ object TextQueries {
         |SELECT d.doc_id, g.canonical_id, g.dup_count
         |FROM documents d JOIN g USING (text)""".stripMargin,
     "q20_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(list_transform(
-        |           list_transform(range(1, length(text)-1), i -> substr(text, i, 3)),
-        |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
-        |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS s
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
-        |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, source,
+         |         list_distinct(list_transform(
+         |           list_transform(range(1, length(text)-1), i -> substr(text, i, 3)),
+         |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+         |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS s
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+         |       ${duckJaccard("a.s", "b.s")} AS jac
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE ${duckJaccard("a.s", "b.s")} >= 0.5""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH shing AS (
          |  SELECT doc_id,
@@ -663,8 +667,7 @@ object TextQueries {
          |  FROM banded s JOIN shashed h USING (doc_id)
          |), verified AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-         |           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac
+         |         ${duckJaccard("a.hs", "b.hs")} AS jac
          |  FROM eb a JOIN eb b
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id

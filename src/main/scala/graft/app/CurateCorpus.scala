@@ -66,8 +66,10 @@ object CurateCorpus {
           .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
         "doc_id"))
 
-      // 3. near-dup: verified minhash pairs, drop the higher id
-      val dropNear = Dedup.minHashLshPairs(exact, 0.6)
+      // 3. near-dup: verified minhash pairs, drop the higher id (the
+      // pin hook hands the operator's internal signature cache to this
+      // run's lifecycle so repeated run() calls don't accumulate it)
+      val dropNear = Dedup.minHashLshPairs(exact, 0.6, pinned += _)
         .select(col("doc_b").as("doc_id")).distinct()
       val (near, nNear) = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
 

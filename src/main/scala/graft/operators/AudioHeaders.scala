@@ -45,7 +45,9 @@ object AudioHeaders {
     while (i + 8 <= b.length && (dataLen < 0 || channels < 0)) {
       val id = tag(b, i)
       val len = u32le(b, i + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
+      // len >= 16: a malformed fmt chunk declaring fewer bytes would
+      // otherwise read into the following chunk and return garbage
+      if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
         channels = u16le(b, i + 10)
         rate = u32le(b, i + 12)
         blockAlign = u16le(b, i + 20)

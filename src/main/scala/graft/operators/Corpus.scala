@@ -155,7 +155,8 @@ object Corpus {
         "aggregate(zip_with(sig_a, sig_b," +
           " (x, y) -> CASE WHEN x = y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)," +
           " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .withColumn("est_sim", col("n_sig_match").cast("double") / 16)
+      .withColumn("est_sim",
+        col("n_sig_match").cast("double") / MinHashA.size)
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .select("doc_a", "doc_b", "n_sig_match", "est_sim", "jac")
@@ -233,14 +234,18 @@ object Corpus {
     * definition — at 100 TB the corpus side stays a narrow scan +
     * broadcast semi-join, no shuffle of the corpus). Output: doc_id,
     * n_grams, n_matched, contaminated. */
+  /** Distinct polynomial-hashed token n-grams of a tokens column
+    * (shared by [[contaminationCheck]] and [[duplicateSpanStats]]). */
+  private def gramHashes(n: Int)(tk: org.apache.spark.sql.Column) =
+    when(size(tk) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => HashExpressions.polyHash(
+          concat_ws(" ", slice(tk, i, lit(n)))))))
+
   def contaminationCheck(docs: DataFrame, probes: DataFrame, n: Int,
       minMatches: Int): DataFrame = {
-    val gramHashes = (tk: org.apache.spark.sql.Column) =>
-      when(size(tk) < n, array().cast("array<bigint>"))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(tk) - (n - 1)),
-          i => HashExpressions.polyHash(
-            concat_ws(" ", slice(tk, i, lit(n)))))))
+    val gramHashes = this.gramHashes(n) _
     val probeGrams = probes
       .select(explode(gramHashes(tokens(col("text")))).as("g"))
       .distinct()

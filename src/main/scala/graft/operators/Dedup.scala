@@ -39,11 +39,17 @@ object Dedup {
     * via `.cache()` (both self-join sides read it; recomputing the
     * hashing pipeline per side would double the dominant cost). The
     * entry stays in the session's CacheManager until the caller drops
-    * it — one-shot jobs get it freed with the session, long-lived
-    * sessions should `spark.sharedState.cacheManager.clearCache()` (or
-    * `uncacheTable`) after materializing (Bench does exactly this
-    * between queries). */
-  def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * it — one-shot jobs get it freed with the session; long-lived
+    * sessions use the `pin` overload below to take ownership and
+    * unpersist after materializing (CurateCorpus does exactly this per
+    * run; Bench clears the whole CacheManager between queries). */
+  def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minHashLshPairs(docs, threshold, _ => ())
+
+  /** As above, with the internal signature cache handed to `pin` so the
+    * caller controls when it is unpersisted. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double,
+      pin: DataFrame => Unit): DataFrame = {
     // 5-gram char shingles, not token sets: the synthetic corpus shares
     // one small vocabulary, so token-set jaccard is degenerately high
     // (~all pairs ≥0.4); shingles capture word order and separate real
@@ -59,6 +65,7 @@ object Dedup {
         HashExpressions.shingleHashes(col("text"), 5).as("hs"))
       .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
       .cache()
+    pin(sigs)
     // materialize eagerly: the self-join's two input stages are
     // scheduled concurrently, so both would miss a lazy cache and run
     // the hashing pipeline anyway (same race as Similarity's IVF
@@ -138,6 +145,55 @@ object Dedup {
       .withColumn("hashes", tokenHashes(col("toks")))
       .select(col("doc_id"), simHash30(col("hashes")).as("simhash"),
         size(col("toks")).as("n_tokens"))
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (a doc chain a~b~c must
+    * collapse to one canonical even when a~c was never proposed).
+    * Component label = min node id in the component.
+    *
+    * Iterative min-label propagation on the symmetrized edge list: each
+    * round every node takes the min of its own label and its
+    * neighbors'; converges in O(component diameter) rounds. Dedup
+    * graphs are near-star-shaped (diameter 2–4), so this beats the
+    * O(log n)-round large-star/small-star alternation (Kiveris et al.
+    * 2014, "Connected Components in MapReduce") in constant factors
+    * while shuffling the same (node, label) pairs; for adversarial
+    * long-chain graphs raise `maxIter` or switch to star-contraction.
+    * Each round is one shuffle join + one partial-agg min — no driver
+    * data, no collect; intermediate labels are pinned and the previous
+    * round's cache is dropped as soon as its successor materializes.
+    *
+    * Output: one row per node appearing in `edges` — (id, component).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      next.count()
+      // converged iff no label moved this round (labels only decrease)
+      val moved = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") < col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = moved == 0L
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
 
   /** SimHash near-duplicate pairs: all (doc_a < doc_b) with Hamming
     * distance ≤ `maxHamming` between 30-bit signatures.
