@@ -220,7 +220,8 @@ object SparkEntry {
     "q11_order_assembly" -> (q11 _),
     "q12_excess_marking" -> (q12 _),
     "q13_fragment_merge" -> (q13 _),
-    "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries ++ ServeQueries.queries
+    "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries ++
+    ServeQueries.queries ++ EventQueries.queries
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracles                                                   //
@@ -393,5 +394,6 @@ object SparkEntry {
          |       CAST(SUM(reduceShuffleBytes) AS BIGINT) AS reduceShuffleBytes,
          |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes
          |FROM hours
-         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles ++ ServeQueries.oracles
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles ++
+    ServeQueries.oracles ++ EventQueries.oracles
 }

@@ -204,6 +204,34 @@ object TextQueries {
     Corpus.hybridNearDupPairs(Tables.documents(s, d), Tables.embeddings(s, d),
       nPlanes = 32, nBands = 4, cosineThreshold = 0.2, jacThreshold = 0.5)
 
+  /** Dedup clusters: connected components over the union of exact-dup
+    * edges and blocked 3-gram near-dup pairs — pairs → transitive
+    * clusters, every doc labeled with its component (= min reachable
+    * doc_id) and cluster size (singletons included). */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exactEdges = Dedup.exactDupGroups(docs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("doc_a"), col("canonical_id").as("doc_b"))
+    val nearEdges = Dedup
+      .ngramJaccardPairs(docs, Seq("lang", "source"), 3, 0.5)
+      .select("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(
+      exactEdges.union(nearEdges), "doc_a", "doc_b")
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select("doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .na.fill(1L, Seq("cluster_size"))
+      .select("doc_id", "component", "cluster_size")
+  }
+
+  /** Sub-document span duplication (8-token grams, df ≥ 2). */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Corpus.duplicateSpanStats(Tables.documents(s, d), n = 8, minDf = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_hybrid_dedup"   -> (q44 _),
     "q42_chunking"       -> (q42 _),
@@ -227,7 +255,9 @@ object TextQueries {
     "q25_ann_lsh"        -> (q25 _),
     "q32_embed_neardup"  -> (q32 _),
     "q33_ann_ivf"        -> (q33 _),
-    "q35_term_freq"      -> (q35 _))
+    "q35_term_freq"      -> (q35 _),
+    "q48_cc_clusters"    -> (q48 _),
+    "q49_span_dedup"     -> (q49 _))
 
   // ------------------------------------------------------------------ //
 
@@ -330,6 +360,24 @@ object TextQueries {
     s"CASE WHEN len($a) + len($b) = 0 THEN CAST(0.0 AS DOUBLE) " +
       s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) " +
       s"/ (len($a) + len($b) - len(list_intersect($a, $b))) END"
+
+  /** q20's blocked 3-gram jaccard SQL — also the near-dup pair
+    * generator nested inside the q48 connected-components oracle. */
+  private lazy val q20Sql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(
+       |           list_transform(range(1, length(text)-1), i -> substr(text, i, 3)),
+       |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+       |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS s
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+       |       ${duckJaccard("a.s", "b.s")} AS jac
+       |FROM sh a JOIN sh b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE ${duckJaccard("a.s", "b.s")} >= 0.5""".stripMargin
 
   /** DuckDB polynomial fold of an arbitrary string SQL expression. */
   private def duckPolyHash(sExpr: String): String =
@@ -629,21 +677,61 @@ object TextQueries {
         |)
         |SELECT d.doc_id, g.canonical_id, g.dup_count
         |FROM documents d JOIN g USING (text)""".stripMargin,
-    "q20_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, lang, source,
-         |         list_distinct(list_transform(
-         |           list_transform(range(1, length(text)-1), i -> substr(text, i, 3)),
-         |           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                  list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
-         |                (acc, c) -> (acc * 31 + c) % 1000000007))) AS s
-         |  FROM documents
+    "q20_ngram_jaccard" -> q20Sql,
+    "q48_cc_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM ($q20Sql)
+         |  UNION
+         |  SELECT d.doc_id AS doc_a, g.canonical_id AS doc_b
+         |  FROM documents d
+         |  JOIN (SELECT text, MIN(doc_id) AS canonical_id
+         |        FROM documents GROUP BY text) g USING (text)
+         |  WHERE d.doc_id != g.canonical_id
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS id, least(a, MIN(b)) AS component FROM reach GROUP BY a
+         |), sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1
          |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
-         |       ${duckJaccard("a.s", "b.s")} AS jac
-         |FROM sh a JOIN sh b
-         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE ${duckJaccard("a.s", "b.s")} >= 0.5""".stripMargin,
+         |SELECT d.doc_id,
+         |       COALESCE(c.component, d.doc_id) AS component,
+         |       COALESCE(s.cluster_size, 1) AS cluster_size
+         |FROM documents d
+         |LEFT JOIN comp c ON c.id = d.doc_id
+         |LEFT JOIN sizes s ON s.component = c.component""".stripMargin,
+    "q49_span_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) < 8 THEN CAST([] AS BIGINT[])
+         |              ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+         |                     i -> ${duckPolyHash("array_to_string(list_slice(tk, i, i + 7), ' ')")})) END AS grams
+         |  FROM t
+         |), ex AS (
+         |  SELECT doc_id, unnest(grams) AS g FROM g
+         |), dfreq AS (
+         |  SELECT g, COUNT(*) AS df FROM ex GROUP BY 1
+         |), per AS (
+         |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM ex JOIN dfreq USING (g) GROUP BY 1
+         |)
+         |SELECT t.doc_id,
+         |       COALESCE(p.n_spans, 0) AS n_spans,
+         |       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+         |       CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(p.n_dup_spans AS DOUBLE) / p.n_spans END AS dup_frac
+         |FROM t LEFT JOIN per p USING (doc_id)""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH shing AS (
          |  SELECT doc_id,

@@ -261,6 +261,63 @@ object Corpus {
       .withColumn("contaminated", col("n_matched") >= minMatches)
   }
 
+  /** Sub-document duplication signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the n-gram
+    * approximation of their suffix-array ExactSubstr): for every
+    * document, the fraction of its distinct token n-gram spans that
+    * occur in at least `minDf` corpus documents. Exact-dedup finds
+    * identical documents; THIS finds boilerplate — headers, license
+    * blocks, templated text — repeated inside otherwise-unique docs.
+    *
+    * Shape: narrow gram hashing → one shuffle on gram hash for the
+    * document-frequency count (partial-agg collapses heavy grams
+    * map-side) → one shuffle back on doc_id. Never pairs, never N².
+    * Output: doc_id, n_spans, n_dup_spans, dup_frac. */
+  def duplicateSpanStats(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      explode(gramHashes(n)(tokens(col("text")))).as("g"))
+    // per-doc distinct grams ⇒ count(*) per gram = document frequency
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = g.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+  }
+
+  /** PII patterns for [[piiScan]], deliberately written in the common
+    * subset of Java regex and RE2 so the operator is portable across
+    * engines: email, IPv4, international-ish phone. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+[0-9][0-9 ()-]{6,}[0-9]")
+
+  /** PII detection + redaction — the compliance pass a training corpus
+    * runs before release: per-document match counts for each
+    * [[PiiPatterns]] family plus a `redacted` text with every match
+    * replaced by `[TYPE]`. Pure narrow regexp map (codegen'd
+    * `regexp_count`/`regexp_replace`, no UDF); linear scan at any
+    * scale. Output: doc_id, n_email, n_ipv4, n_phone, has_pii,
+    * redacted. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs) { case (df, (name, pat)) =>
+      df.withColumn(s"n_$name", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+    counted
+      .withColumn("has_pii",
+        PiiPatterns.map { case (n, _) => col(s"n_$n") > 0 }.reduce(_ || _))
+      .select(col("doc_id") +: PiiPatterns.map { case (n, _) => col(s"n_$n") } :+
+        col("has_pii") :+ redacted.as("redacted"): _*)
+  }
+
   /** Recall@k of the banded-LSH ANN against exact brute force, over
     * the query set `vec_id < nQueries`, at one or more (nPlanes,
     * nBands, probeBits) operating points — the evidence query for the

@@ -160,8 +160,13 @@ object Dedup {
     * while shuffling the same (node, label) pairs; for adversarial
     * long-chain graphs raise `maxIter` or switch to star-contraction.
     * Each round is one shuffle join + one partial-agg min — no driver
-    * data, no collect; intermediate labels are pinned and the previous
-    * round's cache is dropped as soon as its successor materializes.
+    * data, no collect. Every round's label table is (local)checkpointed:
+    * the round's plan references the previous labels twice (messages +
+    * union), so without lineage truncation the logical plan doubles per
+    * round and the driver dies on plan explosion long before the data
+    * does. On a real cluster set `spark.sparkContext.setCheckpointDir`
+    * and swap `localCheckpoint()` for `checkpoint()` for
+    * failure-tolerant lineage cuts.
     *
     * Output: one row per node appearing in `edges` — (id, component).
     */
@@ -172,8 +177,8 @@ object Dedup {
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    labels.count()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -181,8 +186,7 @@ object Dedup {
         .select(sym("a").as("id"), col("component"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
-      next.count()
+        .localCheckpoint()
       // converged iff no label moved this round (labels only decrease)
       val moved = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") < col("prev")).limit(1).count()

@@ -190,4 +190,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("32p8b")._3 >= got("32p4b")._3)
     assert(got("32p4b+mp8")._3 >= got("32p4b")._3)
   }
+
+  test("duplicateSpanStats: shared boilerplate spans counted, short docs zeroed") {
+    val boiler = "this content is licensed under the terms below"  // 8 tokens
+    val docs = Seq(
+      (1L, s"$boiler unique tail one two"),
+      (2L, s"$boiler other ending words here"),
+      (3L, "entirely different text with no shared spans at all九"),
+      (4L, "tiny"))  // < 8 tokens → zero spans
+      .toDF("doc_id", "text")
+    val got = Corpus.duplicateSpanStats(docs, n = 8, minDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc1: 12 tokens → 5 distinct 8-gram spans; only the pure-boiler
+    // span (positions 1) is shared with doc2
+    assert(got(1L)._1 == 5 && got(1L)._2 == 1 && got(1L)._3 == 0.2)
+    assert(got(2L)._2 == 1)
+    assert(got(3L)._2 == 0)
+    assert(got(4L) == ((0L, 0L, 0.0))) // guarded division, row kept
+  }
+
+  test("piiScan: counts, redaction, and clean-doc passthrough") {
+    val docs = Seq(
+      (1L, "mail a@b.co or x.y@sub.domain.org, call +1 (555) 123-4567"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 ok"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val got = Corpus.piiScan(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getString(5))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._3 == 1 && got(1L)._4)
+    assert(got(1L)._5 == "mail [EMAIL] or [EMAIL], call [PHONE]")
+    assert(got(2L)._2 == 2 && got(2L)._4)
+    assert(got(2L)._5 == "server at [IPV4] and [IPV4] ok")
+    assert(got(3L) == ((0L, 0L, 0L, false, "no pii here at all")))
+  }
 }
