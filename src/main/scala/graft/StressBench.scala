@@ -159,6 +159,64 @@ object StressBench {
         .count()
     }
 
+    // --- stage 5: as-of join at scale ------------------------------- //
+    // nAttempts left rows against nAttempts/4 right rows over 1000 keys
+    // (per-key history ~right/1000 — the bounded-history regime the
+    // operator is designed for)
+    val asofLeft = spark.range(nAttempts)
+      .select(col("id"), pmod(col("id"), lit(1000)).as("k"),
+        pmod(col("id") * 2654435761L, lit(100L * 86400000L)).as("ts"))
+    val asofRight = spark.range(nAttempts / 4)
+      .select(pmod(col("id"), lit(1000)).as("k"),
+        pmod(col("id") * 40503L, lit(100L * 86400000L)).as("ts"),
+        (col("id") % 977).as("v"))
+      .groupBy("k", "ts").agg(max("v").as("v")) // unique per (k, ts)
+    timed("asof_join", nAttempts) {
+      graft.operators.AsOf
+        .asofJoin(asofLeft, asofRight, Seq("k"), "ts", Seq("v"))
+        .agg(count(lit(1)), sum("asof_v")).first().getLong(0)
+    }
+
+    // --- stage 6: binned range join --------------------------------- //
+    // nAttempts points vs nAttempts/100 hour-long intervals over the
+    // same 100-day span, 5-min bins (12 bins/interval)
+    val rjPoints = asofLeft
+    val rjIvs = spark.range(nAttempts / 100)
+      .select(col("id").as("iv_id"), pmod(col("id"), lit(1000)).as("k"),
+        pmod(col("id") * 48271L, lit(100L * 86400000L)).as("lo"))
+      .withColumn("hi", col("lo") + 3600000L)
+    timed("range_join", nAttempts) {
+      graft.operators.RangeJoin
+        .intervalJoin(rjPoints, rjIvs, Seq("k"), "ts", "lo", "hi",
+          binWidth = 3600000L)
+        .count()
+    }
+
+    // --- stage 7: connected components on a power-law-ish graph ----- //
+    // nDocs*4 edges over nDocs nodes arranged as many small clusters
+    // (mod-sharded stars + a few long chains) — the dedup-graph shape
+    val ccEdges = spark.range(nDocs * 4)
+      .select(
+        (pmod(col("id"), lit(nDocs / 10)) * 10 +
+          pmod(col("id") * 7, lit(10))).as("a"),
+        (pmod(col("id"), lit(nDocs / 10)) * 10).as("b"))
+      .union(spark.range(nDocs / 100) // 8-star chains (diameter stays
+        // far below maxIter; min-propagation is diameter-bounded)
+        .select(((col("id") / 7) * 8 + pmod(col("id"), lit(7))).multiply(10).as("a"),
+          ((col("id") / 7) * 8 + pmod(col("id"), lit(7)) + 1).multiply(10).as("b")))
+    timed("connected_components", nDocs * 4 + nDocs / 100) {
+      graft.operators.Dedup
+        .connectedComponents(ccEdges, "a", "b")
+        .agg(countDistinct("component")).first().getLong(0)
+    }
+
+    // --- stage 8: sub-document span duplication --------------------- //
+    timed("span_dedup_stats", nDocs) {
+      graft.operators.Corpus
+        .duplicateSpanStats(docsWithId, n = 8, minDf = 2)
+        .agg(sum("n_dup_spans")).first().getLong(0) % 1000000
+    }
+
     spark.stop()
   }
 }

@@ -169,17 +169,35 @@ object Dedup {
     * failure-tolerant lineage cuts.
     *
     * Output: one row per node appearing in `edges` — (id, component).
+    * Node ids must be non-negative (the Σ-label convergence detector
+    * relies on labels being bounded below by 0).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize in ONE pass over the (possibly expensive-to-compute)
+    // edge input — a union of e with e-reversed would scan it twice
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct().cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // initial labels with the first propagation round folded in:
+    // component₀ = min(self, neighbors) — same cost as the bare
+    // distinct-nodes scan, one fewer loop round
+    var labels = sym.groupBy(col("a"))
+      .agg(min("b").as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
       .localCheckpoint()
-    var converged = false
+    // convergence detector: labels only ever decrease, so Σcomponent
+    // strictly decreases on any change — one cheap aggregate per round
+    // instead of a full next-vs-previous anti-join
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("component")).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == 0L // empty edge set
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("b") === labels("id"))
@@ -187,12 +205,11 @@ object Dedup {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint()
-      // converged iff no label moved this round (labels only decrease)
-      val moved = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") < col("prev")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = moved == 0L
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     sym.unpersist()
