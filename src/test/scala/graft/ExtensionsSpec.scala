@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The declarative injection path: a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` gets the custom SQL
+  * functions without any imperative registration call. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions injects the SQL functions") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // fresh session object (shared SparkContext is fine) so the
+      // extensions config is actually applied at session build time
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val P = 1000000007L
+      val want = "abc".foldLeft(0L)((a, c) => (a * 31 + c) % P)
+      assert(s.sql("SELECT poly_hash('abc') AS h").head().getLong(0) == want)
+      assert(s.sql(
+        "SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+        .head().getDouble(0) == 0.5)
+      assert(s.sql("SELECT size(minhash_sig(array(7L))) AS n")
+        .head().getInt(0) == graft.functions.TextFunctions.MinHashA.size)
+      // don't stop s — it shares the JVM-wide SparkContext
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
