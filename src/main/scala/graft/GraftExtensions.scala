@@ -41,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("poly_hash", 1)(e => PolyHash(e.head))
     inject("dot_product", 2)(e => DotProduct(e(0), e(1)))
     inject("lsh_projections", 2)(e => LshProjections(e.head, intArg(e(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

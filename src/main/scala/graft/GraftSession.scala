@@ -26,10 +26,14 @@ object GraftSession {
       // CombineFileInputFormat splits, base.properties:39-40)
       .config("spark.sql.files.openCostInBytes", "1m")
 
-  /** Build (or reuse) the session and register SQL functions. */
+  /** Build (or reuse) the session and register SQL functions plus the
+    * range-join rewrite rule (idempotent). */
   def create(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RangeJoinRewrite
     spark
   }
 }

@@ -8,17 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * functions without any imperative registration call. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the SQL functions") {
+  test("GraftExtensions injected at session build time provides the SQL functions") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
-      // fresh session object (shared SparkContext is fine) so the
-      // extensions config is actually applied at session build time
+      // fresh session object (shared SparkContext is fine) with the
+      // extension applied through the public builder hook —
+      // `spark.sql.extensions=graft.GraftExtensions` loads the SAME
+      // class through Spark's own static-conf path, but that conf is
+      // pinned at SparkContext creation and so not testable in a suite
+      // run where an earlier spec already started the context
       val s = SparkSession.builder()
         .master("local[2]")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .withExtensions(new GraftExtensions()(_))
         .config("spark.sql.shuffle.partitions", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
