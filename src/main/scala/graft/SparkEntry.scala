@@ -221,7 +221,8 @@ object SparkEntry {
     "q12_excess_marking" -> (q12 _),
     "q13_fragment_merge" -> (q13 _),
     "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries ++
-    ServeQueries.queries ++ EventQueries.queries ++ OlapQueries.queries
+    ServeQueries.queries ++ EventQueries.queries ++ OlapQueries.queries ++
+    PipelineQueries.queries
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracles                                                   //
@@ -395,5 +396,6 @@ object SparkEntry {
          |       CAST(SUM(overlapMs) AS BIGINT) / 60000.0 AS elapsedMinutes
          |FROM hours
          |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles ++
-    ServeQueries.oracles ++ EventQueries.oracles ++ OlapQueries.oracles
+    ServeQueries.oracles ++ EventQueries.oracles ++ OlapQueries.oracles ++
+    PipelineQueries.oracles
 }

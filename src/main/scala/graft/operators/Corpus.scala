@@ -318,6 +318,43 @@ object Corpus {
         col("has_pii") :+ redacted.as("redacted"): _*)
   }
 
+  /** Vocabulary coverage / out-of-vocabulary scoring — the rational
+    * stand-in for a unigram-LM perplexity filter (CCNet, Wenzek et al.
+    * 2020 §4.3 keeps documents whose tokens the reference LM knows):
+    * the vocabulary is the top-`vocabSize` corpus terms by total count
+    * (ties broken by term, so the cut is deterministic), and each
+    * document is scored by its OOV-token rate plus the mean corpus
+    * frequency of its tokens. All counts are exact integers; the two
+    * rates are single correctly-rounded divisions of those integers,
+    * so the operator carries a bit-exact SQL oracle (the same
+    * no-transcendentals discipline as [[tfIdfTopTerms]]).
+    *
+    * Scale: one token-count shuffle (partial-agg collapses the heavy
+    * head map-side), a distributed top-k (`orderBy.limit` —
+    * TakeOrdered, never a global window), the tiny vocab broadcast
+    * back, one shuffle to doc_id. Output: doc_id, n_tokens, n_oov,
+    * oov_rate, avg_vocab_tf. */
+  def vocabularyCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), col("cnt").as("vocab_cnt"))
+    val per = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vocab_cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("vocab_cnt"), lit(0L))).as("sum_vocab_cnt"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov", "sum_vocab_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("sum_vocab_cnt").cast("double") / col("n_tokens"))
+          .as("avg_vocab_tf"))
+  }
+
   /** Recall@k of the banded-LSH ANN against exact brute force, over
     * the query set `vec_id < nQueries`, at one or more (nPlanes,
     * nBands, probeBits) operating points — the evidence query for the
