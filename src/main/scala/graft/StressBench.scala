@@ -217,6 +217,39 @@ object StressBench {
         .agg(sum("n_dup_spans")).first().getLong(0) % 1000000
     }
 
+    // --- stage 9: ordered funnel + cohort over synthetic events ----- //
+    // nAttempts events over 100 k users, 4 types, 100-day span — the
+    // funnel is 3 aggregate passes on user_id, the retention triangle
+    // two aggregates + a join; both shuffle-bound, no windows
+    val evTypes = array(lit("view"), lit("click"), lit("purchase"), lit("other"))
+    val events = spark.range(nAttempts).select(
+      pmod(col("id"), lit(100000L)).as("user_id"),
+      element_at(evTypes,
+        (pmod(col("id") * 48271L, lit(4)) + 1).cast("int")).as("event_type"),
+      pmod(col("id") * 2654435761L, lit(100L * 86400000L)).as("tsMs"))
+    timed("funnel_stages", nAttempts) {
+      graft.operators.EventAnalytics
+        .funnelStages(events, Seq("view", "click", "purchase"))
+        .agg(sum("stage")).first().getLong(0) % 1000000
+    }
+    timed("cohort_retention", nAttempts) {
+      graft.operators.EventAnalytics.cohortRetention(events).count()
+    }
+
+    // --- stage 10: PII scan (regex-heavy narrow map) ---------------- //
+    timed("pii_scan", nDocs) {
+      graft.operators.Corpus.piiScan(
+          docsWithId.withColumn("text", concat(col("text"),
+            lit(" u"), col("doc_id"), lit("@ex.com via 10.0.0.1"))))
+        .agg(sum("n_email")).first().getLong(0) % 1000000
+    }
+
+    // --- stage 11: vocabulary coverage (explode + top-k + join) ----- //
+    timed("vocabulary_coverage", nDocs) {
+      graft.operators.Corpus.vocabularyCoverage(docsWithId, 32)
+        .agg(sum("n_oov"), sum("n_tokens")).first().getLong(1) % 1000000
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout: co-locate rows that are close
+  * in SEVERAL dimensions at once, so parquet min/max row-group stats
+  * prune multi-dimensional box predicates — the standard layout tool
+  * when a 100 TB fact table is filtered by more than one column and a
+  * single sort key can only serve one of them (a table sorted by x
+  * prunes x-filters perfectly and y-filters not at all; the z-curve
+  * prunes both at ~√ the single-key rate).
+  *
+  * The z-value is computed with plain codegen'd bit arithmetic
+  * (shift/and/or folds — no UDF), the layout is one
+  * `repartitionByRange` + in-partition sort on it (a single range
+  * shuffle, the same cost as any global sort), and the helper column
+  * is dropped before the data lands. Bucketing normalizes each
+  * dimension to `bits`-bit rank space from its min/max (one tiny
+  * aggregate; for incremental loads reuse the previous bounds — the
+  * curve does not need exact quantiles, only monotone buckets).
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of `x` (even positions) and `y`
+    * (odd positions) — the 2-D Morton code, 2·`bits` result bits. */
+  def mortonInterleave(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "1..31 bits per dimension")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Scale a numeric column to the [0, 2^bits) bucket space of its
+    * [lo, hi] range (double intermediate — layout bucketing needs
+    * monotonicity, not exactness). */
+  def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    if (hi <= lo) lit(0L)
+    else least(
+      ((c - lit(lo)).cast("double") / (lit(hi).cast("double") - lit(lo) + 1) *
+        (1L << bits)).cast("long"),
+      lit((1L << bits) - 1))
+
+  /** Re-lay `df` along the 2-D z-curve of two long columns into
+    * `numFiles` range partitions, each internally sorted by z-value.
+    * The min/max bounds aggregate is the only driver-side data (4
+    * scalars). Output schema = input schema (the `_zorder` helper is
+    * dropped; the physical row order carries the layout). */
+  def zorder(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      numFiles: Int): DataFrame = {
+    val r = df.agg(
+      min(xCol).cast("long"), max(xCol).cast("long"),
+      min(yCol).cast("long"), max(yCol).cast("long")).first()
+    val z = mortonInterleave(
+      rangeBucket(col(xCol), r.getLong(0), r.getLong(1), bits),
+      rangeBucket(col(yCol), r.getLong(2), r.getLong(3), bits), bits)
+    df.withColumn("_zorder", z)
+      .repartitionByRange(numFiles, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder")
+  }
+
+  /** Per-file (min, max) envelope of two columns for a parquet
+    * directory — the same statistics parquet row-group pruning uses,
+    * surfaced as a DataFrame so layouts can be compared and tested.
+    * Output: file, x_min, x_max, y_min, y_max. */
+  def fileEnvelopes(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(xCol).as("x_min"), max(xCol).as("x_max"),
+        min(yCol).as("y_min"), max(yCol).as("y_max"))
+}
