@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, EventAnalytics, Retrieval}
+import graft.operators.{Corpus, EventAnalytics, Layout, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,42 @@ object PipelineQueries {
     Retrieval.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d),
       nQueries = 5, perListK = 20, fuseK = 10)
 
+  /** q61 — the z-curve itself, cross-engine: 8-bit range buckets of
+    * (n_chars, doc_id) and their Morton interleave. Pins
+    * [[Layout.rangeBucket]] (IEEE-deterministic double scaling) and
+    * [[Layout.mortonInterleave]] (pure bit weave) against DuckDB's
+    * integer/bit arithmetic — the layout operator's math is exact,
+    * not approximate. */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val b = docs.agg(
+      min("n_chars").as("x_lo"), max("n_chars").as("x_hi"),
+      min("doc_id").as("y_lo"), max("doc_id").as("y_hi"))
+    docs.crossJoin(broadcast(b))
+      .select(col("doc_id"),
+        Layout.rangeBucket(col("n_chars"), col("x_lo"), col("x_hi"), 8).as("bx"),
+        Layout.rangeBucket(col("doc_id"), col("y_lo"), col("y_hi"), 8).as("by"))
+      .withColumn("z", Layout.mortonInterleave(col("bx"), col("by"), 8))
+  }
+
+  /** q62 — equal-width histogram: 10 global-range value bins per event
+    * type (global min/max so bins align across types), count + decimal
+    * sum + bounds per cell. One tiny bounds aggregate broadcast into a
+    * narrow bin map, one cell shuffle. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val b = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    ev.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(lit(9L),
+          floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10)
+            .cast("long"))))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_pii_redact"     -> (q54 _),
     "q55_vocab_oov"      -> (q55 _),
@@ -75,7 +111,9 @@ object PipelineQueries {
     "q57_funnel"         -> (q57 _),
     "q58_cube"           -> (q58 _),
     "q59_keyword_search" -> (q59 _),
-    "q60_hybrid_rrf"     -> (q60 _))
+    "q60_hybrid_rrf"     -> (q60 _),
+    "q61_zorder_curve"   -> (q61 _),
+    "q62_histogram"      -> (q62 _))
 
   // ------------------------------------------------------------------ //
   //  DuckDB oracles                                                     //
@@ -109,6 +147,20 @@ object PipelineQueries {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
+
+  /** DuckDB mirror of [[graft.operators.Layout.rangeBucket]] — same
+    * subtraction-cast-divide-scale order, truncation == floor for the
+    * non-negative quotient. */
+  private def duckBucket(c: String, lo: String, hi: String, bits: Int): String =
+    s"CASE WHEN $hi <= $lo THEN CAST(0 AS BIGINT) " +
+      s"ELSE LEAST(CAST(floor(($c - $lo)::DOUBLE / (($hi)::DOUBLE - $lo + 1) " +
+      s"* ${1L << bits}) AS BIGINT), ${(1L << bits) - 1}) END"
+
+  /** DuckDB mirror of [[graft.operators.Layout.mortonInterleave]]. */
+  private def duckMorton(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   private def q59ScoreSql: String = SearchTerms.map(t =>
     s"CASE WHEN g.df_$t = 0 THEN CAST(0.0 AS DOUBLE) " +
@@ -258,5 +310,33 @@ object PipelineQueries {
          |SELECT query_id, doc_id, r_lex, r_sem, rrf,
          |       row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fused_rank
          |FROM fused
-         |QUALIFY fused_rank <= 10""".stripMargin)
+         |QUALIFY fused_rank <= 10""".stripMargin,
+    "q61_zorder_curve" ->
+      s"""WITH b AS (
+         |  SELECT MIN(n_chars) AS x_lo, MAX(n_chars) AS x_hi,
+         |         MIN(doc_id) AS y_lo, MAX(doc_id) AS y_hi
+         |  FROM documents
+         |), z AS (
+         |  SELECT d.doc_id,
+         |         ${duckBucket("d.n_chars", "b.x_lo", "b.x_hi", 8)} AS bx,
+         |         ${duckBucket("d.doc_id", "b.y_lo", "b.y_hi", 8)} AS by
+         |  FROM documents d, b
+         |)
+         |SELECT doc_id, bx, by,
+         |       ${duckMorton("bx", "by", 8)} AS z
+         |FROM z""".stripMargin,
+    "q62_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        |), e AS (
+        |  SELECT event_type, value,
+        |         CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+        |              ELSE LEAST(CAST(9 AS BIGINT),
+        |                CAST(floor((value - b.lo) / (b.hi - b.lo) * 10) AS BIGINT)) END AS bin
+        |  FROM events, b
+        |)
+        |SELECT event_type, bin, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM e GROUP BY 1, 2""".stripMargin)
 }

@@ -33,15 +33,18 @@ object Layout {
     }
   }
 
-  /** Scale a numeric column to the [0, 2^bits) bucket space of its
+  /** Scale a numeric column to the [0, 2^bits) bucket space of the
     * [lo, hi] range (double intermediate — layout bucketing needs
-    * monotonicity, not exactness). */
-  def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int): Column =
-    if (hi <= lo) lit(0L)
-    else least(
-      ((c - lit(lo)).cast("double") / (lit(hi).cast("double") - lit(lo) + 1) *
+    * monotonicity, not exactness; the ops are IEEE-deterministic, so
+    * the curve IS exactly reproducible cross-engine, see q61). */
+  def rangeBucket(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    when(hi <= lo, lit(0L)).otherwise(least(
+      ((c - lo).cast("double") / (hi.cast("double") - lo + 1) *
         (1L << bits)).cast("long"),
-      lit((1L << bits) - 1))
+      lit((1L << bits) - 1)))
+
+  def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    rangeBucket(c, lit(lo), lit(hi), bits)
 
   /** Re-lay `df` along the 2-D z-curve of two long columns into
     * `numFiles` range partitions, each internally sorted by z-value.
