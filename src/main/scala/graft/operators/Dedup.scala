@@ -182,7 +182,15 @@ object Dedup {
         struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct().cache()
+      .distinct()
+      // pin the cached edges on the join key: every round's
+      // sym.b ⋈ labels.id then needs NO exchange on either side (the
+      // cache reports hash(b) partitioning, the checkpointed labels
+      // keep the hash(id) partitioning of the groupBy that built
+      // them) — one shuffle per round (the message groupBy) instead
+      // of three
+      .repartition(col("b"))
+      .cache()
     // initial labels with the first propagation round folded in:
     // component₀ = min(self, neighbors) — same cost as the bare
     // distinct-nodes scan, one fewer loop round
