@@ -396,4 +396,72 @@ object Corpus {
           col("n_queries"), col("expected"), col("hits"), col("recall"))
     }.reduce(_ unionAll _)
   }
+
+  /** Domain-mixture resampling: down-sample each stratum so the kept
+    * corpus matches a target mixture EXACTLY (the "data recipe" step
+    * of a training pipeline — e.g. 50% web / 30% wiki / 20% code).
+    *
+    * Weights are integer parts (e.g. 5/3/2 of 10) so every quantity
+    * stays in exact integer arithmetic: with `W = Σ parts` and `n_d`
+    * docs in stratum `d`, the largest total `T` hitting the mixture
+    * without upsampling any stratum is `min_d ⌊n_d·W / part_d⌋`, and
+    * stratum `d` keeps `⌊part_d·T / W⌋` docs. Selection within a
+    * stratum is the repo's deterministic hash-rank sample (polynomial
+    * content hash, doc_id tie break) — reproducible across runs,
+    * engines, and cluster sizes, unlike `TABLESAMPLE`.
+    *
+    * Scale: one tiny per-stratum count aggregate broadcast back, one
+    * per-stratum window. Strata counts are few (domains, not keys);
+    * the window partitions by stratum, so a hot stratum bounds a
+    * partition — at 100 TB swap the rank filter for the equivalent
+    * `bucket < take_d·mod/n_d` hash-threshold predicate (no sort) once
+    * exact take counts stop mattering. Output: doc_id, stratum, rk. */
+  def mixtureResample(docs: DataFrame, strataCol: String,
+      parts: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = parts.values.sum
+    val part = parts.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val sized = docs
+      .withColumn("part", part)
+      .filter(col("part").isNotNull)
+    val counts = sized.groupBy(col(strataCol), col("part"))
+      .agg(count(lit(1)).as("n_d"))
+    val t = counts
+      .agg(min(floor(col("n_d") * w / col("part"))).as("t"))
+    val takes = counts.crossJoin(broadcast(t))
+      .select(col(strataCol),
+        floor(col("part") * col("t") / w).as("take_d"))
+    sized
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(strataCol)
+          .orderBy(HashExpressions.polyHash(col("text")), col("doc_id"))))
+      .join(broadcast(takes), strataCol)
+      .filter(col("rk") <= col("take_d"))
+      .select(col("doc_id"), col(strataCol).as("stratum"), col("rk"))
+  }
+
+  /** Per-language adaptive quality threshold: instead of one global
+    * cutoff (which over-prunes low-resource languages whose score
+    * distribution sits lower), keep the top `keepPermille`‰ of each
+    * language by lexical-diversity score. Score is integer-exact:
+    * `⌊distinct_tokens·10000 / tokens⌋`; the cutoff is a rank
+    * quantile (`percent_rank` with a full deterministic order —
+    * score desc, doc_id asc — so ranks, and therefore the kept set,
+    * are unique and engine-independent). Output: doc_id, lang,
+    * score, pr, kept. */
+  def adaptiveQualityFilter(docs: DataFrame, keepPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("score",
+        floor(size(array_distinct(col("tk"))).cast("long") * 10000L /
+          greatest(size(col("tk")).cast("long"), lit(1L))))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("kept", col("pr") * 1000 <= keepPermille)
+      .select("doc_id", "lang", "score", "pr", "kept")
+  }
 }

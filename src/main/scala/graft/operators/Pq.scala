@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest-neighbor search
+  * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — the standard memory-bound ANN scale path).
+  *
+  * The 64-dim embedding is split into `m` contiguous subspaces of
+  * `dsub` dims. Each subspace has its own small codebook (`k` codes,
+  * trained offline — pinned as literal data like
+  * [[IvfCentroids]]); a vector is stored as `m` one-byte codes. At
+  * 100 TB this is the difference between an index that fits in
+  * cluster memory and one that does not: 64 float32 (256 B) becomes
+  * m=8 bytes per vector, a 32× compression, and the ADC scan touches
+  * only the code table — the raw vectors stay in cold storage for
+  * optional re-ranking.
+  *
+  * Query = asymmetric distance computation (ADC): the query vector
+  * precomputes a `m × k` table of partial squared distances to every
+  * code; a candidate's approximate distance is the sum of `m` table
+  * lookups selected by its codes. The scan is embarrassingly
+  * parallel (query tables broadcast, no shuffle until top-k).
+  *
+  * Numeric discipline (the repo-wide oracle contract): every distance
+  * is a *sequential left-fold in double precision* over a fixed
+  * index order, so the DuckDB oracle reproduces encoding, tables and
+  * ADC sums bit-for-bit. Ties break on the lowest code / vec_id.
+  */
+object Pq {
+
+  /** Per-subspace squared L2 distance between the `sub`-th slice of a
+    * float-array embedding column and a literal double-array centroid
+    * column: ordered fold of (x_j − c_j)² over j = 1..dsub. */
+  private def subDist(emb: Column, cent: Column, sub: Column, dsub: Int): Column = {
+    val sliced = slice(emb, sub * dsub + 1, lit(dsub))
+    aggregate(
+      zip_with(transform(sliced, x => x.cast("double")), cent,
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** The codebook as a small DataFrame: (sub, code, cent). */
+  def codebookDF(df: DataFrame, codebooks: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    codebooks.toDF("sub", "code", "cent")
+  }
+
+  /** Encode every vector against the pinned codebooks: for each of
+    * the `m` subspaces, the code of the nearest centroid (squared-L2,
+    * ties to the lowest code). Output: (vec_id, codes array<int>
+    * ordered by subspace) — the compressed index, m bytes of
+    * information per vector.
+    *
+    * Plan shape: a crossJoin against the ≤ m·k broadcast codebook
+    * rows (never vector×vector), a per-(vec, sub) window for the
+    * argmin, one aggregation to assemble the code array — all narrow
+    * per-vector work that scales linearly with the table. */
+  def encode(embeddings: DataFrame,
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame = {
+    val cb = codebookDF(embeddings, codebooks)
+    embeddings
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .withColumn("dist", subDist(col("embedding"), col("cent"), col("sub"), dsub))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("code"))))
+      .filter(col("pr") === 1)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: for each query vector (selected by `queryPred`),
+    * the `k` nearest encoded vectors by asymmetric PQ distance.
+    *
+    * The query side precomputes its full m×k distance table and
+    * carries it as one array ordered by (sub, code); the scan side
+    * is a broadcast crossJoin (queries are few) + an ordered fold of
+    * m table lookups per candidate — no shuffle before the per-query
+    * top-k window. Output: query_id, neighbor_id, rank, approx_dist. */
+  def adcTopK(embeddings: DataFrame, queryPred: Column,
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int, k: Int): DataFrame = {
+    val m = codebooks.map(_._1).distinct.size
+    val nCodes = codebooks.map(_._2).distinct.size
+    val cb = codebookDF(embeddings, codebooks)
+    val enc = encode(embeddings, codebooks, dsub)
+    val dtabs = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(cb))
+      .withColumn("pdist", subDist(col("embedding"), col("cent"), col("sub"), dsub))
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code"), col("pdist")))),
+        s => s.getField("pdist")).as("dtab"))
+    enc.crossJoin(broadcast(dtabs))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("dtab"),
+            s * nCodes + element_at(col("codes"), s + 1) + 1)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("approx_dist"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("approx_dist"))
+  }
+
+  /** Train the per-subspace codebooks: one seeded k-means per
+    * subspace over the sliced sample (the [[Similarity.fitQuantizer]]
+    * discipline: fit on a sample, ship the result as data). A build
+    * step, not a query — run once via [[graft.tools.FitPq]] and pin
+    * the output as literals so the search itself is exact
+    * arithmetic both engines share. */
+  def fitCodebooks(embeddings: DataFrame, m: Int, dsub: Int,
+      nCodes: Int): Seq[(Int, Int, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = embeddings
+      .select(col("embedding"))
+      .sample(withReplacement = false, 0.5, seed = 42L)
+      .cache()
+    try {
+      (0 until m).flatMap { s =>
+        val sliced = sample.select(
+          array_to_vector(transform(
+            slice(col("embedding"), s * dsub + 1, dsub),
+            x => x.cast("double"))).as("features"))
+        val model = new KMeans()
+          .setK(nCodes).setSeed(42L + s).setMaxIter(10)
+          .fit(sliced)
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (s, i, c.toArray.toSeq)
+        }
+      }
+    } finally sample.unpersist()
+  }
+}
