@@ -33,7 +33,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Operators that cache internally (LSH signatures, CC iterations)
+      // would otherwise leak blocks into the next query's measurement —
+      // by q35 of a 66-query run the accumulated pressure inflated
+      // unrelated queries up to 9×. Each query is timed on its own plan.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
