@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, IvfCentroids}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries q67–q70: the curation-pipeline additions of round 5 —
+  * semantic dedup (cluster-then-prune), bloom-prefiltered
+  * decontamination, sequence packing, and DSIR-style importance
+  * weighting. Exact-oracle discipline as everywhere: integer/rational
+  * arithmetic plus the sequential double fold for cosines.
+  */
+object CurationQueries {
+
+  /** q67 — SemDeDup over the pinned IVF centroids: within-cell
+    * cosine ≥ 0.4 pairs (the q32 threshold convention; ~4% dup rate
+    * on the synthetic corpus), min-id-wins keep rule. */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, d),
+      IvfCentroids.Centroids16, tau = 0.4)
+
+  /** q68 — bloom-prefiltered benchmark decontamination: 7-gram
+    * overlap ≥ 2 against the doc_id ∈ [100, 120) probe slice. The
+    * bloom prunes; the confirm join keeps the result exact. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.contaminationCheckBloom(docs,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 120),
+      n = 7, minMatches = 2)
+  }
+
+  /** q69 — contiguous sequence packing: 256-token budget, 8 hash
+    * shards per source. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Corpus.packSequences(Tables.documents(s, d), budget = 256L, nShards = 8)
+
+  /** q70 — importance weights against the src0 target domain. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Corpus.importanceWeights(Tables.documents(s, d),
+      col("source") === "src0")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_semdedup"      -> (q67 _),
+    "q68_bloom_decontam" -> (q68 _),
+    "q69_seq_packing"   -> (q69 _),
+    "q70_importance"    -> (q70 _))
+
+  // ------------------------------------------------------------------ //
+
+  private val duckDot = TextQueries.duckDot _
+  private val duckPolyHash = TextQueries.duckPolyHash _
+
+  val oracles: Map[String, String] = Map(
+    "q67_semdedup" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |        ${TextQueries.centroidValues}
+         |  ) AS t(cell, centroid)
+         |), base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), dists AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+         |         -${duckDot("b.embedding", "c.centroid")}
+         |           + ${duckDot("c.centroid", "c.centroid")} / 2 AS dist
+         |  FROM base b CROSS JOIN cent c
+         |), asg AS (
+         |  SELECT vec_id, cell, embedding, nrm FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dist, cell) AS pr
+         |    FROM dists
+         |  ) WHERE pr = 1
+         |), pairs AS (
+         |  SELECT a.vec_id,
+         |         ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |), d AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |         MAX(cosine) AS max_cosine
+         |  FROM pairs WHERE cosine >= 0.4 GROUP BY 1
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       COALESCE(d.n_dups, 0) AS n_dups, d.max_cosine,
+         |       COALESCE(d.n_dups, 0) > 0 AS is_dup
+         |FROM asg a LEFT JOIN d USING (vec_id)""".stripMargin,
+    "q68_bloom_decontam" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) < 7 THEN CAST([] AS BIGINT[])
+         |              ELSE list_distinct(list_transform(range(1, len(tk) - 5),
+         |                     i -> ${duckPolyHash("array_to_string(list_slice(tk, i, i + 6), ' ')")})) END AS grams
+         |  FROM t
+         |), pg AS (
+         |  SELECT list_sort(list_distinct(flatten(list(grams)))) AS pg
+         |  FROM g WHERE doc_id >= 100 AND doc_id < 120
+         |)
+         |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+         |       CAST(len(list_intersect(g.grams, pg.pg)) AS BIGINT) AS n_matched,
+         |       len(list_intersect(g.grams, pg.pg)) >= 2 AS contaminated
+         |FROM g CROSS JOIN pg""".stripMargin,
+    "q69_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+        |         doc_id % 8 AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT *, SUM(n_tok) OVER
+        |    (PARTITION BY source, shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |)
+        |SELECT source, shard, (cum - n_tok) // 256 AS seq_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+    "q70_importance" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS term
+        |  FROM documents
+        |), cc AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cc FROM tok GROUP BY 1
+        |), tc AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS tc FROM tok WHERE is_target GROUP BY 1
+        |), w AS (
+        |  SELECT cc.term,
+        |         (1000000 * (COALESCE(tc.tc, 0) + 1)) // (cc.cc + 1) AS w
+        |  FROM cc LEFT JOIN tc USING (term)
+        |), thr AS (
+        |  SELECT (1000000 * SUM(CASE WHEN is_target THEN 1 ELSE 0 END)) // COUNT(*) AS thr
+        |  FROM tok
+        |), scored AS (
+        |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(w.w) AS BIGINT) AS score_sum
+        |  FROM tok JOIN w USING (term) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_tokens, 0) AS n_tokens,
+        |       COALESCE(s.score_sum, 0) AS score_sum,
+        |       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+        |            ELSE s.score_sum // s.n_tokens END AS avg_score,
+        |       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
+        |            ELSE s.score_sum // s.n_tokens END >= thr.thr AS target_like
+        |FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN thr""".stripMargin)
+}

@@ -222,7 +222,7 @@ object SparkEntry {
     "q13_fragment_merge" -> (q13 _),
     "q14_usage_fact"     -> (q14 _)) ++ TextQueries.queries ++
     ServeQueries.queries ++ EventQueries.queries ++ OlapQueries.queries ++
-    PipelineQueries.queries ++ SketchQueries.queries
+    PipelineQueries.queries ++ SketchQueries.queries ++ CurationQueries.queries
 
   // ---------------------------------------------------------------- //
   //  DuckDB oracles                                                   //
@@ -397,5 +397,5 @@ object SparkEntry {
          |FROM hours
          |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) ++ TextQueries.oracles ++
     ServeQueries.oracles ++ EventQueries.oracles ++ OlapQueries.oracles ++
-    PipelineQueries.oracles ++ SketchQueries.oracles
+    PipelineQueries.oracles ++ SketchQueries.oracles ++ CurationQueries.oracles
 }

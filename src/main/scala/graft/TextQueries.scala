@@ -262,7 +262,7 @@ object TextQueries {
   // ------------------------------------------------------------------ //
 
   /** DuckDB mirror of the double-precision sequential dot product. */
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
@@ -348,7 +348,7 @@ object TextQueries {
     * 1 ulp away from the correctly-rounded string parse. CAST('…' AS
     * DOUBLE) makes DuckDB parse the exact string Double.toString
     * round-trips. */
-  private val centroidValues = IvfCentroids.Centroids16.map { case (i, c) =>
+  private[graft] val centroidValues = IvfCentroids.Centroids16.map { case (i, c) =>
     s"($i, [${c.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
   }.mkString(",\n        ")
 
@@ -380,7 +380,7 @@ object TextQueries {
        |WHERE ${duckJaccard("a.s", "b.s")} >= 0.5""".stripMargin
 
   /** DuckDB polynomial fold of an arbitrary string SQL expression. */
-  private def duckPolyHash(sExpr: String): String =
+  private[graft] def duckPolyHash(sExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($sExpr)+1), ci -> CAST(unicode(substr($sExpr,ci,1)) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007)"

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.HashExpressions
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,6 +259,145 @@ object Corpus {
         size(array_intersect(col("grams"), col("pg"))).cast("long")
           .as("n_matched"))
       .withColumn("contaminated", col("n_matched") >= minMatches)
+  }
+
+  /** Serializable bloom-membership predicate for
+    * [[contaminationCheckBloom]]: ships the filter as bytes and
+    * deserializes once per executor (the sketch object itself is not
+    * guaranteed Java-serializable; bytes always are). */
+  private class BloomContains(bytes: Array[Byte])
+      extends (Long => Boolean) with Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def apply(g: Long): Boolean = bf.mightContainLong(g)
+  }
+
+  /** Bloom-prefiltered decontamination — the 100 TB form of
+    * [[contaminationCheck]]. That operator broadcasts the EXACT probe
+    * gram set to every task; at a few hundred million benchmark grams
+    * the broadcast is GBs. Here the corpus side sees only a bloom
+    * filter (~9.6 bits/gram at 1% fpp — order-of-magnitude smaller),
+    * keeps the grams that might be probe grams, and only those
+    * candidate (doc, gram) pairs flow into an exact confirm join
+    * against the probe gram table. The result is still EXACT: a bloom
+    * filter has no false negatives, so every true match survives the
+    * prefilter, and false positives are eliminated by the confirm join
+    * (they cost shuffle bytes, never correctness) — which is why q68
+    * shares the plain exact-overlap oracle shape with q43.
+    *
+    * The same pattern drives Spark's own runtime row-group filtering
+    * (InjectRuntimeFilter): bloom where the exact set is too big to
+    * ship, exact join where it matters. Output: doc_id, n_grams,
+    * n_matched, contaminated. */
+  def contaminationCheckBloom(docs: DataFrame, probes: DataFrame, n: Int,
+      minMatches: Int, fpp: Double = 0.01): DataFrame = {
+    val gramHashes = this.gramHashes(n) _
+    val probeG = probes
+      .select(explode(gramHashes(tokens(col("text")))).as("g"))
+      .distinct()
+    // driver-side build over the benchmark side (small by definition —
+    // the corpus side is never collected)
+    val bf = probeG.stat.bloomFilter("g", 100000L, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = udf(new BloomContains(bos.toByteArray))
+    val g = docs
+      .select(col("doc_id"), gramHashes(tokens(col("text"))).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        filter(col("grams"), mightContain(_)).as("cands"))
+    // explode_outer keeps zero-candidate docs as one null-gram row, so
+    // the whole corpus flows through ONE pass — no second scan to
+    // recover the n_matched=0 docs
+    val pairs = g.select(col("doc_id"), col("n_grams"),
+      explode_outer(col("cands")).as("g"))
+    pairs
+      .join(probeG.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") >= minMatches)
+      .select("doc_id", "n_grams", "n_matched", "contaminated")
+  }
+
+  /** Contiguous sequence packing (concat-and-chunk): assign documents
+    * to fixed-token-budget training sequences by cumulative token
+    * count, in deterministic doc_id order within (source, shard). The
+    * standard pretraining batching step — documents are concatenated
+    * into `budget`-token sequences; a document belongs to the sequence
+    * its first token lands in.
+    *
+    * Contiguous packing is inherently sequential, so the scale-out form
+    * packs within hash shards: the running sum is a window over
+    * (source, shard) — `nShards`×|sources|-way parallel, never a global
+    * single-partition window. Shard = doc_id mod nShards (integer,
+    * engine-independent). Output per sequence: source, shard, seq_id,
+    * n_docs, seq_tokens, first_doc, last_doc. */
+  def packSequences(docs: DataFrame, budget: Long, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("source", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** Importance weighting against a target domain (the DSIR shape —
+    * Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — with the log-likelihood ratio replaced by
+    * an integer-rational ratio so the score is exact cross-engine):
+    * per-token weight w(t) = ⌊scale·(tc+1)/(cc+1)⌋ where tc/cc are the
+    * token's unigram counts in the target slice vs the whole corpus
+    * (add-one smoothed); a document's score is the sum of w over its
+    * token occurrences. avg_score ≈ scale·P_target/P_corpus, so
+    * `target_like` (avg_score ≥ scale) marks documents whose unigram
+    * profile leans toward the target domain — the resampling key for
+    * domain upweighting.
+    *
+    * Shape: one token explode feeding both count tables (target counts
+    * are a filtered re-aggregation, not a second scan of the corpus at
+    * the engine level — Spark reuses the exchange), then a term-keyed
+    * join back and a doc-keyed partial agg. Never a cross join; the
+    * weight table is corpus-vocabulary-sized and shuffles on term.
+    *
+    * `target_like` compares a document's avg_score against the
+    * corpus-wide target token rate thr = ⌊scale·T/C⌋ (T, C = total
+    * target/corpus token counts): w(t) is ~scale·tc/cc, which scales
+    * with the target fraction T/C, so the neutral point — "this
+    * document's unigram profile is exactly corpus-average" — sits at
+    * scale·T/C, not at scale. Documents above thr lean toward the
+    * target domain. Output: doc_id, n_tokens, score_sum, avg_score,
+    * target_like. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(col("doc_id"), targetPred.as("is_target"),
+      explode(tokens(col("text"))).as("term"))
+    val cc = tok.groupBy("term").agg(count(lit(1)).as("cc"))
+    val tc = tok.filter(col("is_target"))
+      .groupBy("term").agg(count(lit(1)).as("tc"))
+    val w = cc.join(tc, Seq("term"), "left")
+      .na.fill(0L, Seq("tc"))
+      .withColumn("w", expr(s"($scale * (tc + 1)) div (cc + 1)"))
+    val thr = tok.agg(
+      expr(s"($scale * sum(case when is_target then 1 else 0 end))" +
+        " div count(1)").as("thr"))
+    val scored = tok.join(w.select("term", "w"), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("score_sum"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "score_sum"))
+      .crossJoin(broadcast(thr))
+      .withColumn("avg_score",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("score_sum div n_tokens")))
+      .withColumn("target_like", col("avg_score") >= col("thr"))
+      .select("doc_id", "n_tokens", "score_sum", "avg_score", "target_like")
   }
 
   /** Sub-document duplication signal (Lee et al. 2022, "Deduplicating

@@ -224,6 +224,49 @@ object Dedup {
     labels
   }
 
+  /** Semantic deduplication, cluster-then-prune (the SemDeDup shape —
+    * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): assign every embedding to its
+    * nearest coarse centroid, then compare pairs ONLY within a cluster
+    * and mark the higher-id member of every ≥`tau`-cosine pair as a
+    * duplicate. The clustering is what makes semantic dedup tractable
+    * at 100 TB: pair volume drops from N² to Σ cell² , and the cell
+    * self-join keys on cell id (a bucket equi-join like every other
+    * pair generator here — cells are the learned analog of q32's
+    * metadata blocks).
+    *
+    * Centroids arrive as literal data (train once offline, ship the
+    * table — same discipline as [[Similarity.ivfTopKWithCentroids]]),
+    * so the whole operator is pure join/fold arithmetic and the q67
+    * oracle reproduces it bit-for-bit. Cell assignment reuses the
+    * cached [[Similarity.buildIvfIndex]] (nProbe=1).
+    *
+    * Output: vec_id, cell, n_dups (same-cell lower-id neighbors with
+    * cosine ≥ tau), max_cosine (nullable — strongest such neighbor),
+    * is_dup. Keepers are the is_dup=false rows; the min-id-wins rule
+    * makes the kept set deterministic and engine-independent. */
+  def semanticDedup(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
+    val idx = Similarity.buildIvfIndex(embeddings, centroids, 1)
+    val asg = idx.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val a = asg.select(col("cell"), col("vec_id"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = asg.select(col("cell"), col("vec_id").as("nb_id"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val dups = a.join(b, "cell")
+      .filter(col("nb_id") < col("vec_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dups"), max("cosine").as("max_cosine"))
+    asg.select("vec_id", "cell")
+      .join(dups, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("is_dup", col("n_dups") > 0)
+      .select("vec_id", "cell", "n_dups", "max_cosine", "is_dup")
+  }
+
   /** SimHash near-duplicate pairs: all (doc_a < doc_b) with Hamming
     * distance ≤ `maxHamming` between 30-bit signatures.
     *

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- //
+  //  Semantic dedup (SemDeDup)                                        //
+  // ---------------------------------------------------------------- //
+
+  /** Two hand centroids on the axes; two near-identical pairs, one per
+    * cluster — assignment and pair pruning are exactly predictable. */
+  private def semFixture = {
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f)),  // cell 0, min id → keeper
+      (1L, Array(1.0f, 0.011f)), // cell 0, ~parallel to 0 → dup
+      (2L, Array(0.01f, 1.0f)),  // cell 1, min id → keeper
+      (3L, Array(-0.01f, 1.0f)), // cell 1, cos≈0.9998 vs 2 → dup
+      (4L, Array(0.7f, -0.7f))   // cell 0 but ~orthogonal to 0/1 → keeper
+    ).toDF("vec_id", "embedding")
+    (vecs, centroids)
+  }
+
+  test("semanticDedup: within-cell pruning with min-id-wins keep rule") {
+    val (vecs, centroids) = semFixture
+    val out = Dedup.semanticDedup(vecs, centroids, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.size == 5)
+    assert(out(0L) == ((0, 0L, false))) // cell-min id is never a dup
+    assert(out(1L) == ((0, 1L, true)))
+    assert(out(2L) == ((1, 0L, false)))
+    assert(out(3L) == ((1, 1L, true)))
+    assert(out(4L) == ((0, 0L, false))) // same cell, below tau
+    spark.sharedState.cacheManager.clearCache() // buildIvfIndex pin
+  }
+
+  test("semanticDedup: raising tau never increases the dup count") {
+    val (vecs, centroids) = semFixture
+    val dups = Seq(0.5, 0.9, 0.9999).map { tau =>
+      val n = Dedup.semanticDedup(vecs, centroids, tau)
+        .filter(col("is_dup")).count()
+      spark.sharedState.cacheManager.clearCache()
+      n
+    }
+    assert(dups == dups.sorted.reverse, s"dup counts not monotone: $dups")
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Bloom-prefiltered decontamination                                //
+  // ---------------------------------------------------------------- //
+
+  test("contaminationCheckBloom: identical to the exact-broadcast operator") {
+    // the invariant that makes the bloom variant safe at 100 TB: bloom
+    // has no false negatives and false positives die in the confirm
+    // join, so the two operators agree row-for-row
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probes = docs.filter(col("doc_id") < 8)
+    val exact = Corpus.contaminationCheck(docs, probes, n = 5, minMatches = 1)
+    val bloom = Corpus.contaminationCheckBloom(docs, probes, n = 5, minMatches = 1)
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+  }
+
+  test("contaminationCheckBloom: zero-candidate docs survive with n_matched 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally disjoint vocabulary nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contaminationCheckBloom(docs, probes, n = 5, minMatches = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._2)
+    assert(out(2L) == ((0L, false)))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Sequence packing                                                 //
+  // ---------------------------------------------------------------- //
+
+  test("packSequences: contiguous budget bins in doc_id order") {
+    // 5 docs × 100 tokens, budget 256, one shard: starts at 0, 100,
+    // 200, 300, 400 → sequences {0,1,2} and {3,4}
+    val word100 = Seq.fill(100)("w").mkString(" ")
+    val docs = (0L until 5L).map(i => (i, "s", word100))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.packSequences(docs, budget = 256L, nShards = 1)
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(0L) == ((3L, 300L, 0L, 2L)))
+    assert(out(1L) == ((2L, 200L, 3L, 4L)))
+  }
+
+  test("packSequences: shards partition the docs and conserve tokens") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Corpus.packSequences(docs, budget = 256L, nShards = 8)
+    val totDocs = out.agg(sum("n_docs")).first().getLong(0)
+    val totTok = out.agg(sum("seq_tokens")).first().getLong(0)
+    val expTok = docs.select(size(graft.functions.TextFunctions.tokens(col("text")))
+      .cast("long").as("n")).agg(sum("n")).first().getLong(0)
+    assert(totDocs == docs.count())
+    assert(totTok == expTok)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Importance weighting                                             //
+  // ---------------------------------------------------------------- //
+
+  test("importanceWeights: target == corpus is the neutral point") {
+    val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "e"))
+      .toDF("doc_id", "text")
+    val out = Corpus.importanceWeights(docs, lit(true), scale = 1000000L)
+      .collect()
+    // tc == cc for every term → every weight is exactly `scale`, and
+    // thr == scale → everything is (weakly) target-like
+    assert(out.forall(_.getLong(3) == 1000000L))
+    assert(out.forall(_.getBoolean(4)))
+  }
+
+  test("importanceWeights: target-exclusive vocabulary outranks corpus-common") {
+    val docs = Seq(
+      (1L, "quant quant quant quant"), // pure target vocabulary
+      (2L, "common common common common"), // shared background
+      (3L, "quant quant common common")
+    ).toDF("doc_id", "text")
+      .withColumn("is_t", col("doc_id") === 1L)
+    val out = Corpus.importanceWeights(docs, col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) > out(3L) && out(3L) > out(2L))
+  }
+}
