@@ -250,6 +250,58 @@ object StressBench {
         .agg(sum("n_oov"), sum("n_tokens")).first().getLong(1) % 1000000
     }
 
+    // --- stage 12: semantic dedup at 100× the bench vector count ---- //
+    // 512 deterministic pseudo-random centroids: the SemDeDup scale
+    // knob is cluster COUNT — within-cell pair volume is Σ cell², so
+    // cells must stay small (~400 vectors here) as N grows; the paper
+    // uses ~50 k clusters at web scale for the same reason. Assignment
+    // cost (N × nCentroids broadcast dots) is the other side of the
+    // trade — both are measured here.
+    val stressCentroids: Seq[(Int, Seq[Double])] = (0 until 512).map { j =>
+      j -> (0 until 64).map(i =>
+        (((j * 2654435761L + i * 40503L) % 2000L) - 1000L) / 1000.0).toSeq
+    }
+    timed("semantic_dedup_200k_vectors", nVecs) {
+      val n = graft.operators.Dedup
+        .semanticDedup(emb, stressCentroids, tau = 0.6)
+        .filter(col("is_dup")).count()
+      spark.sharedState.cacheManager.clearCache() // buildIvfIndex pin
+      n
+    }
+
+    // --- stage 13: bloom-prefiltered decontamination ----------------- //
+    // 200 k-doc corpus against a 1 000-doc probe set: the corpus side
+    // sees only the bloom bits; candidates confirm through the exact
+    // join (result identical to the exact-broadcast operator)
+    timed("bloom_decontamination", nDocs) {
+      graft.operators.Corpus
+        .contaminationCheckBloom(docsWithId,
+          docsWithId.filter(col("doc_id") < 1000), n = 7, minMatches = 2)
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
+        .first().getLong(0)
+    }
+
+    // --- stage 14: sequence packing ---------------------------------- //
+    // contiguous concat-and-chunk over (source, 64 shards): the window
+    // cumsum parallelizes 20×64 ways — throughput should track the
+    // token-count scan, not a single-partition sort
+    val docsWithSource = docsWithId
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+    timed("sequence_packing", nDocs) {
+      graft.operators.Corpus
+        .packSequences(docsWithSource, budget = 2048L, nShards = 64)
+        .agg(sum("seq_tokens")).first().getLong(0) % 1000000
+    }
+
+    // --- stage 15: importance weighting ------------------------------ //
+    // DSIR-shaped scoring of the full corpus against the s0 slice: one
+    // token explode, term-keyed weight join, doc-keyed partial agg
+    timed("importance_weights", nDocs) {
+      graft.operators.Corpus
+        .importanceWeights(docsWithSource, col("source") === "s0")
+        .agg(sum("score_sum")).first().getLong(0) % 1000000
+    }
+
     spark.stop()
   }
 }

@@ -138,16 +138,31 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cdf = centroids.toDF("cell", "centroid")
-    val ranked = embeddings
+    val dists = embeddings
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cdf))
       .withColumn("dist",
         -dot(col("embedding"), col("centroid")) +
           dot(col("centroid"), col("centroid")) / 2)
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("pr") <= math.max(nProbe, 1))
-      .select("vec_id", "cell", "pr", "embedding", "nrm")
+    // nProbe == 1 needs only the argmin cell: a hash aggregate over
+    // min(struct(dist, cell)) — lexicographic struct min IS the
+    // (dist, cell) ordering — with map-side partial combine. The window
+    // form below must locally sort all N×nCentroids distance rows to
+    // feed its partial WindowGroupLimit; at 200 k vecs × 512 centroids
+    // that sort was 5× the cost of the distance arithmetic itself.
+    val ranked = (if (nProbe <= 1)
+      dists
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cell"))).as("m"),
+          first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("m.cell").as("cell"), lit(1).as("pr"),
+          col("embedding"), col("nrm"))
+    else
+      dists
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("pr") <= nProbe)
+        .select("vec_id", "cell", "pr", "embedding", "nrm"))
       .cache()
     ranked.count() // eager build (see above)
     ranked
