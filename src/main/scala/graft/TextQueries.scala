@@ -97,6 +97,16 @@ object TextQueries {
   private def q22(s: SparkSession, d: String): DataFrame =
     Dedup.simHashSignatures(Tables.documents(s, d))
 
+  /** Incremental near-dup: the doc_id ≥ 450 slice arrives as a new
+    * batch and joins the persisted band index of the < 450 corpus —
+    * corpus text is never re-read, corpus-corpus pairs never re-form. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpusIdx = Dedup.minHashBandRel(docs.filter(col("doc_id") < 450))
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") >= 450), corpusIdx, 0.5)
+  }
+
   private def q23(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
@@ -257,7 +267,8 @@ object TextQueries {
     "q33_ann_ivf"        -> (q33 _),
     "q35_term_freq"      -> (q35 _),
     "q48_cc_clusters"    -> (q48 _),
-    "q49_span_dedup"     -> (q49 _))
+    "q49_span_dedup"     -> (q49 _),
+    "q71_incr_neardup"   -> (q71 _))
 
   // ------------------------------------------------------------------ //
 
@@ -761,6 +772,44 @@ object TextQueries {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT DISTINCT doc_a, doc_b, jac FROM verified WHERE jac >= 0.6""".stripMargin,
+    "q71_incr_neardup" ->
+      s"""WITH shing AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i, 5))) AS tk
+         |  FROM documents
+         |), shashed AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(tk, t ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+         |             (acc, c) -> (acc * 31 + c) % 1000000007))) AS hs
+         |  FROM shing
+         |), sigs AS (
+         |  SELECT doc_id, hs,
+         |         $sigEntries AS sig
+         |  FROM shashed
+         |), banded AS (
+         |  SELECT doc_id, $bandEntries AS bnds FROM sigs
+         |), eb AS (
+         |  SELECT s.doc_id, h.hs, unnest([1,2,3,4]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM banded s JOIN shashed h USING (doc_id)
+         |), newe AS (
+         |  SELECT * FROM eb WHERE doc_id >= 450
+         |), corp AS (
+         |  SELECT * FROM eb WHERE doc_id < 450
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${duckJaccard("a.hs", "b.hs")} AS jac, TRUE AS vs_corpus
+         |  FROM newe a JOIN corp b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  UNION ALL
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ${duckJaccard("a.hs", "b.hs")} AS jac, FALSE AS vs_corpus
+         |  FROM newe a JOIN newe b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT DISTINCT doc_a, doc_b, jac, vs_corpus FROM cand WHERE jac >= 0.5""".stripMargin,
     "q22_simhash" ->
       s"""WITH $toksCte, counts AS (
          |  SELECT doc_id, tk,

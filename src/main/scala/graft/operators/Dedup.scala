@@ -50,33 +50,11 @@ object Dedup {
     * caller controls when it is unpersisted. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit): DataFrame = {
-    // 5-gram char shingles, not token sets: the synthetic corpus shares
-    // one small vocabulary, so token-set jaccard is degenerately high
-    // (~all pairs ≥0.4); shingles capture word order and separate real
-    // near-dups (J≥0.6) from background (J<0.3).
-    // Compute shingle-hash sets + signature ONCE and cache: the
-    // self-join would otherwise re-run the hashing pipeline per side.
-    // Jaccard is verified on the distinct HASH sets, not the string
-    // shingles — integer arrays are ~2× lighter to shuffle/intersect,
-    // and (modulo shared-by-both-engines hash collisions) the ratio is
-    // the same; the oracle mirrors this exactly.
-    val sigs = docs
-      .select(col("doc_id"),
-        HashExpressions.shingleHashes(col("text"), 5).as("hs"))
-      .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
-      .cache()
-    pin(sigs)
-    // materialize eagerly: the self-join's two input stages are
-    // scheduled concurrently, so both would miss a lazy cache and run
-    // the hashing pipeline anyway (same race as Similarity's IVF
-    // index build) — this IS the signature-build step
-    sigs.count()
     // Single bucket self-join carrying the hash arrays (4 bands ×
     // O(docs) rows of ~3.6 KB each side — far cheaper than joining
     // arrays back onto the candidate-pair list), verify jaccard inside
     // the join, and dedupe only the (few) passing pairs at the end.
-    val bandRel = sigs.select(col("doc_id"), col("hs"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val bandRel = minHashBandRel(docs, pin)
     val a = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = bandRel.select(col("band_idx"), col("band_hash"),
@@ -87,6 +65,74 @@ object Dedup {
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
+      .distinct()
+  }
+
+  /** The minhash LSH band relation — (doc_id, hs, band_idx,
+    * band_hash), one row per document per band. This IS the dedup
+    * index: persist it partitioned/bucketed by (band_idx, band_hash)
+    * and incremental batches join it without touching document text
+    * (see [[incrementalNearDupPairs]]).
+    *
+    * 5-gram char shingles, not token sets: the synthetic corpus shares
+    * one small vocabulary, so token-set jaccard is degenerately high
+    * (~all pairs ≥0.4); shingles capture word order and separate real
+    * near-dups (J≥0.6) from background (J<0.3). Jaccard downstream is
+    * verified on the distinct HASH sets, not the string shingles —
+    * integer arrays are ~2× lighter to shuffle/intersect, and (modulo
+    * shared-by-both-engines hash collisions) the ratio is the same;
+    * the oracle mirrors this exactly.
+    *
+    * The signature intermediate is computed ONCE, cached, and handed to
+    * `pin` (a downstream self-join would otherwise re-run the hashing
+    * pipeline per side); materialized eagerly because a join's two
+    * input stages are scheduled concurrently and would both miss a
+    * lazy cache (same race as Similarity's IVF index build). */
+  def minHashBandRel(docs: DataFrame,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"),
+        HashExpressions.shingleHashes(col("text"), 5).as("hs"))
+      .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
+      .cache()
+    pin(sigs)
+    sigs.count()
+    sigs.select(col("doc_id"), col("hs"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental near-dup detection — the production shape of minhash
+    * dedup at 100 TB: a daily increment must NOT re-pair the whole
+    * corpus. New documents are signed and joined against the PERSISTED
+    * corpus band index ([[minHashBandRel]] — at scale a bucketed table
+    * on (band_idx, band_hash), making this join shuffle-free on the
+    * corpus side), plus a self-join among the new batch itself; the
+    * existing corpus is never re-paired against itself and its text is
+    * never re-read.
+    *
+    * Output: doc_a, doc_b, jac, vs_corpus (true = the match is against
+    * an indexed corpus doc; false = new-new). doc_a is always the new
+    * document; id order within new-new pairs follows
+    * [[minHashLshPairs]] (doc_a < doc_b). */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
+      threshold: Double, pin: DataFrame => Unit = _ => ()): DataFrame = {
+    val newBands = minHashBandRel(newDocs, pin)
+    val a = newBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val corpus = corpusBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val vsCorpus = a.join(corpus, Seq("band_idx", "band_hash"))
+      .withColumn("vs_corpus", lit(true))
+    val b = newBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val vsNew = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("vs_corpus", lit(false))
+    vsCorpus.unionByName(vsNew)
+      .withColumn("jac",
+        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac", "vs_corpus")
       .distinct()
   }
 

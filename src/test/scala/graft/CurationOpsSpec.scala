@@ -87,6 +87,30 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  Incremental near-dup                                             //
+  // ---------------------------------------------------------------- //
+
+  test("incrementalNearDupPairs: equals the full-batch pairs touching the increment") {
+    // the invariant that makes incremental dedup sound: indexing the
+    // corpus once and joining the new batch yields EXACTLY the
+    // full-batch LSH pairs that involve a new document
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 150L
+    val full = Dedup.minHashLshPairs(docs, 0.5)
+      .filter(col("doc_a") >= cut || col("doc_b") >= cut)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"), col("jac"))
+    val idx = Dedup.minHashBandRel(docs.filter(col("doc_id") < cut))
+    val incr = Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") >= cut), idx, 0.5)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"), col("jac"))
+    assert(full.exceptAll(incr).isEmpty && incr.exceptAll(full).isEmpty)
+    assert(incr.count() > 0) // non-vacuous at this threshold
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  // ---------------------------------------------------------------- //
   //  Sequence packing                                                 //
   // ---------------------------------------------------------------- //
 
