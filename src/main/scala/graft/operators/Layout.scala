@@ -73,4 +73,73 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(xCol).as("x_min"), max(xCol).as("x_max"),
         min(yCol).as("y_min"), max(yCol).as("y_max"))
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived lake table needs: streaming/incremental writers leave
+    * thousands of KB-sized files per partition dir, and at 100 TB the
+    * scan cost becomes task scheduling and footer reads instead of IO.
+    * Rewrites a parquet-backed DataFrame to ~`targetBytes` files.
+    *
+    * Sizing uses the table's actual on-disk bytes (the compressed
+    * parquet footprint — one filesystem listing, no data read).
+    * Unpartitioned tables round-robin into ⌈bytes/target⌉ files — no
+    * key skew can recreate the small files. Partitioned tables are
+    * sized PER PARTITION DIRECTORY: each input file carries its dir's
+    * ⌈dirBytes/target⌉ salt modulus (a broadcast file→modulus map
+    * joined on `input_file_name()`), and the shuffle keys on
+    * (partition cols, salt) — so a dir with 3 GB gets 3 files and a
+    * dir with 10 KB gets exactly 1, instead of every task writing a
+    * sliver into every dir. Dynamic partition overwrite keeps the
+    * rewrite idempotent and safe to run over a subset of a live
+    * table's history.
+    *
+    * Returns (filesBefore, filesAfter) observed on disk. */
+  def compact(df: DataFrame, outDir: String, targetBytes: Long,
+      partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileLen(f: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    def countOut(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext)
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
+    }
+    val inFiles = df.inputFiles
+    val before = inFiles.length.toLong
+    val nFiles = (bytes: Long) =>
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val compacted =
+      if (partitionCols.isEmpty) {
+        val total = inFiles.map(fileLen).sum
+        df.repartition(nFiles(total).toInt)
+      } else {
+        val parentOf = (f: String) => f.substring(0, f.lastIndexOf('/'))
+        val dirBytes = inFiles.groupBy(parentOf)
+          .view.mapValues(_.map(fileLen).sum).toMap
+        val saltMod = inFiles.toSeq
+          .map(f => (f, nFiles(dirBytes(parentOf(f)))))
+          .toDF("_file", "_mod")
+        df.withColumn("_file", input_file_name())
+          .join(broadcast(saltMod), Seq("_file"))
+          .withColumn("_salt", pmod(monotonically_increasing_id(), col("_mod")))
+          .repartition(partitionCols.map(col) :+ col("_salt"): _*)
+          .drop("_file", "_mod", "_salt")
+      }
+    val writer = compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(outDir)
+    (before, countOut(outDir))
+  }
 }

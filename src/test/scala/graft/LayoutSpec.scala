@@ -84,4 +84,46 @@ class LayoutSpec extends AnyFunSuite {
     // 2-D box: z-order reads no more than the single-key layout
     assert(hits(zDir, 100, 150, 100, 150) <= hits(xDir, 100, 150, 100, 150))
   }
+
+  test("compact: unpartitioned round-robin hits the byte-sized file count") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("compact_in").toString
+    val outDir = Files.createTempDirectory("compact_out").toString + "/t"
+    spark.range(10000).select(col("id"), (col("id") * 31).as("v"))
+      .repartition(40) // simulate a streaming writer's file spray
+      .write.mode("overwrite").parquet(inDir)
+    val table = spark.read.parquet(inDir)
+    val totalBytes = table.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
+    val target = totalBytes / 4 + 1 // expect ~4 output files
+    val (before, after) = Layout.compact(table, outDir, target)
+    assert(before == 40L)
+    assert(after >= 3L && after <= 5L, s"got $after files")
+    // identical data after the rewrite
+    val out = spark.read.parquet(outDir)
+    assert(out.exceptAll(table).isEmpty && table.exceptAll(out).isEmpty)
+  }
+
+  test("compact: partitioned tables size files per partition dir") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("compactp_in").toString
+    val outDir = Files.createTempDirectory("compactp_out").toString + "/t"
+    // 3 date partitions × 20 sliver files each
+    spark.range(3000)
+      .select(col("id"), concat(lit("d"), col("id") % 3).as("day"))
+      .repartition(20)
+      .write.mode("overwrite").partitionBy("day").parquet(inDir)
+    val table = spark.read.parquet(inDir)
+    val (before, after) =
+      Layout.compact(table, outDir, 1L << 30, partitionCols = Seq("day"))
+    assert(before == 60L, s"expected 60 sliver files, got $before")
+    assert(after == 3L, s"expected 1 file per dir, got $after")
+    val out = spark.read.parquet(outDir)
+      .select("id", "day") // partition col comes back as string
+    assert(out.exceptAll(table.select("id", "day")).isEmpty &&
+      table.select("id", "day").exceptAll(out).isEmpty)
+  }
 }
