@@ -107,6 +107,24 @@ object TextQueries {
       docs.filter(col("doc_id") >= 450), corpusIdx, 0.5)
   }
 
+  /** Fuzzy duplicate pairs: (lang, source)-blocked, edit distance
+    * ≤ 90 with the lossless length-band prefilter. */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, d),
+      Seq("lang", "source"), maxDist = 90)
+
+  /** JL random projection 64 → 16 dims: per-vector norm preservation
+    * evidence (ratio ≈ 1 ± 1/√16). */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val proj = Similarity.randomProjection(emb, 16)
+    emb.join(proj, "vec_id")
+      .select(col("vec_id"),
+        Similarity.l2Norm(col("embedding")).as("norm_full"),
+        sqrt(Similarity.dot(col("proj"), col("proj"))).as("norm_proj"))
+      .withColumn("ratio", col("norm_proj") / col("norm_full"))
+  }
+
   private def q23(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
@@ -268,7 +286,9 @@ object TextQueries {
     "q35_term_freq"      -> (q35 _),
     "q48_cc_clusters"    -> (q48 _),
     "q49_span_dedup"     -> (q49 _),
-    "q71_incr_neardup"   -> (q71 _))
+    "q71_incr_neardup"   -> (q71 _),
+    "q72_fuzzy_editdist" -> (q72 _),
+    "q73_rand_proj"      -> (q73 _))
 
   // ------------------------------------------------------------------ //
 
@@ -810,6 +830,32 @@ object TextQueries {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT DISTINCT doc_a, doc_b, jac, vs_corpus FROM cand WHERE jac >= 0.5""".stripMargin,
+    "q72_fuzzy_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 90
+        |WHERE levenshtein(a.text, b.text) <= 90""".stripMargin,
+    "q73_rand_proj" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS norm_full,
+         |         ${(0 until 16).map { j =>
+               val h = s"(${TextFunctions.LshA(j)}*i + ${TextFunctions.LshB(j)})"
+               s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+                 s"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+                 s"(CASE WHEN (($h * $h) % 1000000007) % 2 = 0 " +
+                 s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))), (acc, v) -> acc + v) / 4.0"
+             }.mkString("[", ",\n           ", "]")} AS p
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, norm_full,
+         |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list_transform(p, v -> v * v)), (acc, v) -> acc + v)) AS norm_proj,
+         |       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |              list_transform(p, v -> v * v)), (acc, v) -> acc + v)) / norm_full AS ratio
+         |FROM proj""".stripMargin,
     "q22_simhash" ->
       s"""WITH $toksCte, counts AS (
          |  SELECT doc_id, tk,

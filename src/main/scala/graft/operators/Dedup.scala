@@ -270,6 +270,39 @@ object Dedup {
     labels
   }
 
+  /** Fuzzy duplicate pairs by bounded edit distance — the
+    * entity-resolution flavor of near-dup: catches small in-place
+    * edits (typo fixes, template variable substitutions) that shingle
+    * jaccard under-weights and token sets miss entirely.
+    *
+    * Cost discipline: Levenshtein is O(len²) PER PAIR, so the operator
+    * never runs it on an unbounded pair set — candidates come from an
+    * explicit block equi-join, a length band (|len_a − len_b| ≤ maxDist
+    * is a lower bound on edit distance, so the prefilter is lossless)
+    * cuts the survivors, and the distance itself runs with Spark's
+    * early-abandon threshold form (`levenshtein(a, b, k)` returns −1
+    * past k, abandoning the DP row scan early). Output: doc_a, doc_b,
+    * dist — exactly the pairs at distance ≤ maxDist. */
+  def editDistancePairs(docs: DataFrame, blockCols: Seq[String],
+      maxDist: Int): DataFrame = {
+    val base = docs.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        col("text") :+ length(col("text")).as("len"): _*)
+    val a = base.select(
+      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+        col("text").as("t_a") :+ col("len").as("len_a"): _*)
+    val b = base.select(
+      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+        col("text").as("t_b") :+ col("len").as("len_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** Semantic deduplication, cluster-then-prune (the SemDeDup shape —
     * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): assign every embedding to its

@@ -190,6 +190,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Random ±1 projection to `k` dimensions (the Achlioptas form of
+    * Johnson–Lindenstrauss): component j of the output is
+    * (Σ_i emb[i]·s_ij)/√k with signs s_ij from the integer-hash
+    * hyperplane family ([[graft.functions.HashExpressions.LshProjections]]
+    * — the SAME construction q25's LSH uses, reused here as a dense
+    * projection instead of sign buckets). The workhorse dimensionality
+    * reduction at 100 TB: norms and pairwise distances survive to
+    * within 1±ε while downstream similarity work (brute force, IVF,
+    * near-dup gating) shrinks by dim/k. Pure narrow map, codegen'd
+    * fold, no UDF, no fitting step — and because signs are exact
+    * integer parity, the projection is bit-reproducible cross-engine
+    * (q73's oracle). √k must be exact (k a perfect square → power-of-2
+    * division) for the scaling to stay bit-exact; k=16 is. Output:
+    * vec_id, proj (array<double>, length k). */
+  def randomProjection(embeddings: DataFrame, k: Int): DataFrame = {
+    val scale = math.sqrt(k.toDouble)
+    embeddings.select(col("vec_id"),
+      transform(
+        graft.functions.HashExpressions.lshProjections(col("embedding"), k),
+        p => p / scale).as("proj"))
+  }
+
   /** Banded random-hyperplane LSH top-k (the scale path when the query
     * set is the whole table).
     *

@@ -111,6 +111,70 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  Fuzzy edit-distance pairs                                        //
+  // ---------------------------------------------------------------- //
+
+  test("editDistancePairs: blocked, thresholded, exact distances") {
+    val docs = Seq(
+      (1L, "b1", "kitten sat here"),
+      (2L, "b1", "sitten sat here"), // dist 1 from doc 1
+      (3L, "b1", "totally different words"),
+      (4L, "b2", "kitten sat here") // same text, other block → no pair
+    ).toDF("doc_id", "blk", "text")
+    val out = Dedup.editDistancePairs(docs, Seq("blk"), maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs: length band never drops a qualifying pair") {
+    // |len_a - len_b| <= maxDist is a lower bound on edit distance, so
+    // the prefilter is lossless — compare against the unfiltered form
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val brute = docs.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source"), col("text").as("t_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang"),
+        col("source"), col("text").as("t_b")), Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("dist") <= 90)
+      .select("doc_a", "doc_b", "dist")
+    val fast = Dedup.editDistancePairs(docs, Seq("lang", "source"), 90)
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Random projection                                                //
+  // ---------------------------------------------------------------- //
+
+  test("randomProjection: JL norm preservation on real embeddings") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val stats = emb.join(Similarity.randomProjection(emb, 16), "vec_id")
+      .select((sqrt(Similarity.dot(col("proj"), col("proj"))) /
+        Similarity.l2Norm(col("embedding"))).as("ratio"))
+      .agg(avg("ratio"), min("ratio"), max("ratio"), count(lit(1)))
+      .first()
+    assert(stats.getLong(3) > 0)
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.15,
+      s"mean ratio ${stats.getDouble(0)} drifted from 1")
+    assert(stats.getDouble(1) > 0.3 && stats.getDouble(2) < 2.0,
+      s"ratio range [${stats.getDouble(1)}, ${stats.getDouble(2)}] implausible for k=16")
+  }
+
+  test("randomProjection: linear (projection of a sum = sum of projections)") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => (2 * i).toFloat)),
+      (2L, Array.tabulate(8)(i => (3 * i + 1).toFloat)) // = v0 + v1
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(vecs, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val summed = p(0L).zip(p(1L)).map { case (a, b) => a + b }
+    assert(summed.zip(p(2L)).forall { case (s, c) => math.abs(s - c) < 1e-9 })
+  }
+
+  // ---------------------------------------------------------------- //
   //  Sequence packing                                                 //
   // ---------------------------------------------------------------- //
 
