@@ -39,11 +39,16 @@ object CurationQueries {
     Corpus.importanceWeights(Tables.documents(s, d),
       col("source") === "src0")
 
+  /** q74 — deterministic training-order shuffle, seed 42. */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Corpus.shuffleRank(Tables.documents(s, d), seed = 42L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_semdedup"      -> (q67 _),
     "q68_bloom_decontam" -> (q68 _),
     "q69_seq_packing"   -> (q69 _),
-    "q70_importance"    -> (q70 _))
+    "q70_importance"    -> (q70 _),
+    "q74_shuffle_rank"  -> (q74 _))
 
   // ------------------------------------------------------------------ //
 
@@ -146,5 +151,18 @@ object CurationQueries {
         |            ELSE s.score_sum // s.n_tokens END AS avg_score,
         |       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN 0
         |            ELSE s.score_sum // s.n_tokens END >= thr.thr AS target_like
-        |FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN thr""".stripMargin)
+        |FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN thr""".stripMargin,
+    "q74_shuffle_rank" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |         ${TextQueries.duckPolyHash("('42:' || CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id,
+         |         ((h * h) % 1000000007) * ((h * h) % 1000000007) % 1000000007 AS shuffle_key
+         |  FROM hashed
+         |)
+         |SELECT doc_id, shuffle_key,
+         |       row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
+         |FROM keyed""".stripMargin)
 }

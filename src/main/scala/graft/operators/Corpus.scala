@@ -400,6 +400,46 @@ object Corpus {
       .select("doc_id", "n_tokens", "score_sum", "avg_score", "target_like")
   }
 
+  /** Deterministic training-order shuffle with a GLOBAL rank — the
+    * export step of a curated corpus: training wants documents in a
+    * reproducible pseudo-random order (same seed → same order, on any
+    * cluster, any partitioning), with an explicit position so shards
+    * and resume points are addressable.
+    *
+    * Order key: the polynomial hash of "seed:doc_id" alone is NOT a
+    * shuffle — a base-31 polynomial is monotone in the trailing digits
+    * for same-length ids (observed: near-identity permutations), so
+    * the hash is scrambled by squaring mod P twice (the same
+    * square-for-independence trick the LSH plane family uses; one
+    * squaring still leaves adjacent runs when the hash lands near
+    * P/2). All integer arithmetic — an external SQL engine reproduces
+    * the permutation exactly (q74's oracle) — with doc_id as
+    * tiebreak. The global rank
+    * is NOT a global window (single-partition sort — the q04 anti-
+    * pattern): rows are range-partitioned on the key, sorted within
+    * partitions, and ranked two-phase à la `zipWithIndex` — count per
+    * partition, prefix-sum the offsets on the driver (numPartitions
+    * longs, not data), add the local index. One range shuffle total,
+    * every stage parallel. Output: doc_id, shuffle_key, rank (1-based). */
+  def shuffleRank(docs: DataFrame, seed: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val P = 1000000007L
+    val h = HashExpressions.polyHash(
+      concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
+    val h2 = pmod(h * h, lit(P))
+    val keyed = docs
+      .select(col("doc_id"), pmod(h2 * h2, lit(P)).as("shuffle_key"))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+    val ranked = keyed.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i + 1L)
+    }
+    spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(keyed.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "rank", org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Sub-document duplication signal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the n-gram
     * approximation of their suffix-array ExactSubstr): for every

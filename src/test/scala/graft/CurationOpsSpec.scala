@@ -203,6 +203,26 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  //  Deterministic shuffle rank                                       //
+  // ---------------------------------------------------------------- //
+
+  test("shuffleRank: a bijective rank, invariant to input partitioning") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r1 = Corpus.shuffleRank(docs, seed = 7L)
+    val r2 = Corpus.shuffleRank(docs.repartition(13), seed = 7L)
+    val n = docs.count()
+    // ranks are exactly 1..n
+    assert(r1.agg(min("rank"), max("rank"), countDistinct("rank"))
+      .first().toSeq == Seq(1L, n, n))
+    // same seed → identical permutation, regardless of partitioning
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+    // different seed → different permutation
+    val r3 = Corpus.shuffleRank(docs, seed = 8L)
+    assert(r3.select("doc_id", "rank").exceptAll(
+      r1.select("doc_id", "rank")).count() > 0)
+  }
+
+  // ---------------------------------------------------------------- //
   //  Importance weighting                                             //
   // ---------------------------------------------------------------- //
 
