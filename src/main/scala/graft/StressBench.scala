@@ -293,6 +293,21 @@ object StressBench {
         .agg(sum("seq_tokens")).first().getLong(0) % 1000000
     }
 
+    // --- stage 15b: blocked fuzzy edit distance ---------------------- //
+    // the honest cost of the exact operator: a Levenshtein DP per
+    // surviving pair dominates everything else in this file (~480-char
+    // texts ⇒ ~10 µs/pair even with the threshold band). 10 k docs over
+    // 2 000 blocks ≈ 20 k pair-DPs — the full self-join form is a
+    // backfill tool; steady state runs the incremental variant (pair
+    // volume ∝ increment, not corpus²/blocks)
+    timed("fuzzy_edit_distance_10k", 10000L) {
+      graft.operators.Dedup.editDistancePairs(
+          docsWithId.limit(10000)
+            .withColumn("blk", pmod(col("doc_id"), lit(2000))),
+          Seq("blk"), maxDist = 60)
+        .count()
+    }
+
     // --- stage 15: importance weighting ------------------------------ //
     // DSIR-shaped scoring of the full corpus against the s0 slice: one
     // token explode, term-keyed weight join, doc-keyed partial agg

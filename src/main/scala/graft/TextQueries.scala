@@ -107,11 +107,18 @@ object TextQueries {
       docs.filter(col("doc_id") >= 450), corpusIdx, 0.5)
   }
 
-  /** Fuzzy duplicate pairs: (lang, source)-blocked, edit distance
-    * ≤ 90 with the lossless length-band prefilter. */
-  private def q72(s: SparkSession, d: String): DataFrame =
-    Dedup.editDistancePairs(Tables.documents(s, d),
+  /** Incremental fuzzy matching: the doc_id ≡ 0 (mod 7) slice arrives
+    * as a new batch and edit-distance-matches (≤ 90, (lang, source)
+    * blocks) against the rest — DP cost scales with the increment, not
+    * corpus²/blocks. (The full blocked self-join form is pinned by
+    * CurationOpsSpec against unfiltered brute force.) */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalEditDistancePairs(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
       Seq("lang", "source"), maxDist = 90)
+  }
 
   /** JL random projection 64 → 16 dims: per-vector norm preservation
     * evidence (ratio ≈ 1 ± 1/√16). */
@@ -831,9 +838,20 @@ object TextQueries {
          |)
          |SELECT DISTINCT doc_a, doc_b, jac, vs_corpus FROM cand WHERE jac >= 0.5""".stripMargin,
     "q72_fuzzy_editdist" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b
+      """WITH nw AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+        |     cp AS (SELECT * FROM documents WHERE doc_id % 7 != 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |       TRUE AS vs_corpus
+        |FROM nw a JOIN cp b
+        |  ON a.lang = b.lang AND a.source = b.source
+        | AND abs(length(a.text) - length(b.text)) <= 90
+        |WHERE levenshtein(a.text, b.text) <= 90
+        |UNION ALL
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |       FALSE AS vs_corpus
+        |FROM nw a JOIN nw b
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         | AND abs(length(a.text) - length(b.text)) <= 90
         |WHERE levenshtein(a.text, b.text) <= 90""".stripMargin,

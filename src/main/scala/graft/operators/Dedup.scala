@@ -303,6 +303,33 @@ object Dedup {
       .select("doc_a", "doc_b", "dist")
   }
 
+  /** Incremental fuzzy matching — [[editDistancePairs]] in the shape a
+    * 100 TB pipeline actually runs it (the [[incrementalNearDupPairs]]
+    * framing): Levenshtein is O(len²) per pair, so the full blocked
+    * self-join is a one-time backfill at most; steady state matches
+    * each INCREMENT against the corpus, and pair volume scales with
+    * |increment|·|block|, not |corpus|²/blocks. Output: doc_a (new),
+    * doc_b, dist, vs_corpus (false = both endpoints new, emitted once
+    * with doc_a < doc_b). */
+  def incrementalEditDistancePairs(newDocs: DataFrame, corpus: DataFrame,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, textAs: String, lenAs: String) =
+      df.select(
+        (col("doc_id").as(idAs) +: blockCols.map(col)) :+
+          col("text").as(textAs) :+ length(col("text")).as(lenAs): _*)
+    val vsCorpus = prep(newDocs, "doc_a", "t_a", "len_a")
+      .join(prep(corpus, "doc_b", "t_b", "len_b"), blockCols)
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("doc_a", "doc_b", "dist")
+      .withColumn("vs_corpus", lit(true))
+    val vsNew = editDistancePairs(newDocs, blockCols, maxDist)
+      .withColumn("vs_corpus", lit(false))
+    vsCorpus.unionByName(vsNew)
+  }
+
   /** Semantic deduplication, cluster-then-prune (the SemDeDup shape —
     * Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): assign every embedding to its

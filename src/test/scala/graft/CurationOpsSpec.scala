@@ -126,6 +126,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("incrementalEditDistancePairs: equals the full-batch pairs touching the increment") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val isNew = pmod(col("doc_id"), lit(3)) === 0
+    val full = Dedup.editDistancePairs(docs, Seq("lang", "source"), 90)
+    val fullIds = docs.filter(isNew).select(col("doc_id").as("nid"))
+    val touching = full
+      .join(fullIds, col("doc_a") === col("nid") || col("doc_b") === col("nid"), "leftsemi")
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"), col("dist"))
+      .distinct()
+    val incr = Dedup.incrementalEditDistancePairs(
+        docs.filter(isNew), docs.filter(!isNew), Seq("lang", "source"), 90)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"), col("dist"))
+      .distinct()
+    assert(touching.exceptAll(incr).isEmpty && incr.exceptAll(touching).isEmpty)
+  }
+
   test("editDistancePairs: length band never drops a qualifying pair") {
     // |len_a - len_b| <= maxDist is a lower bound on edit distance, so
     // the prefilter is lossless — compare against the unfiltered form
