@@ -291,7 +291,8 @@ object Corpus {
     * ship, exact join where it matters. Output: doc_id, n_grams,
     * n_matched, contaminated. */
   def contaminationCheckBloom(docs: DataFrame, probes: DataFrame, n: Int,
-      minMatches: Int, fpp: Double = 0.01): DataFrame = {
+      minMatches: Int, fpp: Double = 0.01,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val gramHashes = this.gramHashes(n) _
     val probeG = probes
       .select(explode(gramHashes(tokens(col("text")))).as("g"))
@@ -302,15 +303,26 @@ object Corpus {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val mightContain = udf(new BloomContains(bos.toByteArray))
+    // The gram table is computed ONCE, cached, and eagerly
+    // materialized (lifecycle via `pin` as in Dedup.minHashBandRel):
+    // the plan below reads `grams` three times (size, bloom filter,
+    // explode), and projection collapse would otherwise inline the
+    // expensive hash pipeline into every reference — measured 3×
+    // the whole operator's cost. At 100 TB this intermediate is the
+    // gram INDEX a pipeline materializes to disk once per corpus
+    // version, exactly like the minhash band index.
     val g = docs
       .select(col("doc_id"), gramHashes(tokens(col("text"))).as("grams"))
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        filter(col("grams"), mightContain(_)).as("cands"))
+      .cache()
+    pin(g)
+    g.count()
+    val pruned = g.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n_grams"),
+      filter(col("grams"), mightContain(_)).as("cands"))
     // explode_outer keeps zero-candidate docs as one null-gram row, so
     // the whole corpus flows through ONE pass — no second scan to
     // recover the n_matched=0 docs
-    val pairs = g.select(col("doc_id"), col("n_grams"),
+    val pairs = pruned.select(col("doc_id"), col("n_grams"),
       explode_outer(col("cands")).as("g"))
     pairs
       .join(probeG.withColumn("hit", lit(1L)), Seq("g"), "left")
