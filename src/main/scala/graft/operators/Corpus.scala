@@ -311,7 +311,7 @@ object Corpus {
     // the whole operator's cost. At 100 TB this intermediate is the
     // gram INDEX a pipeline materializes to disk once per corpus
     // version, exactly like the minhash band index.
-    val g = docs
+    val g = Parallelism.widen(docs)
       .select(col("doc_id"), gramHashes(tokens(col("text"))).as("grams"))
       .cache()
     pin(g)

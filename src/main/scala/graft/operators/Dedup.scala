@@ -90,7 +90,7 @@ object Dedup {
     * lazy cache (same race as Similarity's IVF index build). */
   def minHashBandRel(docs: DataFrame,
       pin: DataFrame => Unit = _ => ()): DataFrame = {
-    val sigs = docs
+    val sigs = Parallelism.widen(docs)
       .select(col("doc_id"),
         HashExpressions.shingleHashes(col("text"), 5).as("hs"))
       .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
@@ -142,8 +142,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       n: Int, threshold: Double): DataFrame = {
     // intersect on hashed shingles (integer arrays), same rationale and
-    // oracle-mirroring as minHashLshPairs
-    val sh = docs.select(
+    // oracle-mirroring as minHashLshPairs; widen() because the shingle
+    // hashing runs in the projection BEFORE the join exchange — on a
+    // single-partition input both join sides would hash on one core
+    val sh = Parallelism.widen(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+
         HashExpressions.shingleHashes(col("text"), n).as("sh"): _*)
     val a = sh.select(

@@ -138,7 +138,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cdf = centroids.toDF("cell", "centroid")
-    val dists = embeddings
+    val dists = Parallelism.widen(embeddings)
       .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(cdf))
       .withColumn("dist",

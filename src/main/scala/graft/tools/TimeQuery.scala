@@ -29,6 +29,10 @@ object TimeQuery {
       else names.toSeq.map(n => n -> all(n))
     qs.foreach { case (name, fn) =>
       fn(spark, sfDir).count() // warm
+      // drop caches the warm-up built: operators that cache internally
+      // would otherwise serve the timed run from memory and hide their
+      // build cost (Bench clears between queries for the same reason)
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
