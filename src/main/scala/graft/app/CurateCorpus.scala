@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *   1. quality filter (C4-style rule battery, keep only passing docs)
   *   2. exact dedup (keep the canonical min-id copy per content hash)
   *   3. minhash near-dup (drop the higher-id side of verified pairs)
-  *   4. benchmark decontamination (drop docs overlapping the probe set)
+  *   4. benchmark decontamination (bloom-prefiltered, exact confirm —
+  *      drop docs overlapping the probe set)
   *   5. hash-stratified sampling (per-language rates, reproducible)
-  *   6. context-window chunking (the training-ready output)
+  *   6. context-window chunking + deterministic training-order rank
+  *      (the training-ready output)
   *
   * Order matters and is load-bearing: exact dedup BEFORE similarity
   * (identical copies defeat LSH bucketing — measured in STRESS.md),
@@ -73,9 +75,14 @@ object CurateCorpus {
         .select(col("doc_b").as("doc_id")).distinct()
       val (near, nNear) = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
 
-      // 4. decontamination vs the probe set
+      // 4. decontamination vs the probe set — the bloom-prefiltered
+      // form (the corpus side sees the filter bits, only candidates
+      // reach the exact confirm join; result identical to the exact
+      // broadcast, see CurationOpsSpec); its gram index joins this
+      // run's cache lifecycle via the pin hook
       val contaminated = Corpus
-        .contaminationCheck(near, probes, n = 5, minMatches = 1)
+        .contaminationCheckBloom(near, probes, n = 5, minMatches = 1,
+          pin = pinned += _)
         .filter(col("contaminated")).select("doc_id")
       val (clean, nClean) = stage(near.join(contaminated, Seq("doc_id"), "left_anti"))
 
@@ -85,9 +92,14 @@ object CurateCorpus {
           sampleKeepOf, sampleDefaultKeep, sampleMod).select("doc_id"),
         "doc_id"))
 
-      // 6. chunk and write, partitioned by language
+      // 6. chunk, stamp the deterministic training order (same seed →
+      // same permutation on any cluster; readers shuffle-free by
+      // sorting on train_rank), and write partitioned by language
+      val order = Corpus.shuffleRank(sampled, seed = 42L)
+        .select(col("doc_id"), col("rank").as("train_rank"))
       val chunks = Corpus.chunkDocuments(sampled, chunkTokens, chunkStride)
         .join(sampled.select("doc_id", "lang"), "doc_id")
+        .join(order, "doc_id")
       chunks.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang")

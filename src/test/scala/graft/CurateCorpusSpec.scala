@@ -39,7 +39,10 @@ class CurateCorpusSpec extends AnyFunSuite {
     // output is lang-partitioned parquet; chunk sizes respect the cap
     val chunks = spark.read.parquet(out)
     assert(chunks.columns.toSet ==
-      Set("doc_id", "chunk_idx", "chunk_text", "n_tokens", "lang"))
+      Set("doc_id", "chunk_idx", "chunk_text", "n_tokens", "lang", "train_rank"))
+    // the training order is a bijection over surviving docs
+    assert(chunks.select("doc_id", "train_rank").distinct().count() ==
+      chunks.select("doc_id").distinct().count())
     assert(chunks.agg(max("n_tokens")).head().getLong(0) <= 32)
     assert(chunks.select("lang").distinct().count() >= 2)
 

@@ -56,4 +56,34 @@ class SketchCubeSpec extends AnyFunSuite {
     val got = rolled.agg(sum("n_rows")).first().getLong(0)
     assert(got == fact.count())
   }
+
+  test("the same cube build runs under readStream with batch-identical estimates") {
+    // mergeable sketches are what make the cube maintainable
+    // incrementally: the streaming aggregation unions per-batch
+    // register states, and the final estimates equal the batch build
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("skc_in")
+    val ckpt = java.nio.file.Files.createTempDirectory("skc_ck")
+    val src = fact.select("event_type", "user_id")
+    // two "micro-batch" files
+    src.filter(col("user_id") % 2 === 0).write.parquet(dir + "/b1")
+    src.filter(col("user_id") % 2 =!= 0).write.parquet(dir + "/b2")
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir + "/*")
+    val q = SketchCube.build(stream, Seq("event_type"), "user_id")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("skc_out")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = SketchCube.estimate(spark.table("skc_out"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val batch = SketchCube.estimate(
+          SketchCube.build(src, Seq("event_type"), "user_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
