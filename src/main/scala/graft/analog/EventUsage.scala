@@ -53,7 +53,14 @@ object EventUsage {
     * oracle hash-matches bit-for-bit.
     */
   def usageFact(spark: SparkSession, dir: String): DataFrame = {
-    val ev = attempts(graft.Tables.events(spark, dir))
+    // widen() the RAW table (inside attempts' projection the exchange
+    // would land ABOVE the parse and leave it single-core): the JSON
+    // prop extraction, hour fan-out, and map-side partial aggregate
+    // are the heavy narrow stages, and a single-file events input
+    // would run them all on one core (no shuffle above them for AQE
+    // to re-plan)
+    val ev = attempts(graft.operators.Parallelism.widen(
+      graft.Tables.events(spark, dir)))
     val exploded = HourProration.explodeHours(ev, col("startMs"), col("finishMs"))
     exploded
       .withColumn(
