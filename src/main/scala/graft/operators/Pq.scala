@@ -56,21 +56,25 @@ object Pq {
     * information per vector.
     *
     * Plan shape: a crossJoin against the ≤ m·k broadcast codebook
-    * rows (never vector×vector), a per-(vec, sub) window for the
-    * argmin, one aggregation to assemble the code array — all narrow
-    * per-vector work that scales linearly with the table. */
+    * rows (never vector×vector), a hash-aggregate argmin per
+    * (vec, sub) — `min(struct(dist, code))` is the (dist, code)
+    * ordering, with map-side partial combine and no sort of the
+    * N·m·k distance rows (the [[Similarity.buildIvfIndex]] lesson) —
+    * then one aggregation to assemble the code array. All narrow
+    * per-vector work that scales linearly with the table; widen()
+    * because every stage up to the first exchange inherits the
+    * input's partitioning. */
   def encode(embeddings: DataFrame,
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame = {
     val cb = codebookDF(embeddings, codebooks)
-    embeddings
+    Parallelism.widen(embeddings)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cb))
       .withColumn("dist", subDist(col("embedding"), col("cent"), col("sub"), dsub))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("code"))))
-      .filter(col("pr") === 1)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
       .groupBy("vec_id")
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("m.code")))),
         s => s.getField("code")).as("codes"))
   }
 
