@@ -146,4 +146,60 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
     }
   }
+
+  test("packSequences reference check on random docs: bins match a scala fold") {
+    val docs = (0L until 80L)
+      .map(i => (i, s"s${rnd.nextInt(3)}",
+        Seq.fill(rnd.nextInt(40) + 1)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.packSequences(docs, budget = 64L, nShards = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // independent reference: group → sort → running sum → bin
+    val ref = docs.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+      .groupBy { case (id, src, _) => (src, id % 4) }
+      .toSeq
+      .flatMap { case ((src, shard), rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (_, _, n) =>
+          val bin = cum / 64L
+          cum += n
+          ((src, shard, bin), n)
+        }
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.size.toLong, vs.map(_._2).sum)) }
+    assert(got == ref)
+  }
+
+  test("shuffleRank on random sparse id sets: rank is the sort order of the key") {
+    val ids = rnd.shuffle((0L until 10000L).toList).take(200)
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val got = Corpus.shuffleRank(docs, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent reference: the same squared polyhash in scala
+    val P = 1000000007L
+    def key(i: Long): Long = {
+      val h = s"5:$i".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+      val h2 = h * h % P
+      h2 * h2 % P
+    }
+    got.foreach { case (id, k, _) => assert(k == key(id)) }
+    val expectedOrder = ids.sortBy(i => (key(i), i))
+    assert(got.sortBy(_._3).map(_._1).toList == expectedOrder)
+  }
+
+  test("randomProjection norm identity on ±axis vectors") {
+    // a one-hot vector's projection components are ±1/√k, so its
+    // projected norm is exactly 1 for any k that is a power of 4
+    val vecs = (0 until 8)
+      .map(i => (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val norms = graft.operators.Similarity.randomProjection(vecs, 16)
+      .select(sqrt(graft.operators.Similarity.dot(col("proj"), col("proj"))))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(n == 1.0))
+  }
 }
