@@ -118,7 +118,7 @@ object CurationQueries {
         |    (PARTITION BY source, shard ORDER BY doc_id) AS cum
         |  FROM t
         |)
-        |SELECT source, shard, (cum - n_tok) // 256 AS seq_id,
+        |SELECT source, shard, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

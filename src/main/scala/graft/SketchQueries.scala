@@ -129,7 +129,7 @@ object SketchQueries {
          |  SELECT term, cnt AS true_cnt, h FROM th
          |  ORDER BY cnt DESC, term LIMIT 20
          |), est AS (
-         |  SELECT e.term, min(coalesce(c.cell_cnt, 0)) AS est_cnt
+         |  SELECT e.term, CAST(min(coalesce(c.cell_cnt, 0)) AS BIGINT) AS est_cnt
          |  FROM exact e, LATERAL (
          |    SELECT unnest(range(0, 4)) AS row,
          |           unnest($cmsPosList) AS pos

@@ -307,6 +307,112 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Per-query-term frequency counts over the whitespace tokens of a
+    * text column, one tokenization pass per row — the keyword-search
+    * (q59) hot path. Equals `terms.map(t => size(filter(tokens(text),
+    * x => x === t)))` but does ONE scan of the text instead of
+    * |terms| interpreted filter lambdas over a materialized token
+    * array. Tokens are maximal runs of non-whitespace (Java regex
+    * `\s` = space \t \n \x0B \f \r — the same class `split(text,
+    * "\\s+")` uses), so counts match the HOF formulation and the
+    * DuckDB `string_split_regex` oracle exactly.
+    *
+    * CodegenFallback is deliberate (same rationale as
+    * [[LshProjections]]): the counts array feeds |terms| downstream
+    * getItem consumers, and letting the fold inline into each of them
+    * re-tokenizes the document per term; the fallback boundary
+    * materializes the array once per row. */
+  case class TermFreqs(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(terms.nonEmpty, "at least one term")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "term_freqs"
+
+    @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](terms.size * 2)
+      terms.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+      m
+    }
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val counts = new Array[Long](terms.size)
+      val len = s.length
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val hit = idx.get(s.substring(start, i))
+          if (hit != null) counts(hit) += 1L
+        }
+      }
+      new GenericArrayData(counts)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TermFreqs =
+      copy(child = c)
+  }
+
+  /** Sorted polynomial hashes of the DISTINCT whitespace tokens of a
+    * text column — one pass, equal to
+    * `array_sort(tokenHashes(tokenSet(text)))` (distinct applies to
+    * token STRINGS first, so two distinct tokens colliding to one hash
+    * value keep both copies, exactly like the HOF/oracle form) but
+    * without the per-character `aggregate(split(t, ''))` lambda per
+    * token. Sorted output feeds [[SortedJaccard]] directly. Single
+    * downstream consumer → ref-object codegen keeps the enclosing
+    * WholeStageCodegen stage intact (see [[ShingleHashes]] note). */
+  case class TokenHashSet(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_hash_set"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenHashSetExpr", this,
+        classOf[TokenHashSet].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val seen = new java.util.HashSet[String]()
+      val hashes = new java.util.ArrayList[java.lang.Long]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) {
+          val tok = s.substring(start, i)
+          if (seen.add(tok)) {
+            var h = 0L
+            var j = 0
+            while (j < tok.length) { h = (h * 31 + tok.charAt(j)) % P; j += 1 }
+            hashes.add(h)
+          }
+        }
+      }
+      val arr = new Array[Long](hashes.size)
+      var k = 0
+      while (k < arr.length) { arr(k) = hashes.get(k); k += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenHashSet =
+      copy(child = c)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
@@ -353,4 +459,8 @@ object HashExpressions {
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
   def lshProjections(c: Column, nPlanes: Int): Column =
     ColumnBridge.column(LshProjections(ColumnBridge.expression(c), nPlanes))
+  def termFreqs(c: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFreqs(ColumnBridge.expression(c), terms))
+  def tokenHashSet(c: Column): Column =
+    ColumnBridge.column(TokenHashSet(ColumnBridge.expression(c)))
 }

@@ -130,9 +130,19 @@ object Layout {
         val saltMod = inFiles.toSeq
           .map(f => (f, nFiles(dirBytes(parentOf(f)))))
           .toDF("_file", "_mod")
+        // Salt is a DETERMINISTIC function of the row's own values: a
+        // retried/speculated upstream task reproduces the same salts, so
+        // the hash shuffle can't silently drop or duplicate rows the way
+        // a monotonically_increasing_id-derived key can (SPARK-23207).
+        // Identical rows share a salt — fine for layout (worst case a
+        // slightly fuller file), fatal is what we're avoiding.
+        val rowHash = xxhash64(df.columns.map(col): _*)
         df.withColumn("_file", input_file_name())
-          .join(broadcast(saltMod), Seq("_file"))
-          .withColumn("_salt", pmod(monotonically_increasing_id(), col("_mod")))
+          // left join: rows not traceable to an input file (derived
+          // frames, non-file sources report "") keep flowing with
+          // modulus 1 (salt 0) instead of being dropped pre-overwrite
+          .join(broadcast(saltMod), Seq("_file"), "left")
+          .withColumn("_salt", pmod(rowHash, coalesce(col("_mod"), lit(1L))))
           .repartition(partitionCols.map(col) :+ col("_salt"): _*)
           .drop("_file", "_mod", "_salt")
       }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.HashExpressions
-import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,16 +25,18 @@ object Retrieval {
     * deterministic). Only matching documents (score > 0) are returned,
     * top-`k` by (score desc, doc_id).
     *
-    * Scale: per-term tf columns are a narrow map over each document's
-    * token array (no explode/shuffle); df and N are one tiny global
-    * aggregate broadcast back; ranking is a distributed
-    * `orderBy.limit` (TakeOrderedAndProject — never a global window).
-    * Output: doc_id, tf_<term>…, score. */
+    * Scale: per-term tf counts come from ONE native tokenization pass
+    * per document ([[HashExpressions.TermFreqs]] — no token-array
+    * materialization, no interpreted filter lambda per term); df and N
+    * are one tiny global aggregate broadcast back; ranking is a
+    * distributed `orderBy.limit` (TakeOrderedAndProject — never a
+    * global window). Output: doc_id, tf_<term>…, score. */
   def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
-    val tf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id") +: terms.map(t =>
-        size(filter(col("tk"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val tf = docs.select(col("doc_id"),
+      HashExpressions.termFreqs(col("text"), terms).as("_tf"))
+      .select(col("doc_id") +: terms.zipWithIndex.map { case (t, i) =>
+        col("_tf").getItem(i).as(s"tf_$t") }: _*)
     val dfExprs = terms.map(t =>
       sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")) :+
       count(lit(1)).as("n_docs")
@@ -78,8 +79,10 @@ object Retrieval {
         embeddings.filter(col("vec_id") < nQueries), embeddings, perListK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("r_sem"))
+    // one-pass native tokenize+hash+sort (bit-equal to
+    // array_sort(tokenHashes(tokenSet(text))) — see TokenHashSet)
     val toks = docs.select(col("doc_id"),
-      array_sort(tokenHashes(tokenSet(col("text")))).as("hs"))
+      HashExpressions.tokenHashSet(col("text")).as("hs"))
     val q = toks.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("hs").as("q_hs"))
     val lex = toks.crossJoin(broadcast(q))

@@ -112,7 +112,7 @@ object Similarity {
     * no ML UDF: cell assignment and probe selection are the same
     * broadcast-centroid `dist = -q·c + c·c/2` ranking (one crossJoin
     * against ≤ dozens of broadcast centroid rows, then a per-vector
-    * window — partitioned by vec_id, never global). With centroids
+    * hash-aggregate top-nProbe — never a partition-wide sort). With centroids
     * passed as double literals the whole query is pure join/fold
     * arithmetic that an external SQL engine reproduces bit-identically
     * (the q33 oracle). */
@@ -127,9 +127,7 @@ object Similarity {
     * this table and share it across queries). Lazy caching is not
     * enough: the search join's two input stages are scheduled
     * concurrently, so both miss an in-flight cache and re-run the
-    * crossJoin+window chain (and the planner cannot deduplicate the
-    * branches itself: their inferred WindowGroupLimit limits differ,
-    * 1 vs nProbe, which defeats exchange reuse). Cache lifecycle as in
+    * crossJoin+aggregate chain. Cache lifecycle as in
     * Dedup.minHashLshPairs: one-shot jobs free it with the session;
     * long-lived sessions clear the CacheManager after materializing
     * (Bench does exactly this between queries). */
@@ -158,11 +156,22 @@ object Similarity {
         .select(col("vec_id"), col("m.cell").as("cell"), lit(1).as("pr"),
           col("embedding"), col("nrm"))
     else
+      // top-nProbe per vector as a hash aggregate too: collect the
+      // ≤nCentroids (dist, cell) structs per vec_id (map-side partial
+      // combine), sort that SMALL in-memory array, keep nProbe, and
+      // re-explode with the 1-based probe rank. A row_number window
+      // here must locally sort all N×nCentroids distance rows; the
+      // per-group array sort touches nCentroids elements per vector —
+      // the same STRESS lesson as the nProbe==1 argmin and PQ encoding.
       dists
-        .withColumn("pr", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("pr") <= nProbe)
-        .select("vec_id", "cell", "pr", "embedding", "nrm"))
+        .groupBy("vec_id")
+        .agg(slice(array_sort(collect_list(struct(col("dist"), col("cell")))),
+            1, nProbe).as("top"),
+          first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("p0", "dc")),
+          col("embedding"), col("nrm"))
+        .select(col("vec_id"), col("dc.cell").as("cell"),
+          (col("p0") + 1).cast("int").as("pr"), col("embedding"), col("nrm")))
       .cache()
     ranked.count() // eager build (see above)
     ranked

@@ -94,7 +94,9 @@ class CorpusSpec extends AnyFunSuite {
       (1L, base, "en", "s0"),
       (2L, base, "en", "s0"),
       (3L, "completely different text with other words entirely " * 3, "en", "s0"),
-      (4L, base, "fr", "s0")) // different block: never paired with 1/2
+      (4L, base, "fr", "s0"), // different block: never paired with 1/2
+      (5L, "hi", "en", "s0"), // <5 chars: empty shingle set (0/0 jaccard path)
+      (6L, "yo", "en", "s0"))
       .toDF("doc_id", "text", "lang", "source")
     val got = Corpus.minHashAccuracyPairs(docs, Seq("lang", "source"))
       .collect()
@@ -103,8 +105,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == ((16L, 1.0, 1.0)))
     assert(got((1L, 3L))._2 <= 0.25) // dissimilar pair estimates low
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
-    // estimator within 0.5 of truth everywhere on this fixture
-    got.values.foreach { case (_, est, jac) => assert(math.abs(est - jac) <= 0.5) }
+    // empty-vs-empty and empty-vs-nonempty shingle sets: jaccard is a
+    // defined 0.0 (never NULL / divide-by-zero), matching the guarded
+    // DuckDB oracle semantics
+    assert(got((5L, 6L))._3 == 0.0)
+    assert(got((1L, 5L))._3 == 0.0)
+    // estimator within 0.5 of truth everywhere except the degenerate
+    // empty-empty pair (both sentinel signatures match trivially)
+    (got - ((5L, 6L))).values.foreach { case (_, est, jac) =>
+      assert(math.abs(est - jac) <= 0.5) }
   }
 
   test("chunkDocuments: stride windows, short tail kept, empty doc dropped") {

@@ -59,6 +59,35 @@ class HashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("termFreqs == per-term size(filter(tokens)) incl. edge whitespace") {
+    val docs = Seq(
+      "the quick brown fox the the",
+      "  leading and trailing  ",
+      "",
+      "\t tabs\nand newlines the fox  vertical",
+      "no match here at all").toDF("text")
+    val terms = Seq("the", "fox", "and", "missing")
+    val rows = docs.select(
+      HashExpressions.termFreqs(col("text"), terms).as("fast") +:
+        terms.map(t => size(filter(TextFunctions.tokens(col("text")),
+          x => x === t)).cast("long").as(s"ref_$t")): _*)
+      .collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      terms.indices.foreach(i => assert(fast(i) == r.getLong(i + 1)))
+    }
+  }
+
+  test("tokenHashSet == array_sort(tokenHashes(tokenSet)) bit-exact") {
+    val docs = (texts ++ Seq("", "  ", "dup dup dup unique")).toDF("text")
+    val rows = docs.select(
+      HashExpressions.tokenHashSet(col("text")).as("fast"),
+      array_sort(TextFunctions.tokenHashes(
+        TextFunctions.tokenSet(col("text")))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("rolling-window update matches direct fold on a long string") {
     val rnd = new scala.util.Random(5)
     val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString

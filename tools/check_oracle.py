@@ -10,6 +10,19 @@ import sys, json, glob, hashlib
 import duckdb
 import pandas as pd
 
+def kind(col) -> str:
+    """Coarse dtype family, used to catch int-vs-float oracle typing bugs
+    (DuckDB DECIMAL(38,0) renders as float64/object and %.10g can mask it)."""
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(col):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(col):
+        return "bool"
+    return "other"
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize numeric-ish dtypes so int32 vs int64 etc. don't matter
@@ -50,6 +63,14 @@ def main():
             n_fail += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1; continue
+        bad_kinds = [(c, kind(spark_df[c]), kind(duck_df[c]))
+                     for c in spark_df.columns
+                     if kind(spark_df[c]) != kind(duck_df[c])
+                     and {kind(spark_df[c]), kind(duck_df[c])} <= {"int", "float", "other"}]
+        if bad_kinds:
+            print(f"FAIL {name}: dtype family mismatch {bad_kinds} "
+                  "(cast the oracle column, e.g. CAST(... AS BIGINT))")
             n_fail += 1; continue
         hs, hd = hash_df(spark_df), hash_df(duck_df)
         if hs != hd:
