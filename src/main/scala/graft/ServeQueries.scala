@@ -54,6 +54,11 @@ object ServeQueries {
   private def q28(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentMediaFeatures(s, d)
 
+  /** Real pixel decode (BMP bytes / deflated+filtered PNG bytes →
+    * channel sums) — the content tier above q28's header metadata. */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentPixelStats(s, d)
+
   /** Video-style frame sampling: each document's UTF-8 bytes as a
     * 16-byte-frame "video", every 4th frame sampled (stub byte-slice
     * decode, real narrow-generate plumbing). */
@@ -144,9 +149,39 @@ object ServeQueries {
     "q30_week_tz"      -> (q30 _),
     "q31_sessionize"   -> (q31 _),
     "q34_profile"      -> (q34 _),
-    "q45_frame_sample" -> (q45 _))
+    "q45_frame_sample" -> (q45 _),
+    "q75_pixel_decode" -> (q75 _))
 
   val oracles: Map[String, String] = Map(
+    "q75_pixel_decode" ->
+      // The oracle never decodes: it recomputes the channel sums from
+      // the SAME (doc_id, x, y) arithmetic rule the fixture pixels were
+      // generated from. The Spark side must recover those exact pixels
+      // from real BMP/PNG file bytes (deflate, scanline filters, row
+      // order, BGR, padding) for the hashes to match.
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.format, d.w, d.h, y.y, x.x
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, d.h)) AS y) y,
+        |       LATERAL (SELECT unnest(range(0, d.w)) AS x) x
+        |), sums AS (
+        |  SELECT doc_id, format, w, h,
+        |         CAST(SUM((doc_id*3 + x*5 + y*7) % 256) AS BIGINT) AS sum_r,
+        |         CAST(SUM((doc_id*11 + x*13 + y*17) % 256) AS BIGINT) AS sum_g,
+        |         CAST(SUM((doc_id*19 + x*23 + y*29) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT doc_id, format,
+        |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b,
+        |       CAST(sum_r AS DOUBLE) / (w * h) AS mean_r,
+        |       CAST(sum_g AS DOUBLE) / (w * h) AS mean_g,
+        |       CAST(sum_b AS DOUBLE) / (w * h) AS mean_b
+        |FROM sums""".stripMargin,
     "q45_frame_sample" ->
       // ASCII corpus: UTF-8 byte == codepoint, so the byte-fold frame
       // hash is reproducible from substr/unicode arithmetic

@@ -262,10 +262,11 @@ object StressBench {
         (((j * 2654435761L + i * 40503L) % 2000L) - 1000L) / 1000.0).toSeq
     }
     timed("semantic_dedup_200k_vectors", nVecs) {
+      val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
       val n = graft.operators.Dedup
-        .semanticDedup(emb, stressCentroids, tau = 0.6)
+        .semanticDedup(emb, stressCentroids, tau = 0.6, pin = pinned += _)
         .filter(col("is_dup")).count()
-      spark.sharedState.cacheManager.clearCache() // buildIvfIndex pin
+      pinned.foreach(_.unpersist()) // scoped: other pinned caches survive
       n
     }
 

@@ -59,4 +59,73 @@ object FileLedger {
       .filter(_.isFile)
       .map(st => FileState(st.getPath.toString, st.getModificationTime))
   }
+
+  /** Stable partition token for a source path — used as the fact's
+    * `file_id=` partition value, so "reload file X" is an overwrite of
+    * exactly one partition directory. Human-readable basename plus a
+    * full-path hash (two files may share a basename across dirs);
+    * sanitized to the filesystem-safe charset. Computed driver-side in
+    * BOTH the delete and the load path, so the two always agree. */
+  def fileId(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path))
+    s"${base}_$h"
+  }
+
+  /** Persistent ledger-driven sync of a file-partitioned fact table —
+    * the reference's full reconcile loop (`usage_loader.rb:83-163`:
+    * mtime diff, cascade delete of a changed file's rows, reload),
+    * independent of any forced reprocess window: a file modified
+    * MONTHS after ingest is caught by the mtime diff and reloaded,
+    * exactly like the reference.
+    *
+    * The fact at `factDir` is partitioned by `file_id` ([[fileId]] of
+    * the source path), so the reconcile is overwrite-BY-FILE, never a
+    * table rewrite:
+    *  - changed/removed files → their single partition dir is dropped
+    *    (the FK-cascade delete);
+    *  - added/changed files → `load(path)` rows land via dynamic
+    *    partition overwrite into exactly their partition.
+    * At 100 TB the pass costs O(changed files), not O(table).
+    *
+    * The ledger (path, mtime) is persisted at `ledgerDir` AFTER the
+    * fact update: a crash in between re-ingests the affected files on
+    * the next pass — idempotent, because partition overwrite replaces
+    * rather than appends (T4's at-least-once-then-dedup discipline).
+    * Returns the applied diff. */
+  def sync(spark: SparkSession, inputDir: String, glob: String,
+      factDir: String, ledgerDir: String,
+      load: String => DataFrame): Diff = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(conf)
+    val current = listFiles(spark, inputDir, glob)
+    val ledger =
+      if (!fs.exists(ledgerPath)) Seq.empty[FileState]
+      else {
+        import spark.implicits._
+        spark.read.parquet(ledgerDir).as[FileState].collect().toSeq
+      }
+    val d = diff(current, ledger)
+    // cascade delete: one partition dir per dropped file
+    d.toDrop.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(factDir, s"file_id=${fileId(p)}"),
+        true)
+    }
+    if (d.toLoad.nonEmpty) {
+      d.toLoad.map(p => load(p).withColumn("file_id", lit(fileId(p))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_id")
+        .parquet(factDir)
+    }
+    { // ledger last (see above); tiny table, single file
+      import spark.implicits._
+      current.toDF().coalesce(1).write.mode("overwrite").parquet(ledgerDir)
+    }
+    d
+  }
 }

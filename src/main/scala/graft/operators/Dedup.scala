@@ -354,8 +354,9 @@ object Dedup {
     * is_dup. Keepers are the is_dup=false rows; the min-id-wins rule
     * makes the kept set deterministic and engine-independent. */
   def semanticDedup(embeddings: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], tau: Double): DataFrame = {
-    val idx = Similarity.buildIvfIndex(embeddings, centroids, 1)
+      centroids: Seq[(Int, Seq[Double])], tau: Double,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
+    val idx = Similarity.buildIvfIndex(embeddings, centroids, 1, pin)
     val asg = idx.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
     val a = asg.select(col("cell"), col("vec_id"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))

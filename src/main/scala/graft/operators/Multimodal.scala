@@ -105,6 +105,93 @@ object Multimodal {
       }
   }
 
+  /** Decoded-content statistics for one image blob ([[PixelDecode]]
+    * formats only). Integer channel sums are the oracle-checkable
+    * truth; means are one exact IEEE division of those sums. */
+  final case class PixelStats(
+      doc_id: Long,
+      format: String, // bmp | png
+      width: Int,
+      height: Int,
+      n_px: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL pixel decode (BMP / PNG via [[PixelDecode]]) → per-channel
+    * stats; rows whose payload isn't pixel-decodable are dropped
+    * (header-only metadata for those still flows via
+    * [[extractFeatures]]). Same plumbing contract as the rest of the
+    * file: per-partition decoder, binary never shuffles, only the
+    * 11-column stats row flows downstream. */
+  def decodePixelStats(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[PixelStats] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          PixelDecode.decode(bytes).map { img =>
+            val n = img.width * img.height
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              sr += img.rgb(i * 3) & 0xff
+              sg += img.rgb(i * 3 + 1) & 0xff
+              sb += img.rgb(i * 3 + 2) & 0xff
+              i += 1
+            }
+            PixelStats(id, img.format, img.width, img.height, n.toLong,
+              sr, sg, sb,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+  }
+
+  /** Demo pipeline over the shared testdata, CONTENT tier: each doc_id
+    * deterministically becomes a small real image — even ids a 24-bit
+    * BMP, odd ids a truly-deflated PNG whose rows cycle through all
+    * five scanline filters — with pixel channels defined by pure
+    * arithmetic in (doc_id, x, y). The decoder recovers the pixels
+    * from the actual file bytes; the DuckDB oracle computes the same
+    * channel sums from the arithmetic rule directly, so any decode
+    * defect (filter math, row order, BGR swap, padding) breaks the
+    * hash match. */
+  def documentPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = (id % 16 + 1).toInt
+        val h = (id % 12 + 1).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            rgb(i) = ((id * 3 + x * 5 + y * 7) % 256).toByte
+            rgb(i + 1) = ((id * 11 + x * 13 + y * 17) % 256).toByte
+            rgb(i + 2) = ((id * 19 + x * 23 + y * 29) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes =
+          if (id % 2 == 0) PixelDecode.bmpFixture(w, h, rgb)
+          else PixelDecode.pngPixelFixture(w, h, rgb)
+        (id, bytes)
+      }
+      .toDF("doc_id", "media")
+    decodePixelStats(media).toDF()
+  }
+
   /** Demo pipeline over the shared testdata: wraps each document's
     * UTF-8 text in a deterministic media container by doc_id — PNG
     * (id%3==0), JPEG (id%3==1), raw text (id%3==2, the unknown-format

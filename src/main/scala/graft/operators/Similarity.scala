@@ -82,9 +82,10 @@ object Similarity {
     * for recall). Seeded k-means ⇒ deterministic, but not
     * SQL-oracle-expressible (rows-only driver check).
     */
-  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val centroids = fitQuantizer(embeddings, nCentroids)
-    ivfTopKWithCentroids(embeddings, centroids, nProbe, k)
+    ivfTopKWithCentroids(embeddings, centroids, nProbe, k, pin)
   }
 
   /** Fit the IVF coarse quantizer: seeded k-means on a sample — the
@@ -117,8 +118,9 @@ object Similarity {
     * arithmetic that an external SQL engine reproduces bit-identically
     * (the q33 oracle). */
   def ivfTopKWithCentroids(embeddings: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame =
-    ivfSearch(buildIvfIndex(embeddings, centroids, nProbe), nProbe, k)
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int,
+      pin: DataFrame => Unit = _ => ()): DataFrame =
+    ivfSearch(buildIvfIndex(embeddings, centroids, nProbe, pin), nProbe, k)
 
   /** The IVF index: every vector ranked against the broadcast
     * centroids, keeping its `nProbe` nearest cells (`pr` = rank; pr==1
@@ -128,11 +130,12 @@ object Similarity {
     * enough: the search join's two input stages are scheduled
     * concurrently, so both miss an in-flight cache and re-run the
     * crossJoin+aggregate chain. Cache lifecycle as in
-    * Dedup.minHashLshPairs: one-shot jobs free it with the session;
-    * long-lived sessions clear the CacheManager after materializing
-    * (Bench does exactly this between queries). */
+    * Dedup.minHashLshPairs: the cached index is handed to `pin` so a
+    * long-lived caller can unpersist it when done (one-shot jobs just
+    * let the session free it). */
   def buildIvfIndex(embeddings: DataFrame,
-      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cdf = centroids.toDF("cell", "centroid")
@@ -173,6 +176,7 @@ object Similarity {
         .select(col("vec_id"), col("dc.cell").as("cell"),
           (col("p0") + 1).cast("int").as("pr"), col("embedding"), col("nrm")))
       .cache()
+    pin(ranked)
     ranked.count() // eager build (see above)
     ranked
   }

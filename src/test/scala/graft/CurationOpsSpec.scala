@@ -35,7 +35,8 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("semanticDedup: within-cell pruning with min-id-wins keep rule") {
     val (vecs, centroids) = semFixture
-    val out = Dedup.semanticDedup(vecs, centroids, tau = 0.9)
+    val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val out = Dedup.semanticDedup(vecs, centroids, tau = 0.9, pin = pinned += _)
       .collect().map(r => r.getLong(0) ->
         (r.getInt(1), r.getLong(2), r.getBoolean(4))).toMap
     assert(out.size == 5)
@@ -44,18 +45,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1, 0L, false)))
     assert(out(3L) == ((1, 1L, true)))
     assert(out(4L) == ((0, 0L, false))) // same cell, below tau
-    spark.sharedState.cacheManager.clearCache() // buildIvfIndex pin
+    pinned.foreach(_.unpersist()) // scoped buildIvfIndex pin — no global clear
   }
 
   test("semanticDedup: raising tau never increases the dup count") {
     val (vecs, centroids) = semFixture
     val dups = Seq(0.5, 0.9, 0.9999).map { tau =>
-      val n = Dedup.semanticDedup(vecs, centroids, tau)
+      val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+      val n = Dedup.semanticDedup(vecs, centroids, tau, pin = pinned += _)
         .filter(col("is_dup")).count()
-      spark.sharedState.cacheManager.clearCache()
+      pinned.foreach(_.unpersist())
       n
     }
     assert(dups == dups.sorted.reverse, s"dup counts not monotone: $dups")
+  }
+
+  test("semanticDedup: pin scopes the index cache — repeated runs leave no residue") {
+    val (vecs, centroids) = semFixture
+    val cm = spark.sharedState.cacheManager
+    def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
+      cm.lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isDefined
+    // an unrelated pinned cache must SURVIVE the operator's lifecycle
+    val bystander = vecs.select(col("vec_id")).cache()
+    bystander.count()
+    (1 to 2).foreach { _ =>
+      val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+      Dedup.semanticDedup(vecs, centroids, tau = 0.9, pin = pinned += _).count()
+      assert(pinned.nonEmpty, "operator must hand its cache to pin")
+      assert(pinned.forall(isCached))
+      pinned.foreach(_.unpersist())
+      assert(!pinned.exists(isCached),
+        "pinned cache must be gone after the caller's unpersist")
+    }
+    assert(isCached(bystander), "scoped unpersist must not evict unrelated caches")
+    bystander.unpersist()
   }
 
   // ---------------------------------------------------------------- //

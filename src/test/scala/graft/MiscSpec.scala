@@ -77,6 +77,50 @@ class MiscSpec extends AnyFunSuite {
     assert(out == Set(("a", 1L), ("b", 99L), ("d", 99L)))
   }
 
+  test("ledger sync: out-of-window mtime change reloads exactly that file") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("ledger_sync").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val factDir = s"$root/fact"; val ledgerDir = s"$root/ledger"
+    def writeInput(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def load(path: String) = spark.read.textFile(path).toDF("line")
+      .withColumn("fileName", lit(path))
+    def factRows() = spark.read.parquet(factDir)
+      .select("fileName", "line").as[(String, String)].collect().toSet
+    def freshFull() = FileLedger.listFiles(spark, in, "*.log")
+      .map(f => load(f.path)).reduce(_ unionByName _)
+      .select("fileName", "line").as[(String, String)].collect().toSet
+
+    writeInput("a.log", Seq("a1", "a2"))
+    writeInput("b.log", Seq("b1"))
+    val d1 = FileLedger.sync(spark, in, "*.log", factDir, ledgerDir, load)
+    assert(d1.added.size == 2 && d1.changed.isEmpty && d1.removed.isEmpty)
+    assert(factRows() == freshFull())
+
+    // a no-op pass loads nothing
+    val d2 = FileLedger.sync(spark, in, "*.log", factDir, ledgerDir, load)
+    assert(d2.toLoad.isEmpty && d2.toDrop.isEmpty)
+
+    // modify an ALREADY-INGESTED file (mtime bumped well past any
+    // forced reprocess window): next sync drops its old rows and
+    // reloads — row set equals a fresh full load, no dupes, no stale
+    writeInput("a.log", Seq("a1-v2", "a3-v2"))
+    Paths.get(in, "a.log").toFile.setLastModified(
+      System.currentTimeMillis() + 60000)
+    val d3 = FileLedger.sync(spark, in, "*.log", factDir, ledgerDir, load)
+    assert(d3.changed.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("a.log"))
+    assert(d3.added.isEmpty && d3.removed.isEmpty)
+    assert(factRows() == freshFull())
+    assert(factRows().map(_._2) == Set("a1-v2", "a3-v2", "b1"))
+
+    // vanished file purges its rows (cascade delete)
+    Files.delete(Paths.get(in, "a.log"))
+    FileLedger.sync(spark, in, "*.log", factDir, ledgerDir, load)
+    assert(factRows().map(_._2) == Set("b1"))
+  }
+
   test("sessionize: window-function and native session_window agree") {
     // boundary semantics differ only at EXACTLY-gap spacing (ours: same
     // session at ==gap; session_window: new) — absent in ms-random data
