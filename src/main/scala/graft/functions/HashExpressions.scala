@@ -358,6 +358,49 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Whitespace tokens of a string as a string array — the native
+    * one-pass form of `filter(split(text, "\\s+"), _ != "")`, which
+    * both compiles a regex `Pattern` per row inside `split` and
+    * interprets one filter lambda per token. Same token semantics as
+    * [[TermFreqs]]/[[TokenHashSet]] (maximal non-`\s` runs), so values
+    * match the HOF formulation and the `string_split_regex` oracles
+    * exactly — [[TextFunctions.tokens]] delegates here and every
+    * token-exploding operator inherits the fast path. Single consumer
+    * (explode / size / transform) → ref-object codegen keeps the
+    * enclosing stage intact. */
+  case class TokenArray(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "token_array"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenArrayExpr", this,
+        classOf[TokenArray].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val out = new java.util.ArrayList[UTF8String]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > start) out.add(UTF8String.fromString(s.substring(start, i)))
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenArray =
+      copy(child = c)
+  }
+
   /** Sorted polynomial hashes of the DISTINCT whitespace tokens of a
     * text column — one pass, equal to
     * `array_sort(tokenHashes(tokenSet(text)))` (distinct applies to
@@ -463,4 +506,6 @@ object HashExpressions {
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(c), terms))
   def tokenHashSet(c: Column): Column =
     ColumnBridge.column(TokenHashSet(ColumnBridge.expression(c)))
+  def tokenArray(c: Column): Column =
+    ColumnBridge.column(TokenArray(ColumnBridge.expression(c)))
 }

@@ -25,8 +25,17 @@ object TextFunctions {
     * (a,b < P ⇒ a*h+b < ~1e18 < 2^63). */
   final val P = 1000000007L
 
-  /** Non-empty whitespace tokens. */
+  /** Non-empty whitespace tokens — the native one-pass scan
+    * ([[HashExpressions.TokenArray]]); every token-exploding operator
+    * funnels through here. Value-identical to [[tokensHof]]. */
   def tokens(text: Column): Column =
+    HashExpressions.tokenArray(text)
+
+  /** The SQL-HOF formulation of [[tokens]] — the cross-engine
+    * specification the oracles mirror (`string_split_regex` +
+    * non-empty filter); cross-checked bit-exact against the native
+    * path in HashExprSpec. */
+  def tokensHof(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Distinct non-empty tokens (set semantics for jaccard/minhash). */

@@ -69,13 +69,23 @@ class HashExprSpec extends AnyFunSuite {
     val terms = Seq("the", "fox", "and", "missing")
     val rows = docs.select(
       HashExpressions.termFreqs(col("text"), terms).as("fast") +:
-        terms.map(t => size(filter(TextFunctions.tokens(col("text")),
+        terms.map(t => size(filter(TextFunctions.tokensHof(col("text")),
           x => x === t)).cast("long").as(s"ref_$t")): _*)
       .collect()
     rows.foreach { r =>
       val fast = r.getSeq[Long](0)
       terms.indices.foreach(i => assert(fast(i) == r.getLong(i + 1)))
     }
+  }
+
+  test("tokenArray == filter(split(text, \\s+), _ != '') bit-exact") {
+    val docs = (texts ++ Seq("", "  ", "\t\n x  y \r\n", " lead",
+      "trail ", "a")).toDF("text")
+    val rows = docs.select(
+      HashExpressions.tokenArray(col("text")).as("fast"),
+      TextFunctions.tokensHof(col("text")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
   test("tokenHashSet == array_sort(tokenHashes(tokenSet)) bit-exact") {
