@@ -43,12 +43,24 @@ object CurationQueries {
   private def q74(s: SparkSession, d: String): DataFrame =
     Corpus.shuffleRank(Tables.documents(s, d), seed = 42L)
 
+  /** q76 — per-source document cap: best 10 docs per source by
+    * (token count desc, doc_id), two-phase top-k (the testdata has
+    * ~25 docs/source at sf0.01, so the cap genuinely cuts). */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Corpus.perSourceCap(Tables.documents(s, d), cap = 10, nShards = 8)
+
+  /** q77 — corpus-bigram LM quality scores (rational p(w2|w1)). */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    Corpus.bigramLmScores(Tables.documents(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_semdedup"      -> (q67 _),
     "q68_bloom_decontam" -> (q68 _),
     "q69_seq_packing"   -> (q69 _),
     "q70_importance"    -> (q70 _),
-    "q74_shuffle_rank"  -> (q74 _))
+    "q74_shuffle_rank"  -> (q74 _),
+    "q76_source_cap"    -> (q76 _),
+    "q77_bigram_lm"     -> (q77 _))
 
   // ------------------------------------------------------------------ //
 
@@ -164,5 +176,42 @@ object CurationQueries {
          |)
          |SELECT doc_id, shuffle_key,
          |       row_number() OVER (ORDER BY shuffle_key, doc_id) AS rank
-         |FROM keyed""".stripMargin)
+         |FROM keyed""".stripMargin,
+    "q76_source_cap" ->
+      // the oracle's single source-partitioned window equals the
+      // engine's two-phase shard/top-k by construction (any
+      // source-wide top-cap row is in its own shard's top-cap)
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, n_tok, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_tok DESC, doc_id) AS rk
+        |  FROM t
+        |) WHERE rk <= 10""".stripMargin,
+    "q77_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |), cb AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY 1
+        |), scored AS (
+        |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM((1000000 * cb.cb) // cu.cu) AS BIGINT) AS lm_sum
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(s.lm_sum, 0) AS lm_sum,
+        |       CAST(CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0
+        |            ELSE s.lm_sum // s.n_bigrams END AS BIGINT) AS lm_score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)
 }

@@ -456,6 +456,73 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Distinct polynomial hashes of the space-joined n-TOKEN windows of
+    * a text column — the gram-index builder of the decontamination /
+    * span-dedup family, in one pass. Equals
+    * `array_distinct(transform(sequence(1, size(tk)-n+1),
+    * i => polyHash(concat_ws(" ", slice(tk, i, n)))))` over
+    * `tk = tokens(text)`: same tokenization ([[TokenArray]]), same
+    * hash over the gram's characters INCLUDING the single joining
+    * spaces, same first-occurrence distinct order, same empty array
+    * when the document has fewer than `n` tokens — but no interpreted
+    * window lambda, no per-gram string/array allocation. */
+  case class TokenNGramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "gram size >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_ngram_hashes"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenNGramExpr", this,
+        classOf[TokenNGramHashes].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      // token boundaries [start, end) in one scan
+      val starts = new java.util.ArrayList[Integer]()
+      val ends = new java.util.ArrayList[Integer]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val st = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > st) { starts.add(st); ends.add(i) }
+      }
+      val m = starts.size()
+      if (m < n) return new GenericArrayData(Array.empty[Long])
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var w = 0
+      while (w <= m - n) {
+        var h = 0L
+        var t = w
+        while (t < w + n) {
+          if (t > w) h = (h * 31 + 32) % P // the joining ' ' (codepoint 32)
+          var k = starts.get(t).intValue()
+          val e = ends.get(t).intValue()
+          while (k < e) { h = (h * 31 + s.charAt(k)) % P; k += 1 }
+          t += 1
+        }
+        seen.add(h)
+        w += 1
+      }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenNGramHashes =
+      copy(child = c)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
@@ -508,4 +575,6 @@ object HashExpressions {
     ColumnBridge.column(TokenHashSet(ColumnBridge.expression(c)))
   def tokenArray(c: Column): Column =
     ColumnBridge.column(TokenArray(ColumnBridge.expression(c)))
+  def tokenNGramHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenNGramHashes(ColumnBridge.expression(c), n))
 }

@@ -234,9 +234,11 @@ object Corpus {
     * definition — at 100 TB the corpus side stays a narrow scan +
     * broadcast semi-join, no shuffle of the corpus). Output: doc_id,
     * n_grams, n_matched, contaminated. */
-  /** Distinct polynomial-hashed token n-grams of a tokens column
-    * (shared by [[contaminationCheck]] and [[duplicateSpanStats]]). */
-  private def gramHashes(n: Int)(tk: org.apache.spark.sql.Column) =
+  /** The SQL-HOF token-n-gram formulation — the cross-engine spec the
+    * oracles mirror. The operators themselves use the native one-pass
+    * [[HashExpressions.TokenNGramHashes]]; the two are cross-checked
+    * bit-exact in HashExprSpec. */
+  private[graft] def gramHashesHof(n: Int)(tk: org.apache.spark.sql.Column) =
     when(size(tk) < n, array().cast("array<bigint>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(tk) - (n - 1)),
@@ -245,13 +247,12 @@ object Corpus {
 
   def contaminationCheck(docs: DataFrame, probes: DataFrame, n: Int,
       minMatches: Int): DataFrame = {
-    val gramHashes = this.gramHashes(n) _
     val probeGrams = probes
-      .select(explode(gramHashes(tokens(col("text")))).as("g"))
+      .select(explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
       .distinct()
       .agg(sort_array(collect_set("g")).as("pg"))
     docs
-      .withColumn("grams", gramHashes(tokens(col("text"))))
+      .withColumn("grams", HashExpressions.tokenNGramHashes(col("text"), n))
       .crossJoin(broadcast(probeGrams))
       .select(
         col("doc_id"),
@@ -293,9 +294,8 @@ object Corpus {
   def contaminationCheckBloom(docs: DataFrame, probes: DataFrame, n: Int,
       minMatches: Int, fpp: Double = 0.01,
       pin: DataFrame => Unit = _ => ()): DataFrame = {
-    val gramHashes = this.gramHashes(n) _
     val probeG = probes
-      .select(explode(gramHashes(tokens(col("text")))).as("g"))
+      .select(explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
       .distinct()
     // driver-side build over the benchmark side (small by definition —
     // the corpus side is never collected)
@@ -312,7 +312,7 @@ object Corpus {
     // gram INDEX a pipeline materializes to disk once per corpus
     // version, exactly like the minhash band index.
     val g = Parallelism.widen(docs)
-      .select(col("doc_id"), gramHashes(tokens(col("text"))).as("grams"))
+      .select(col("doc_id"), HashExpressions.tokenNGramHashes(col("text"), n).as("grams"))
       .cache()
     pin(g)
     g.count()
@@ -412,6 +412,80 @@ object Corpus {
       .select("doc_id", "n_tokens", "score_sum", "avg_score", "target_like")
   }
 
+  /** Per-source document cap — the data-mixing governance step: no
+    * single source (domain, crawl, feed) may contribute more than
+    * `cap` documents, and within a source the KEPT set is the best
+    * `cap` by a deterministic quality key (token count desc, doc_id
+    * asc — swap in any scoring column the same way).
+    *
+    * Two-phase top-k (the q35 lesson): a single window partitioned by
+    * `source` funnels every document of a source through one
+    * partition — at 100 TB a big crawl source is billions of rows
+    * through one task. Phase 1 ranks within (source, doc_id-hash
+    * shard) and keeps `cap` per shard — `nShards`-way parallel; phase
+    * 2 ranks the ≤ nShards·cap survivors per source — tiny by
+    * construction. Identical result to the single window because any
+    * source-wide top-`cap` row is also in its own shard's top-`cap`.
+    * Output: source, doc_id, n_tok, rk (1..cap). */
+  def perSourceCap(docs: DataFrame, cap: Int, nShards: Int = 64): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val phase1 = scored
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "shard")
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .drop("rk", "shard")
+    phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select("source", "doc_id", "n_tok", "rk")
+  }
+
+  /** Corpus-bigram language-model scoring — the exact-arithmetic
+    * analog of the CCNet/Wenzek-style LM-perplexity quality signal:
+    * documents whose word transitions are typical of the corpus score
+    * high, word-salad scores low. The conditional probability estimate
+    * p(w2|w1) = cnt(w1 w2) / cnt(w1 ·) is kept RATIONAL (same
+    * discipline as [[importanceWeights]]): per-bigram weight
+    * ⌊scale·cb/cu⌋, per-document score the sum over its bigram
+    * occurrences and the integer mean — bit-exact cross-engine, no
+    * logs.
+    *
+    * Shape: one bigram explode feeds both count tables (the unigram
+    * table is a re-aggregation of the same exchange), a bigram-keyed
+    * join back, one doc-keyed partial agg. The LM "model" IS the
+    * bigram count table — at 100 TB it is vocabulary²-bounded (far
+    * below row count), shuffles on the bigram key, and would be
+    * persisted once per corpus version exactly like the gram index.
+    * Documents with < 2 tokens score 0 (no evidence). Output: doc_id,
+    * n_bigrams, lm_sum, lm_score. */
+  def bigramLmScores(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val bg = docs
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
+          " slice(tk, 2, greatest(size(tk)-1, 0))," +
+          " (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val scored = bg
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .withColumn("p", expr(s"($scale * cb) div cu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("lm_sum"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams", "lm_sum"))
+      .withColumn("lm_score",
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(expr("lm_sum div n_bigrams")))
+      .select("doc_id", "n_bigrams", "lm_sum", "lm_score")
+  }
+
   /** Deterministic training-order shuffle with a GLOBAL rank — the
     * export step of a curated corpus: training wants documents in a
     * reproducible pseudo-random order (same seed → same order, on any
@@ -466,7 +540,7 @@ object Corpus {
     * Output: doc_id, n_spans, n_dup_spans, dup_frac. */
   def duplicateSpanStats(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
     val g = docs.select(col("doc_id"),
-      explode(gramHashes(n)(tokens(col("text")))).as("g"))
+      explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
     // per-doc distinct grams ⇒ count(*) per gram = document frequency
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
     val per = g.join(dfreq, "g")

@@ -290,4 +290,51 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out(1L) > out(3L) && out(3L) > out(2L))
   }
+
+  // ---------------------------------------------------------------- //
+  //  Per-source cap / bigram LM scoring                               //
+  // ---------------------------------------------------------------- //
+
+  test("perSourceCap: two-phase top-k equals the single source window") {
+    // skewed fixture: source A has 30 docs, B has 3, C has 1
+    val docs = ((1 to 30).map(i => (i.toLong, "A", "tok " * i)) ++
+      Seq((101L, "B", "x y z"), (102L, "B", "x y"), (103L, "B", "x"),
+        (201L, "C", "only one"))).toDF("doc_id", "source", "text")
+    val got = Corpus.perSourceCap(docs, cap = 5, nShards = 4)
+      .select("source", "doc_id", "rk")
+      .as[(String, Long, Int)].collect().toSet
+    val single = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+        .as[(String, Long, Int)].collect().toSet
+    }
+    assert(got == single)
+    assert(got.count(_._1 == "A") == 5) // the cap genuinely cuts A
+    assert(got.count(_._1 == "B") == 3) // undersized sources kept whole
+    assert(got.count(_._1 == "C") == 1)
+  }
+
+  test("bigramLmScores: typical transitions outscore word salad; tiny docs 0") {
+    val docs = Seq(
+      (1L, "the data the data the data"),  // transitions repeated corpus-wide
+      (2L, "the data the data the data"),
+      (3L, "data the data the data the"),
+      (4L, "the zebra zebra the"),         // "the"'s successor is rarely zebra
+      (5L, "solo"),                        // < 2 tokens → no evidence
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScores(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L)._2 > out(4L)._2)
+    assert(out(5L) == ((0L, 0L)) && out(6L) == ((0L, 0L)))
+    // identical docs score identically
+    assert(out(1L) == out(2L))
+    // scores are bounded by the scale (p(w2|w1) <= 1)
+    assert(out.values.forall(_._2 <= 1000000L))
+  }
 }

@@ -88,6 +88,23 @@ class HashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("tokenNGramHashes == array_distinct(transform(polyHash(concat_ws))) bit-exact") {
+    val docs = (texts ++ Seq(
+      "",
+      "one two three", // exactly n tokens for n=3
+      "one two",       // fewer than n → empty
+      "rep rep rep rep rep", // duplicate grams collapse, order kept
+      "  pad\t ded   tokens with  odd   spacing here ")).toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val rows = docs.select(
+        graft.functions.HashExpressions.tokenNGramHashes(col("text"), n).as("fast"),
+        graft.operators.Corpus.gramHashesHof(n)(
+          TextFunctions.tokensHof(col("text"))).as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("tokenHashSet == array_sort(tokenHashes(tokenSet)) bit-exact") {
     val docs = (texts ++ Seq("", "  ", "dup dup dup unique")).toDF("text")
     val rows = docs.select(
