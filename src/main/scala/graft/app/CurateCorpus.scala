@@ -37,11 +37,17 @@ object CurateCorpus {
   /** Run the chain; write the chunk table to `outDir` partitioned by
     * language; return per-stage document counts. `probes` is the
     * held-out benchmark set for decontamination (pass an empty
-    * DataFrame with a `text` column to skip). */
+    * DataFrame with a `text` column to skip). Optional governance
+    * knobs: `minLmScore` drops documents under the corpus-bigram LM
+    * quality score (joins the quality stage); `maxDocsPerSource` caps
+    * each source's contribution after sampling (highest-token-count
+    * docs win, [[Corpus.perSourceCap]]). */
   def run(docs: DataFrame, probes: DataFrame, outDir: String,
       sampleKeepOf: Map[String, Long] = Map.empty,
       sampleDefaultKeep: Long = 20L, sampleMod: Long = 20L,
-      chunkTokens: Int = 64, chunkStride: Int = 48)(
+      chunkTokens: Int = 64, chunkStride: Int = 48,
+      minLmScore: Option[Long] = None,
+      maxDocsPerSource: Option[Int] = None)(
       implicit spark: SparkSession): StageCounts = {
     // Each stage output is pinned and materialized by its count —
     // without the persist, every downstream stage (and the final
@@ -57,10 +63,18 @@ object CurateCorpus {
       val input = docs.count()
 
       // 1. quality: keep passing doc_ids (filters are narrow — they
-      // reach the scan when the fact is columnar)
-      val (quality, nQuality) = stage(docs.join(
-        Corpus.qualityFilter(docs).filter(col("keep")).select("doc_id"),
-        "doc_id"))
+      // reach the scan when the fact is columnar); the optional LM
+      // gate composes here — both are per-doc predicates
+      val qualityIds = Corpus.qualityFilter(docs)
+        .filter(col("keep")).select("doc_id")
+      val keptIds = minLmScore match {
+        case Some(minScore) => qualityIds.join(
+          Corpus.bigramLmScores(docs)
+            .filter(col("lm_score") >= minScore).select("doc_id"),
+          "doc_id")
+        case None => qualityIds
+      }
+      val (quality, nQuality) = stage(docs.join(keptIds, "doc_id"))
 
       // 2. exact dedup: canonical copy only
       val (exact, nExact) = stage(quality.join(
@@ -86,11 +100,17 @@ object CurateCorpus {
         .filter(col("contaminated")).select("doc_id")
       val (clean, nClean) = stage(near.join(contaminated, Seq("doc_id"), "left_anti"))
 
-      // 5. reproducible stratified sample
-      val (sampled, nSampled) = stage(clean.join(
+      // 5. reproducible stratified sample, then the optional per-source
+      // cap (mixing governance — no source may dominate the output)
+      val sampledBase = clean.join(
         Corpus.hashStratifiedSample(clean, "lang",
           sampleKeepOf, sampleDefaultKeep, sampleMod).select("doc_id"),
-        "doc_id"))
+        "doc_id")
+      val (sampled, nSampled) = stage(maxDocsPerSource match {
+        case Some(cap) => sampledBase.join(
+          Corpus.perSourceCap(sampledBase, cap).select("doc_id"), "doc_id")
+        case None => sampledBase
+      })
 
       // 6. chunk, stamp the deterministic training order (same seed →
       // same permutation on any cluster; readers shuffle-free by

@@ -523,6 +523,51 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** 30-bit simhash over a long-array of token/shingle hashes — one
+    * pass, equal to [[TextFunctions.simHash30]] (bit b set when
+    * Σ (±1 by bit b of each hash) > 0) which interprets 30×|hashes|
+    * lambda calls per document. Bit test here is a plain mask; the
+    * HOF's `pmod(h, 2^(b+1)) >= 2^b` is the same bit for nonnegative
+    * hashes (all hashes are mod-P remainders ≥ 0). */
+  case class SimHash30(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash30"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simHashExpr", this,
+        classOf[SimHash30].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](30)
+      val m = hashes.numElements()
+      var i = 0
+      while (i < m) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 30) {
+          if (((h >> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 29
+      while (b >= 0) {
+        sig = sig * 2 + (if (counts(b) > 0) 1L else 0L)
+        b -= 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash30 =
+      copy(child = c)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
@@ -577,4 +622,6 @@ object HashExpressions {
     ColumnBridge.column(TokenArray(ColumnBridge.expression(c)))
   def tokenNGramHashes(c: Column, n: Int): Column =
     ColumnBridge.column(TokenNGramHashes(ColumnBridge.expression(c), n))
+  def simHash30(c: Column): Column =
+    ColumnBridge.column(SimHash30(ColumnBridge.expression(c)))
 }

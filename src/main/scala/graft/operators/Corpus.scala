@@ -297,6 +297,17 @@ object Corpus {
     val probeG = probes
       .select(explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
       .distinct()
+    // Empty benchmark ⇒ nothing can be contaminated. Checked explicitly
+    // because DataFrameStatFunctions.bloomFilter NPEs on zero rows
+    // (null internal buffer), and the run-the-app-with-no-benchmark
+    // case is the documented skip path in CurateCorpus.
+    if (probeG.limit(1).count() == 0) {
+      return docs.select(col("doc_id"),
+        size(HashExpressions.tokenNGramHashes(col("text"), n))
+          .cast("long").as("n_grams"))
+        .withColumn("n_matched", lit(0L))
+        .withColumn("contaminated", col("n_matched") >= minMatches)
+    }
     // driver-side build over the benchmark side (small by definition —
     // the corpus side is never collected)
     val bf = probeG.stat.bloomFilter("g", 100000L, fpp)

@@ -187,12 +187,17 @@ object Dedup {
 
   /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup
     * detection at scale: split the signature into bands and bucket-join
-    * like minhash; here we emit the signature per doc. */
+    * like minhash; here we emit the signature per doc. Native one-pass
+    * tokenize+hash ([[HashExpressions.TokenHashSet]] — one hash per
+    * distinct token, so its size IS the distinct token count) and
+    * native bit-vote fold ([[HashExpressions.SimHash30]]); both
+    * cross-checked bit-exact against the HOF spec in HashExprSpec. */
   def simHashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokenSet(col("text")).as("toks"))
-      .withColumn("hashes", tokenHashes(col("toks")))
-      .select(col("doc_id"), simHash30(col("hashes")).as("simhash"),
-        size(col("toks")).as("n_tokens"))
+    docs.select(col("doc_id"),
+      HashExpressions.tokenHashSet(col("text")).as("hashes"))
+      .select(col("doc_id"),
+        HashExpressions.simHash30(col("hashes")).as("simhash"),
+        size(col("hashes")).as("n_tokens"))
 
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (a doc chain a~b~c must

@@ -53,4 +53,21 @@ class CurateCorpusSpec extends AnyFunSuite {
       sampleMod = 20L, chunkTokens = 32, chunkStride = 24)
     assert(c == c2)
   }
+
+  test("governance knobs: LM floor and per-source cap only shrink stages") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probes = docs.filter(col("doc_id") < 0) // empty probe set
+    val outA = java.nio.file.Files.createTempDirectory("curate_gA").toString
+    val base = CurateCorpus.run(docs, probes, outA)
+    val outB = java.nio.file.Files.createTempDirectory("curate_gB").toString
+    val gated = CurateCorpus.run(docs, probes, outB,
+      minLmScore = Some(1L), maxDocsPerSource = Some(3))
+    assert(gated.quality <= base.quality)
+    assert(gated.sampled <= base.sampled)
+    // the cap binds per source: no source exceeds 3 docs in the output
+    val perSource = spark.read.parquet(outB)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(countDistinct("doc_id").as("n"))
+    assert(perSource.agg(max("n")).head().getLong(0) <= 3)
+  }
 }

@@ -115,6 +115,17 @@ class HashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("simHash30 == HOF simHash30 bit-exact, incl. empty input") {
+    val docs = (texts ++ Seq("", "dup dup unique")).toDF("text")
+    val rows = docs.select(
+      HashExpressions.simHash30(
+        HashExpressions.tokenHashSet(col("text"))).as("fast"),
+      TextFunctions.simHash30(TextFunctions.tokenHashes(
+        TextFunctions.tokenSet(col("text")))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("rolling-window update matches direct fold on a long string") {
     val rnd = new scala.util.Random(5)
     val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
