@@ -318,6 +318,44 @@ object StressBench {
         .agg(sum("score_sum")).first().getLong(0) % 1000000
     }
 
+    // --- stage 16: bigram LM scoring --------------------------------- //
+    // one bigram explode feeding both count tables, bigram-keyed join
+    // back, doc-keyed partial agg — vocabulary² (64² here) bounds the
+    // model table regardless of corpus size
+    timed("bigram_lm_scores", nDocs) {
+      graft.operators.Corpus.bigramLmScores(docsWithSource)
+        .agg(sum("lm_sum")).first().getLong(0) % 1000000
+    }
+
+    // --- stage 17: per-source cap under heavy skew ------------------- //
+    // 90% of documents in ONE source: the two-phase shard/top-k must
+    // keep the hot source parallel (the single-window form would pull
+    // 180 k rows through one task)
+    val skewedSource = docsWithId.withColumn("source",
+      when(pmod(col("doc_id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("cold"), pmod(col("doc_id"), lit(97)))))
+    timed("per_source_cap_skewed", nDocs) {
+      graft.operators.Corpus.perSourceCap(skewedSource, cap = 1000, nShards = 64)
+        .count()
+    }
+
+    // --- stage 18: real pixel decode throughput ---------------------- //
+    // 50 k genuinely-deflated 16×12 PNGs decoded (inflate + unfilter)
+    // with channel stats — the multimodal content tier's narrow map
+    timed("pixel_decode_50k_png", 50000L) {
+      val media = graft.operators.Multimodal.decodePixelStats(
+        spark.range(50000).select(col("id").as("doc_id"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .map { id =>
+            val rgb = Array.tabulate[Byte](16 * 12 * 3)(i => ((id + i) % 256).toByte)
+            (id, graft.operators.PixelDecode.pngPixelFixture(16, 12, rgb))
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.BINARY))
+          .toDF("doc_id", "media"))(spark)
+      media.agg(sum("sum_r")).first().getLong(0) % 1000000
+    }
+
     spark.stop()
   }
 }

@@ -87,6 +87,40 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pixel decode runs unchanged under readStream (stateless parity)") {
+    implicit val s: SparkSession = spark
+    val in = Files.createTempDirectory("px_in")
+    val ckpt = Files.createTempDirectory("px_ck")
+    def img(id: Long): Array[Byte] = {
+      val rgb = Array.tabulate[Byte](4 * 3 * 3)(i => ((id * 7 + i) % 256).toByte)
+      if (id % 2 == 0) graft.operators.PixelDecode.bmpFixture(4, 3, rgb)
+      else graft.operators.PixelDecode.pngPixelFixture(4, 3, rgb)
+    }
+    // parquet carries the binary column losslessly into the stream
+    Seq((1L, img(1)), (2L, img(2)))
+      .toDF("doc_id", "media").write.parquet(in.toString + "/b1")
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("media", BinaryType))))
+      .option("path", in.toString + "/*")
+      .format("parquet").load()
+    val q = graft.operators.Multimodal.decodePixelStats(stream)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_pixels")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.operators.Multimodal.decodePixelStats(
+        Seq((1L, img(1)), (2L, img(2))).toDF("doc_id", "media")).toDF()
+      val streamed = spark.table("stream_pixels")
+      assert(streamed.count() == 2)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("batch execution: plain exact dedup, one survivor per content") {
     val docs = Seq(
       (1L, "same text", new java.sql.Timestamp(1000)),
