@@ -568,6 +568,112 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Per-subspace squared L2 distance for PQ: the `sub`-th `dsub`-wide
+    * slice of a float/double embedding against a double centroid
+    * array, summed as a sequential left fold in doubles — bit-equal to
+    * the `aggregate(zip_with(slice(...)))` HOF form (same index order,
+    * (x−c)² exact in double) and to the oracle's `list_reduce`, minus
+    * the three interpreted lambdas per (vector, subspace, code) row.
+    * Children: (embedding, centroid, sub). Participates in whole-stage
+    * codegen via a direct loop. */
+  case class SubSquaredDist(emb: Expression, cent: Expression,
+      sub: Expression, dsub: Int) extends TernaryExpression {
+    require(dsub >= 1, "dsub >= 1")
+    override def first: Expression = emb
+    override def second: Expression = cent
+    override def third: Expression = sub
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sub_squared_dist"
+
+    private lazy val embIsFloat = emb.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (e, c, s) => {
+        val i = ctx.freshName("i"); val off = ctx.freshName("off")
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        val getX = if (embIsFloat) s"(double) $e.getFloat($off + $i)"
+                   else s"$e.getDouble($off + $i)"
+        s"""
+           |int $off = ((int) $s) * $dsub;
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $dsub; $i++) {
+           |  double $d = $getX - $c.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override def nullSafeEval(e: Any, c: Any, s: Any): Any = {
+      val embArr = e.asInstanceOf[ArrayData]
+      val centArr = c.asInstanceOf[ArrayData]
+      val off = s.asInstanceOf[Number].intValue() * dsub
+      var acc = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = if (embIsFloat) embArr.getFloat(off + i).toDouble
+                else embArr.getDouble(off + i)
+        val d = x - centArr.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, sN: Expression, t: Expression): SubSquaredDist =
+      copy(emb = f, cent = sN, sub = t)
+  }
+
+  /** PQ asymmetric-distance sum: Σ_s dtab[s·nCodes + codes[s]] as a
+    * sequential double fold over the code array — bit-equal to the
+    * `aggregate(sequence(0, m−1), acc + element_at(...))` HOF form
+    * (ascending s, double addition) without the per-candidate
+    * interpreted lambda chain; this is the inner loop of the ADC scan,
+    * evaluated once per (query, candidate). */
+  case class AdcSum(codes: Expression, dtab: Expression, nCodes: Int)
+      extends BinaryExpression {
+    require(nCodes >= 1, "nCodes >= 1")
+    override def left: Expression = codes
+    override def right: Expression = dtab
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "adc_sum"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, t) => {
+        val s = ctx.freshName("s"); val m = ctx.freshName("m")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $c.numElements();
+           |double $acc = 0.0;
+           |for (int $s = 0; $s < $m; $s++) {
+           |  $acc += $t.getDouble($s * $nCodes + $c.getInt($s));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override def nullSafeEval(c: Any, t: Any): Any = {
+      val codesArr = c.asInstanceOf[ArrayData]
+      val tab = t.asInstanceOf[ArrayData]
+      val m = codesArr.numElements()
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        acc += tab.getDouble(s * nCodes + codesArr.getInt(s))
+        s += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcSum =
+      copy(codes = newLeft, dtab = newRight)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
@@ -624,4 +730,10 @@ object HashExpressions {
     ColumnBridge.column(TokenNGramHashes(ColumnBridge.expression(c), n))
   def simHash30(c: Column): Column =
     ColumnBridge.column(SimHash30(ColumnBridge.expression(c)))
+  def subSquaredDist(emb: Column, cent: Column, sub: Column, dsub: Int): Column =
+    ColumnBridge.column(SubSquaredDist(ColumnBridge.expression(emb),
+      ColumnBridge.expression(cent), ColumnBridge.expression(sub), dsub))
+  def adcSum(codes: Column, dtab: Column, nCodes: Int): Column =
+    ColumnBridge.column(AdcSum(ColumnBridge.expression(codes),
+      ColumnBridge.expression(dtab), nCodes))
 }

@@ -33,8 +33,17 @@ object Pq {
 
   /** Per-subspace squared L2 distance between the `sub`-th slice of a
     * float-array embedding column and a literal double-array centroid
-    * column: ordered fold of (x_j − c_j)² over j = 1..dsub. */
-  private def subDist(emb: Column, cent: Column, sub: Column, dsub: Int): Column = {
+    * column: ordered fold of (x_j − c_j)² over j = 1..dsub — the
+    * native one-loop form ([[graft.functions.HashExpressions.SubSquaredDist]];
+    * [[subDistHof]] is the HOF spec it equals, cross-checked in
+    * HashExprSpec). Evaluated N·m·k times in [[encode]] — the
+    * operator's hot loop. */
+  private def subDist(emb: Column, cent: Column, sub: Column, dsub: Int): Column =
+    graft.functions.HashExpressions.subSquaredDist(emb, cent, sub, dsub)
+
+  /** The SQL-HOF formulation of [[subDist]] — the cross-engine spec
+    * the q63 oracle mirrors. */
+  private[graft] def subDistHof(emb: Column, cent: Column, sub: Column, dsub: Int): Column = {
     val sliced = slice(emb, sub * dsub + 1, lit(dsub))
     aggregate(
       zip_with(transform(sliced, x => x.cast("double")), cent,
@@ -88,7 +97,6 @@ object Pq {
     * top-k window. Output: query_id, neighbor_id, rank, approx_dist. */
   def adcTopK(embeddings: DataFrame, queryPred: Column,
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int, k: Int): DataFrame = {
-    val m = codebooks.map(_._1).distinct.size
     val nCodes = codebooks.map(_._2).distinct.size
     val cb = codebookDF(embeddings, codebooks)
     val enc = encode(embeddings, codebooks, dsub)
@@ -102,10 +110,11 @@ object Pq {
         s => s.getField("pdist")).as("dtab"))
     enc.crossJoin(broadcast(dtabs))
       .filter(col("query_id") =!= col("vec_id"))
+      // native Σ_s dtab[s·k + codes[s]] (one loop per candidate; the
+      // aggregate(sequence(...)) HOF form interprets m lambdas per
+      // pair — cross-checked bit-exact in HashExprSpec)
       .withColumn("approx_dist",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + element_at(col("dtab"),
-            s * nCodes + element_at(col("codes"), s + 1) + 1)))
+        graft.functions.HashExpressions.adcSum(col("codes"), col("dtab"), nCodes))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("approx_dist"), col("vec_id"))))

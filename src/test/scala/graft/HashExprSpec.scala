@@ -126,6 +126,33 @@ class HashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("subSquaredDist / adcSum == their HOF folds bit-exact") {
+    val rnd = new scala.util.Random(9)
+    val dsub = 4; val nCodes = 3; val m = 2
+    val emb = Seq((1L, Array.fill(m * dsub)(rnd.nextFloat())),
+      (2L, Array.fill(m * dsub)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cent = array((0 until dsub).map(i => lit(rnd.nextDouble())): _*)
+    for (sub <- 0 until m) {
+      val rows = emb.select(
+        HashExpressions.subSquaredDist(
+          col("embedding"), cent, lit(sub), dsub).as("fast"),
+        graft.operators.Pq.subDistHof(
+          col("embedding"), cent, lit(sub), dsub).as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"sub=$sub"))
+    }
+    val adc = Seq((Array(0, 2), Array.tabulate(m * nCodes)(_ * 0.25)))
+      .toDF("codes", "dtab")
+    val got = adc.select(
+      HashExpressions.adcSum(col("codes"), col("dtab"), nCodes).as("fast"),
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("dtab"),
+          s * nCodes + element_at(col("codes"), s + 1) + 1)).as("ref"))
+      .head()
+    assert(got.getDouble(0) == got.getDouble(1))
+    assert(got.getDouble(0) == 0.0 * 0.25 + (nCodes + 2) * 0.25)
+  }
+
   test("rolling-window update matches direct fold on a long string") {
     val rnd = new scala.util.Random(5)
     val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
