@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("poly_hash", 1)(e => PolyHash(e.head))
     inject("dot_product", 2)(e => DotProduct(e(0), e(1)))
     inject("lsh_projections", 2)(e => LshProjections(e.head, intArg(e(1))))
+    inject("token_array", 1)(e => TokenArray(e.head))
+    inject("token_hash_set", 1)(e => TokenHashSet(e.head))
+    inject("token_ngram_hashes", 2)(e => TokenNGramHashes(e.head, intArg(e(1))))
+    inject("simhash30", 1)(e => SimHash30(e.head))
+    inject("sub_squared_dist", 4)(e => SubSquaredDist(e(0), e(1), e(2), intArg(e(3))))
+    inject("adc_sum", 3)(e => AdcSum(e(0), e(1), intArg(e(2))))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -51,6 +51,18 @@ object GraftFunctions {
       }
       LshProjections(e.head, n)
     }
+    def intArg(e: Expression): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    }
+    reg(spark, "token_array", 1)(e => TokenArray(e.head))
+    reg(spark, "token_hash_set", 1)(e => TokenHashSet(e.head))
+    reg(spark, "token_ngram_hashes", 2)(e =>
+      TokenNGramHashes(e.head, intArg(e(1))))
+    reg(spark, "simhash30", 1)(e => SimHash30(e.head))
+    reg(spark, "sub_squared_dist", 4)(e =>
+      SubSquaredDist(e(0), e(1), e(2), intArg(e(3))))
+    reg(spark, "adc_sum", 3)(e => AdcSum(e(0), e(1), intArg(e(2))))
     // the reference's roundTimestampToWeek (Sunday weeks, zone-aware):
     // composition of built-ins, SQL-registered for parity with
     // `usage_database.rb:132-168`

@@ -34,6 +34,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getDouble(0) == 0.5)
       assert(s.sql("SELECT size(minhash_sig(array(7L))) AS n")
         .head().getInt(0) == graft.functions.TextFunctions.MinHashA.size)
+      // round-6 additions: tokenizer, gram, simhash, PQ families
+      assert(s.sql("SELECT token_array('  a b\tc ') AS t")
+        .head().getSeq[String](0) == Seq("a", "b", "c"))
+      assert(s.sql("SELECT size(token_ngram_hashes('a b c d', 3)) AS n")
+        .head().getInt(0) == 2)
+      assert(s.sql("SELECT simhash30(token_hash_set('x y z')) AS sh")
+        .head().getLong(0) >= 0L)
+      assert(s.sql(
+        "SELECT adc_sum(array(1, 0), array(CAST(0.5 AS DOUBLE), 1.5, 2.5, 3.5), 2) AS d")
+        .head().getDouble(0) == 1.5 + 2.5)
       // don't stop s — it shares the JVM-wide SparkContext
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)

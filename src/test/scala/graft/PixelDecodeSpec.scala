@@ -47,6 +47,26 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("fuzz: random and mutated-valid bytes never throw") {
+    val rnd = new scala.util.Random(11)
+    // pure random garbage at several sizes
+    for (_ <- 1 to 200; len <- Seq(0, 1, 8, 54, 200)) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      PixelDecode.decode(b) // must not throw; result irrelevant
+    }
+    // random single-byte mutations of VALID files — the nastier corpus
+    val rgb = testRgb(6, 5, 12)
+    val valid = Seq(PixelDecode.bmpFixture(6, 5, rgb),
+      PixelDecode.pngPixelFixture(6, 5, rgb))
+    for (v <- valid; _ <- 1 to 300) {
+      val m = v.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      PixelDecode.decode(m)
+      // truncations too
+      PixelDecode.decode(m.take(rnd.nextInt(m.length)))
+    }
+  }
+
   test("malformed inputs return None, never throw") {
     val rgb = testRgb(4, 3, 7)
     val png = PixelDecode.pngPixelFixture(4, 3, rgb)
