@@ -674,6 +674,61 @@ object HashExpressions {
       copy(codes = newLeft, dtab = newRight)
   }
 
+  /** Adjacent whitespace-token bigrams of a text column as
+    * space-joined strings ("w1 w2", all positions, duplicates kept) —
+    * one pass, equal to
+    * `zip_with(slice(tk,1,n-1), slice(tk,2,n-1), (x,y) -> concat(x,' ',y))`
+    * over `tk = tokens(text)` (tokens contain no whitespace, so the
+    * joined form is bijective with the pair). Backs the repetition
+    * and bigram-LM operators' explode without an interpreted lambda
+    * per bigram. */
+  case class TokenBigrams(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "token_bigrams"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenBigramsExpr", this,
+        classOf[TokenBigrams].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      val starts = new java.util.ArrayList[Integer]()
+      val ends = new java.util.ArrayList[Integer]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(s.charAt(i))) i += 1
+        val st = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        if (i > st) { starts.add(st); ends.add(i) }
+      }
+      val m = starts.size()
+      if (m < 2) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](m - 1)
+      var w = 0
+      while (w < m - 1) {
+        val sb = new java.lang.StringBuilder(
+          ends.get(w) - starts.get(w) + 1 + ends.get(w + 1) - starts.get(w + 1))
+        sb.append(s, starts.get(w).intValue(), ends.get(w).intValue())
+        sb.append(' ')
+        sb.append(s, starts.get(w + 1).intValue(), ends.get(w + 1).intValue())
+        out(w) = UTF8String.fromString(sb.toString)
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenBigrams =
+      copy(child = c)
+  }
+
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
       extends UnaryExpression {
@@ -736,4 +791,6 @@ object HashExpressions {
   def adcSum(codes: Column, dtab: Column, nCodes: Int): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes),
       ColumnBridge.expression(dtab), nCodes))
+  def tokenBigrams(c: Column): Column =
+    ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
 }

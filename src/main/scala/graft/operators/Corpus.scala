@@ -34,12 +34,12 @@ object Corpus {
       .withColumn("n_words", size(col("tk")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
     // bigram top count: explode → two-level partial-agg count (the
-    // max-of-counts collapses map-side; no per-doc array blowup)
+    // max-of-counts collapses map-side; no per-doc array blowup).
+    // Native one-pass bigram builder — no interpreted zip_with lambda
+    // per position (HashExpressions.TokenBigrams, parity in spec)
     val top = base
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
-          " slice(tk, 2, greatest(size(tk)-1, 0))," +
-          " (x, y) -> concat(x, ' ', y))")).as("bg"))
+      .select(col("doc_id"),
+        explode(HashExpressions.tokenBigrams(col("text"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max("cnt").as("top_bigram_cnt"))
     base.join(top, Seq("doc_id"), "left")
@@ -475,17 +475,17 @@ object Corpus {
     * Documents with < 2 tokens score 0 (no evidence). Output: doc_id,
     * n_bigrams, lm_sum, lm_score. */
   def bigramLmScores(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
+    // native one-pass bigram builder; tokens contain no whitespace, so
+    // the space-joined "w1 w2" string is bijective with the pair and
+    // serves as the single join/group key (w1 recovered by prefix)
     val bg = docs
-      .withColumn("tk", tokens(col("text")))
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
-          " slice(tk, 2, greatest(size(tk)-1, 0))," +
-          " (x, y) -> named_struct('w1', x, 'w2', y))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .select(col("doc_id"),
+        explode(HashExpressions.tokenBigrams(col("text"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
     val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
     val scored = bg
-      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .join(cb, Seq("bg")).join(cu, Seq("w1"))
       .withColumn("p", expr(s"($scale * cb) div cu"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("p").as("lm_sum"))

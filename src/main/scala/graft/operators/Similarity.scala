@@ -181,6 +181,21 @@ object Similarity {
     ranked
   }
 
+  /** Incrementally extend a prebuilt IVF index with a batch of new
+    * vectors — the production maintenance path at 100 TB: a daily
+    * embedding increment is assigned against the SAME pinned
+    * centroids (quantizers are versioned artifacts — retraining is a
+    * reindex, not an append) and unioned onto the persisted index;
+    * the existing corpus is never rescanned. Because cell assignment
+    * is per-vector arithmetic over fixed centroids, the appended
+    * index is row-identical to a full rebuild over the union — proven
+    * in SimilaritySpec. Same discipline as
+    * [[Dedup.incrementalNearDupPairs]] over the minhash band index. */
+  def appendIvfIndex(index: DataFrame, newVecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int,
+      pin: DataFrame => Unit = _ => ()): DataFrame =
+    index.unionByName(buildIvfIndex(newVecs, centroids, nProbe, pin))
+
   /** Search a prebuilt IVF index ([[buildIvfIndex]]): candidates are
     * the home-cell members of each query's probe cells, exact-reranked
     * by cosine. */

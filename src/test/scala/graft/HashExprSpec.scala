@@ -115,6 +115,18 @@ class HashExprSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("tokenBigrams == zip_with(slice, slice, concat) bit-exact") {
+    val docs = (texts ++ Seq("", "one", "a  b", " x y z ")).toDF("text")
+      .withColumn("tk", TextFunctions.tokensHof(col("text")))
+    val rows = docs.select(
+      HashExpressions.tokenBigrams(col("text")).as("fast"),
+      expr("zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
+        " slice(tk, 2, greatest(size(tk)-1, 0))," +
+        " (x, y) -> concat(x, ' ', y))").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("simHash30 == HOF simHash30 bit-exact, incl. empty input") {
     val docs = (texts ++ Seq("", "dup dup unique")).toDF("text")
     val rows = docs.select(

@@ -117,6 +117,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("appendIvfIndex: increment equals full rebuild over the union") {
+    import graft.operators.IvfCentroids
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter($"vec_id" < 150)
+    val inc = emb.filter($"vec_id" >= 150 && $"vec_id" < 200)
+    val pinned = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val appended = Similarity.appendIvfIndex(
+      Similarity.buildIvfIndex(old, IvfCentroids.Centroids16, 2, pinned += _),
+      inc, IvfCentroids.Centroids16, 2, pinned += _)
+    val full = Similarity.buildIvfIndex(
+      emb.filter($"vec_id" < 200), IvfCentroids.Centroids16, 2, pinned += _)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("vec_id", "cell", "pr").as[(Long, Int, Int)].collect().toSet
+    assert(key(appended) == key(full))
+    // search over the appended index equals search over the rebuild
+    val sa = Similarity.ivfSearch(appended, 2, 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val sf = Similarity.ivfSearch(full, 2, 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(sa == sf)
+    pinned.foreach(_.unpersist())
+  }
+
   test("SQL-mode registration: graft functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Seq(("abcdefgh", "abcdefgx")).toDF("a", "b").createOrReplaceTempView("t")
