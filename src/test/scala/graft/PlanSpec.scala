@@ -106,4 +106,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin")
       || plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("q76: both cap windows are shard/source-partitioned, never global") {
+    val plan = physical("q76_source_cap")
+    // phase 1 must carry the shard in its partitioning (the hot-source
+    // parallelism); no window may be unpartitioned
+    assert(plan.contains("windowspecdefinition(source"), plan.take(4000))
+    assert(plan.contains("shard"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition(,"), plan.take(4000))
+  }
+
+  test("q77: bigram LM has no window and no cartesian — count joins only") {
+    val plan = physical("q77_bigram_lm")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // partial aggregation collapses the bigram explode map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
+  test("q75: pixel decode is a narrow map — no shuffle of the binaries") {
+    val plan = physical("q75_pixel_decode")
+    // the only exchange permitted is none: doc_id-keyed stats come out
+    // of the per-partition decoder directly
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("q59/q60: retrieval plans carry no interpreted lambda chains") {
+    Seq("q59_keyword_search", "q60_hybrid_rrf").foreach { q =>
+      val plan = physical(q)
+      assert(!plan.contains("lambdafunction"), s"$q:\n${plan.take(3000)}")
+    }
+  }
 }
