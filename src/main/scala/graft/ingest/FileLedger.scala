@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object FileLedger {
 
-  final case class FileState(path: String, mtime: Long)
+  /** `size` joins mtime in the change test: filesystems with coarse
+    * mtime granularity (FAT: 2 s; some NFS: 1 s) can miss a rewrite
+    * that lands within the same tick — a different length still
+    * catches it (the rsync-style mtime+size check). Same-length
+    * same-tick rewrites remain undetectable by ANY metadata diff;
+    * default -1 keeps metadata-less fixtures on mtime-only behavior. */
+  final case class FileState(path: String, mtime: Long, size: Long = -1L)
   final case class Diff(
       added: Seq[String], changed: Seq[String], removed: Seq[String]) {
     /** Files whose existing rows must be dropped. */
@@ -32,12 +38,13 @@ object FileLedger {
 
   /** Pure diff of current listing vs ledger (`usage_loader.rb:83-115`). */
   def diff(current: Seq[FileState], ledger: Seq[FileState]): Diff = {
-    val cur = current.map(f => f.path -> f.mtime).toMap
-    val old = ledger.map(f => f.path -> f.mtime).toMap
+    val cur = current.map(f => f.path -> f).toMap
+    val old = ledger.map(f => f.path -> f).toMap
     Diff(
       added = current.collect { case f if !old.contains(f.path) => f.path },
       changed = current.collect {
-        case f if old.get(f.path).exists(_ != f.mtime) => f.path },
+        case f if old.get(f.path).exists(o =>
+          o.mtime != f.mtime || o.size != f.size) => f.path },
       removed = ledger.collect { case f if !cur.contains(f.path) => f.path })
   }
 
@@ -57,7 +64,8 @@ object FileLedger {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isFile)
-      .map(st => FileState(st.getPath.toString, st.getModificationTime))
+      .map(st => FileState(st.getPath.toString, st.getModificationTime,
+        st.getLen))
   }
 
   /** Stable partition token for a source path — used as the fact's

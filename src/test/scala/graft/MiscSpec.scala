@@ -62,6 +62,11 @@ class MiscSpec extends AnyFunSuite {
     assert(d.removed == Seq("c"))
     assert(d.toDrop.toSet == Set("b", "c"))
     assert(d.toLoad.toSet == Set("b", "d"))
+    // same mtime but different length: a rewrite within one mtime tick
+    // is still caught by the size half of the check
+    val d2 = FileLedger.diff(
+      Seq(FileState("a", 1L, 10L)), Seq(FileState("a", 1L, 7L)))
+    assert(d2.changed == Seq("a") && d2.added.isEmpty && d2.removed.isEmpty)
   }
 
   test("ledger reconcile: cascade-drop + reload keeps fact consistent (T4)") {

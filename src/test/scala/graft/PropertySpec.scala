@@ -82,6 +82,36 @@ class PropertySpec extends AnyFunSuite {
     assert(signs.distinct.size == 32, "hyperplane sign patterns collapsed")
   }
 
+  test("tokenizer family == HOF forms on random whitespace-heavy texts") {
+    // random texts mixing every \s class char, empty runs, and edges
+    val wsChars = " \t\n\f\r"
+    def randText(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 until rnd.nextInt(60)) {
+        if (rnd.nextBoolean()) sb.append(wsChars(rnd.nextInt(wsChars.length)))
+        else sb.append(('a' + rnd.nextInt(4)).toChar) // tiny alphabet → dup tokens
+      }
+      sb.toString
+    }
+    val docs = Seq.fill(200)(randText()).toDF("text")
+      .withColumn("tk", graft.functions.TextFunctions.tokensHof(col("text")))
+    val rows = docs.select(
+      HashExpressions.tokenArray(col("text")).as("fastTok"),
+      col("tk").as("refTok"),
+      HashExpressions.tokenBigrams(col("text")).as("fastBg"),
+      expr("zip_with(slice(tk, 1, greatest(size(tk)-1, 0))," +
+        " slice(tk, 2, greatest(size(tk)-1, 0))," +
+        " (x, y) -> concat(x, ' ', y))").as("refBg"),
+      HashExpressions.tokenNGramHashes(col("text"), 2).as("fastGr"),
+      graft.operators.Corpus.gramHashesHof(2)(col("tk")).as("refGr"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5))
+    }
+  }
+
   test("TimeBuckets.bucket is idempotent and never exceeds its input") {
     import graft.serve.TimeBuckets
     val zones = Seq("UTC", "America/New_York", "Asia/Tokyo")
