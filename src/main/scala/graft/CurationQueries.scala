@@ -53,6 +53,19 @@ object CurationQueries {
   private def q77(s: SparkSession, d: String): DataFrame =
     Corpus.bigramLmScores(Tables.documents(s, d))
 
+  /** q78 — corpus version diff: "old" = doc_id < 450, "new" =
+    * doc_id ≥ 40 with every doc_id % 9 == 0 text rewritten — a
+    * deterministic two-version fixture carved from the shared table
+    * so both engines derive identical versions. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") < 450)
+    val newer = docs.filter(col("doc_id") >= 40)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(lit("v2 "), col("text"))).otherwise(col("text")))
+    Corpus.corpusDiff(old, newer)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_semdedup"      -> (q67 _),
     "q68_bloom_decontam" -> (q68 _),
@@ -60,7 +73,8 @@ object CurationQueries {
     "q70_importance"    -> (q70 _),
     "q74_shuffle_rank"  -> (q74 _),
     "q76_source_cap"    -> (q76 _),
-    "q77_bigram_lm"     -> (q77 _))
+    "q77_bigram_lm"     -> (q77 _),
+    "q78_corpus_diff"   -> (q78 _))
 
   // ------------------------------------------------------------------ //
 
@@ -213,5 +227,20 @@ object CurationQueries {
         |       COALESCE(s.lm_sum, 0) AS lm_sum,
         |       CAST(CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0
         |            ELSE s.lm_sum // s.n_bigrams END AS BIGINT) AS lm_score
-        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "q78_corpus_diff" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, ${TextQueries.duckPolyHash("text")} AS h_old
+         |  FROM documents WHERE doc_id < 450
+         |), newer AS (
+         |  SELECT doc_id, ${TextQueries.duckPolyHash(
+               "CASE WHEN doc_id % 9 = 0 THEN 'v2 ' || text ELSE text END")} AS h_new
+         |  FROM documents WHERE doc_id >= 40
+         |)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |       CASE WHEN o.doc_id IS NULL THEN 'added'
+         |            WHEN n.doc_id IS NULL THEN 'removed'
+         |            WHEN o.h_old = n.h_new THEN 'unchanged'
+         |            ELSE 'modified' END AS status
+         |FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id""".stripMargin)
 }

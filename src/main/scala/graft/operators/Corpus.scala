@@ -497,6 +497,28 @@ object Corpus {
       .select("doc_id", "n_bigrams", "lm_sum", "lm_score")
   }
 
+  /** Corpus version diff — the audit step between two corpus
+    * versions (yesterday's curated set vs today's): every doc_id is
+    * classified added / removed / modified / unchanged by comparing
+    * content FINGERPRINTS, so the join shuffles two longs per
+    * document, never the text. At 100 TB this is one doc_id-keyed
+    * full-outer hash join of two narrow (id, hash) projections — the
+    * cheapest possible answer to "what did this pipeline change?",
+    * and the input to incremental downstream work (only added/modified
+    * docs re-enter dedup/index maintenance). Output: doc_id, status. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      HashExpressions.polyHash(col("text")).as("h_old"))
+    val n = newDocs.select(col("doc_id"),
+      HashExpressions.polyHash(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** Deterministic training-order shuffle with a GLOBAL rank — the
     * export step of a curated corpus: training wants documents in a
     * reproducible pseudo-random order (same seed → same order, on any

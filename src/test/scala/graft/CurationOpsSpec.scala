@@ -319,6 +319,15 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == "C") == 1)
   }
 
+  test("corpusDiff: added/removed/modified/unchanged classification") {
+    val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "now that"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Corpus.corpusDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("bigramLmScores: typical transitions outscore word salad; tiny docs 0") {
     val docs = Seq(
       (1L, "the data the data the data"),  // transitions repeated corpus-wide
