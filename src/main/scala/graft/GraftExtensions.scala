@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash30", 1)(e => SimHash30(e.head))
     inject("sub_squared_dist", 4)(e => SubSquaredDist(e(0), e(1), e(2), intArg(e(3))))
     inject("adc_sum", 3)(e => AdcSum(e(0), e(1), intArg(e(2))))
+    inject("token_bigrams", 1)(e => TokenBigrams(e.head))
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -63,6 +63,7 @@ object GraftFunctions {
     reg(spark, "sub_squared_dist", 4)(e =>
       SubSquaredDist(e(0), e(1), e(2), intArg(e(3))))
     reg(spark, "adc_sum", 3)(e => AdcSum(e(0), e(1), intArg(e(2))))
+    reg(spark, "token_bigrams", 1)(e => TokenBigrams(e.head))
     // the reference's roundTimestampToWeek (Sunday weeks, zone-aware):
     // composition of built-ins, SQL-registered for parity with
     // `usage_database.rb:132-168`

@@ -54,7 +54,7 @@ object AsOf {
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_asof_m", last(col("_asof_p"), ignoreNulls = true).over(w))
       .filter(col("_asof_tag") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         (tsCol +: payloadCols).map(c =>
           col(s"_asof_m.$prefix$c").as(prefix + c)): _*)
   }

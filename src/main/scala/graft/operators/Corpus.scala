@@ -550,7 +550,7 @@ object Corpus {
       .select(col("doc_id"), pmod(h2 * h2, lit(P)).as("shuffle_key"))
       .repartitionByRange(col("shuffle_key"), col("doc_id"))
       .sortWithinPartitions("shuffle_key", "doc_id")
-    val ranked = keyed.rdd.zipWithIndex.map { case (r, i) =>
+    val ranked = keyed.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i + 1L)
     }
     spark.createDataFrame(ranked,

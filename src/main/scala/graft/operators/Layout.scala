@@ -136,7 +136,7 @@ object Layout {
         // a monotonically_increasing_id-derived key can (SPARK-23207).
         // Identical rows share a salt — fine for layout (worst case a
         // slightly fuller file), fatal is what we're avoiding.
-        val rowHash = xxhash64(df.columns.map(col): _*)
+        val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
         df.withColumn("_file", input_file_name())
           // left join: rows not traceable to an input file (derived
           // frames, non-file sources report "") keep flowing with
