@@ -198,12 +198,24 @@ object Similarity {
 
   /** Search a prebuilt IVF index ([[buildIvfIndex]]): candidates are
     * the home-cell members of each query's probe cells, exact-reranked
-    * by cosine. */
-  def ivfSearch(ranked: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    val assigned = ranked.filter(col("pr") === 1)
+    * by cosine. Self-search form of [[ivfSearchAgainst]]. */
+  def ivfSearch(ranked: DataFrame, nProbe: Int, k: Int): DataFrame =
+    ivfSearchAgainst(ranked, ranked, nProbe, k)
+
+  /** Search one ranked table's probes against ANOTHER's home-cell
+    * assignments — the external-query form: `queryIdx` is a (small)
+    * batch of query vectors assigned via [[buildIvfIndex]] with the
+    * SAME pinned centroids as the corpus `indexIdx`. This is the
+    * micro-batch body of streaming ANN (each foreachBatch assigns the
+    * arriving queries and joins the static index — the corpus is never
+    * rescanned; see StreamingAnnSpec for the stream/batch parity
+    * proof) and the serving path for ad-hoc query sets. */
+  def ivfSearchAgainst(queryIdx: DataFrame, indexIdx: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val assigned = indexIdx.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("embedding").as("e_b"), col("nrm").as("n_b"))
-    val probes = ranked
+    val probes = queryIdx
       .filter(col("pr") <= math.max(nProbe, 1)) // allow probing narrower than built
       .select(col("vec_id").as("query_id"), col("cell"),
         col("embedding").as("e_a"), col("nrm").as("n_a"))

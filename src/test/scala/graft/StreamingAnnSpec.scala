@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{IvfCentroids, Similarity}
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ANN: query vectors arriving in micro-batches are searched
+  * against a STATIC IVF index via foreachBatch — the engine's real
+  * mechanism for batch-semantics-per-micro-batch (the same mapping
+  * SURVEY gives T2's ledger reconcile). Each batch assigns only the
+  * arriving queries (per-vector arithmetic against the pinned
+  * centroids); the corpus index is built once and never rescanned.
+  * Accumulated stream results must equal the one-shot batch search. */
+class StreamingAnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("micro-batched query stream equals the one-shot batch search") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter($"vec_id" >= 40)
+    val queries = emb.filter($"vec_id" < 40)
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val staticIdx = Similarity.buildIvfIndex(
+      corpus, IvfCentroids.Centroids16, nProbe = 2, pinned += _)
+
+    // batch reference: all queries at once
+    val batchRes = Similarity.ivfSearchAgainst(
+      Similarity.buildIvfIndex(queries, IvfCentroids.Centroids16, 2, pinned += _),
+      staticIdx, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // stream: the same queries split across two micro-batch files
+    val in = Files.createTempDirectory("ann_in")
+    val ckpt = Files.createTempDirectory("ann_ck")
+    queries.filter($"vec_id" < 20)
+      .write.parquet(in.toString + "/b1")
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("path", in.toString + "/*")
+      .format("parquet").load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bp = scala.collection.mutable.ListBuffer.empty[DataFrame]
+          val res = Similarity.ivfSearchAgainst(
+            Similarity.buildIvfIndex(batch, IvfCentroids.Centroids16, 2, bp += _),
+            staticIdx, nProbe = 2, k = 3)
+            .select("query_id", "neighbor_id", "rank")
+            .as[(Long, Long, Int)].collect()
+          streamed.synchronized { streamed ++= res }
+          bp.foreach(_.unpersist())
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      queries.filter($"vec_id" >= 20)
+        .write.parquet(in.toString + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    pinned.foreach(_.unpersist())
+
+    assert(streamed.toSet == batchRes,
+      s"stream ${streamed.size} vs batch ${batchRes.size}")
+    assert(batchRes.nonEmpty)
+  }
+}
