@@ -66,6 +66,11 @@ object CurationQueries {
     Corpus.corpusDiff(old, newer)
   }
 
+  /** q79 — exact 10 000-token budget prefix of the seed-42 shuffle
+    * order (scalable global running sum, no global window). */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    Corpus.tokenBudgetPrefix(Tables.documents(s, d), budget = 10000L, seed = 42L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_semdedup"      -> (q67 _),
     "q68_bloom_decontam" -> (q68 _),
@@ -74,7 +79,8 @@ object CurationQueries {
     "q74_shuffle_rank"  -> (q74 _),
     "q76_source_cap"    -> (q76 _),
     "q77_bigram_lm"     -> (q77 _),
-    "q78_corpus_diff"   -> (q78 _))
+    "q78_corpus_diff"   -> (q78 _),
+    "q79_token_budget"  -> (q79 _))
 
   // ------------------------------------------------------------------ //
 
@@ -242,5 +248,22 @@ object CurationQueries {
          |            WHEN n.doc_id IS NULL THEN 'removed'
          |            WHEN o.h_old = n.h_new THEN 'unchanged'
          |            ELSE 'modified' END AS status
-         |FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id""".stripMargin)
+         |FROM old o FULL OUTER JOIN newer n ON o.doc_id = n.doc_id""".stripMargin,
+    "q79_token_budget" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok,
+         |         ${TextQueries.duckPolyHash("('42:' || CAST(doc_id AS VARCHAR))")} AS h
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, n_tok,
+         |         ((h * h) % 1000000007) * ((h * h) % 1000000007) % 1000000007 AS shuffle_key
+         |  FROM hashed
+         |), c AS (
+         |  SELECT doc_id, shuffle_key, n_tok,
+         |         CAST(SUM(n_tok) OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM keyed
+         |)
+         |SELECT doc_id, shuffle_key, n_tok, cum_tokens
+         |FROM c WHERE cum_tokens - n_tok < 10000""".stripMargin)
 }

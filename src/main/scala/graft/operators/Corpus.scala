@@ -559,6 +559,60 @@ object Corpus {
           "rank", org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Exact token-budget prefix of the deterministic shuffle order —
+    * "give me exactly the first `budget` tokens' worth of this corpus,
+    * reproducibly": the sampling step training runs when a corpus is
+    * larger than the compute budget. Documents are ordered by the SAME
+    * seeded shuffle key as [[shuffleRank]] (so the prefix is a stable,
+    * addressable corpus slice) and kept while the running token total
+    * BEFORE the document is under `budget` — the boundary doc that
+    * crosses the budget is kept (truncate-in-training semantics).
+    *
+    * The global running sum is NOT a global window: rows are
+    * range-partitioned on the key, per-partition token sums (one long
+    * each) prefix-sum on the driver, and a second narrow pass adds
+    * each partition's offset to its local cumsum — the
+    * [[shuffleRank]] zipWithIndex trick generalized from counts to
+    * sums. One range shuffle total; every stage parallel. Output
+    * (selected docs only): doc_id, shuffle_key, n_tok, cum_tokens
+    * (inclusive). */
+  def tokenBudgetPrefix(docs: DataFrame, budget: Long, seed: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val P = 1000000007L
+    val h = HashExpressions.polyHash(
+      concat_ws(":", lit(seed.toString), col("doc_id").cast("string")))
+    val h2 = pmod(h * h, lit(P))
+    val keyed = docs
+      .select(col("doc_id"), pmod(h2 * h2, lit(P)).as("shuffle_key"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+    val rdd = keyed.rdd
+    // pass 1: one token-sum long per partition → driver prefix sums
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(2))
+      Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pi) = tokens before partition pi
+    // pass 2: local cumsum + offset; emit while the doc STARTS under budget
+    val selected = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var cum = offsets(pi)
+      it.flatMap { r =>
+        val before = cum
+        cum += r.getLong(2)
+        if (before < budget)
+          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+            r.getLong(2), cum))
+        else None
+      }
+    }
+    spark.createDataFrame(selected,
+      org.apache.spark.sql.types.StructType(keyed.schema.fields :+
+        org.apache.spark.sql.types.StructField("cum_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Sub-document duplication signal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the n-gram
     * approximation of their suffix-array ExactSubstr): for every

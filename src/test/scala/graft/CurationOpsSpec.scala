@@ -319,6 +319,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.count(_._1 == "C") == 1)
   }
 
+  test("tokenBudgetPrefix: exact boundary, shuffle-order prefix, stable across partitioning") {
+    val docs = (1L to 50L).map(i => (i, ("tok " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val got = Corpus.tokenBudgetPrefix(docs, budget = 100L, seed = 7L)
+      .orderBy("cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // running total is consistent and the budget cut is exact: every
+    // kept doc STARTS under the budget, the boundary doc crosses it
+    got.foldLeft(0L) { case (prev, (_, n, cum)) =>
+      assert(cum - n == prev, "cumsum must be gapless over the kept prefix")
+      assert(cum - n < 100L)
+      cum
+    }
+    assert(got.last._3 >= 100L, "boundary doc crossing the budget is kept")
+    // the kept set is the prefix of shuffleRank's order
+    val order = Corpus.shuffleRank(docs, seed = 7L)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(got.map(_._1).toSeq == order.take(got.length).toSeq)
+    // partitioning-invariant
+    val got2 = Corpus.tokenBudgetPrefix(docs.repartition(7), 100L, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got2 == got.map(t => (t._1, t._3)).toSet)
+  }
+
   test("corpusDiff: added/removed/modified/unchanged classification") {
     val old = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")
     val neu = Seq((1L, "same"), (2L, "now that"), (4L, "fresh")).toDF("doc_id", "text")
