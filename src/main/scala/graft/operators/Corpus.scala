@@ -477,18 +477,24 @@ object Corpus {
   def bigramLmScores(docs: DataFrame, scale: Long = 1000000L): DataFrame = {
     // native one-pass bigram builder; tokens contain no whitespace, so
     // the space-joined "w1 w2" string is bijective with the pair and
-    // serves as the single join/group key (w1 recovered by prefix)
-    val bg = docs
+    // serves as the single join/group key (w1 recovered by prefix).
+    // Occurrences collapse to per-(doc, bigram) COUNTS before any join
+    // — a repetitious document (the LLM-corpus norm) contributes one
+    // weighted row per distinct bigram, not one per occurrence, so the
+    // model joins scale with distinct structure, not text volume.
+    val bgOcc = docs
       .select(col("doc_id"),
         explode(HashExpressions.tokenBigrams(col("text"))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val scored = bg
+      .groupBy(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("n"))
+    val cb = bgOcc.groupBy("bg").agg(sum("n").as("cb"))
+    val cu = bgOcc.groupBy("w1").agg(sum("n").as("cu"))
+    val scored = bgOcc
       .join(cb, Seq("bg")).join(cu, Seq("w1"))
       .withColumn("p", expr(s"($scale * cb) div cu"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("lm_sum"))
+      .agg(sum("n").as("n_bigrams"), sum(expr("n * p")).as("lm_sum"))
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_bigrams", "lm_sum"))
       .withColumn("lm_score",
