@@ -399,20 +399,25 @@ object Corpus {
     * target_like. */
   def importanceWeights(docs: DataFrame, targetPred: Column,
       scale: Long = 1000000L): DataFrame = {
-    val tok = docs.select(col("doc_id"), targetPred.as("is_target"),
+    // occurrences collapse to per-(doc, term) counts before any join
+    // (same move as bigramLmScores — measured 2.5× there): the weight
+    // join scales with each document's distinct vocabulary, not its
+    // length, and every downstream count is a sum of `n`
+    val tokOcc = docs.select(col("doc_id"), targetPred.as("is_target"),
       explode(tokens(col("text"))).as("term"))
-    val cc = tok.groupBy("term").agg(count(lit(1)).as("cc"))
-    val tc = tok.filter(col("is_target"))
-      .groupBy("term").agg(count(lit(1)).as("tc"))
+      .groupBy("doc_id", "is_target", "term").agg(count(lit(1)).as("n"))
+    val cc = tokOcc.groupBy("term").agg(sum("n").as("cc"))
+    val tc = tokOcc.filter(col("is_target"))
+      .groupBy("term").agg(sum("n").as("tc"))
     val w = cc.join(tc, Seq("term"), "left")
       .na.fill(0L, Seq("tc"))
       .withColumn("w", expr(s"($scale * (tc + 1)) div (cc + 1)"))
-    val thr = tok.agg(
-      expr(s"($scale * sum(case when is_target then 1 else 0 end))" +
-        " div count(1)").as("thr"))
-    val scored = tok.join(w.select("term", "w"), "term")
+    val thr = tokOcc.agg(
+      expr(s"($scale * sum(case when is_target then n else 0 end))" +
+        " div sum(n)").as("thr"))
+    val scored = tokOcc.join(w.select("term", "w"), "term")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("w").as("score_sum"))
+      .agg(sum("n").as("n_tokens"), sum(expr("n * w")).as("score_sum"))
     docs.select("doc_id").join(scored, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_tokens", "score_sum"))
       .crossJoin(broadcast(thr))
