@@ -13,3 +13,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same intrusion for the `private[sql]` type-expectation machinery:
+  * `ExpectsInputTypes.inputTypes` is typed against `AbstractDataType`,
+  * which custom expressions outside `org.apache.spark.sql` cannot name
+  * directly. The alias + factory below let them declare analysis-time
+  * input types (clean AnalysisException instead of a runtime
+  * ClassCastException on misuse from SQL). */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  def oneOf(ts: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
+}

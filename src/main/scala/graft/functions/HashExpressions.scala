@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypeBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -39,7 +39,9 @@ object HashExpressions {
     * value crosses the generated-code boundary and the enclosing
     * WholeStageCodegen stage stays intact. */
   case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
 
@@ -94,7 +96,9 @@ object HashExpressions {
     * Participates in whole-stage codegen (no fallback row-by-row
     * eval boundary in the verify join's generated loop). */
   case class SortedJaccard(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType), ArrayType(LongType))
+
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sorted_jaccard"
 
@@ -148,7 +152,9 @@ object HashExpressions {
     * (same (A·h+B) mod P permutation family as
     * [[TextFunctions.minHashSignature]]; empty input → P sentinels). */
   case class MinHashSig(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType))
+
     private val A = TextFunctions.MinHashA.toArray
     private val B = TextFunctions.MinHashB.toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -193,7 +199,9 @@ object HashExpressions {
     * dot products per task, and a CodegenFallback here forces a
     * boxed InternalRow round-trip per pair. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)), TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
 
@@ -260,7 +268,9 @@ object HashExpressions {
     * nPlanes×dim interpreted lambda calls (the dominant cost of the
     * LSH signature stage). */
   case class LshProjections(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+
     // CodegenFallback is DELIBERATE here, unlike the other expressions
     // in this file: the projs array feeds nPlanes downstream getItem
     // band-bit expressions, and once this expression participates in
@@ -323,7 +333,9 @@ object HashExpressions {
     * re-tokenizes the document per term; the fallback boundary
     * materializes the array once per row. */
   case class TermFreqs(child: Expression, terms: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     require(terms.nonEmpty, "at least one term")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "term_freqs"
@@ -369,7 +381,9 @@ object HashExpressions {
     * (explode / size / transform) → ref-object codegen keeps the
     * enclosing stage intact. */
   case class TokenArray(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "token_array"
 
@@ -411,7 +425,9 @@ object HashExpressions {
     * downstream consumer → ref-object codegen keeps the enclosing
     * WholeStageCodegen stage intact (see [[ShingleHashes]] note). */
   case class TokenHashSet(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "token_hash_set"
 
@@ -467,7 +483,9 @@ object HashExpressions {
     * when the document has fewer than `n` tokens — but no interpreted
     * window lambda, no per-gram string/array allocation. */
   case class TokenNGramHashes(child: Expression, n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     require(n >= 1, "gram size >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "token_ngram_hashes"
@@ -530,7 +548,9 @@ object HashExpressions {
     * HOF's `pmod(h, 2^(b+1)) >= 2^b` is the same bit for nonnegative
     * hashes (all hashes are mod-P remainders ≥ 0). */
   case class SimHash30(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType))
+
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash30"
 
@@ -577,7 +597,9 @@ object HashExpressions {
     * Children: (embedding, centroid, sub). Participates in whole-stage
     * codegen via a direct loop. */
   case class SubSquaredDist(emb: Expression, cent: Expression,
-      sub: Expression, dsub: Int) extends TernaryExpression {
+      sub: Expression, dsub: Int) extends TernaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)), ArrayType(DoubleType), IntegerType)
+
     require(dsub >= 1, "dsub >= 1")
     override def first: Expression = emb
     override def second: Expression = cent
@@ -635,7 +657,9 @@ object HashExpressions {
     * interpreted lambda chain; this is the inner loop of the ADC scan,
     * evaluated once per (query, candidate). */
   case class AdcSum(codes: Expression, dtab: Expression, nCodes: Int)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+
     require(nCodes >= 1, "nCodes >= 1")
     override def left: Expression = codes
     override def right: Expression = dtab
@@ -683,7 +707,9 @@ object HashExpressions {
     * and bigram-LM operators' explode without an interpreted lambda
     * per bigram. */
   case class TokenBigrams(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "token_bigrams"
 
@@ -731,7 +757,9 @@ object HashExpressions {
 
   /** Whole-string polynomial fingerprint (= [[TextFunctions.polyFingerprint]]). */
   case class PolyHash(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
     override def dataType: DataType = LongType
     override def prettyName: String = "poly_hash"
 

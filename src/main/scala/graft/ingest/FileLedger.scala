@@ -104,23 +104,28 @@ object FileLedger {
     * replaces rather than appends (T4's at-least-once-then-dedup
     * discipline). Returns the applied diff.
     *
-    * Scale seams (deliberate, documented): the listing and diff are
+    * Scale seam (deliberate, documented): the listing and diff are
     * driver-side — file METADATA, ~100 B/file, fine to tens of
     * millions of files (the reference's loader was equally
-    * driver-side); and each changed file contributes one branch to the
-    * reload union, so a pass touching 10k+ files pays plan-analysis
-    * cost linear in that count — batch such backfills, or load whole
-    * directories through one `load` call. Steady-state increments
-    * touch a handful of files and hit neither seam. */
-  def sync(spark: SparkSession, inputDir: String, glob: String,
+    * driver-side). The reload itself is batched: ONE `loadAll` scan
+    * over every to-load path plus ONE literal-map lookup attaches
+    * `file_id`, so a 10k-file backfill plans in O(1) branches.
+    *
+    * `loadAll` maps the batch of paths to their rows in one DataFrame;
+    * each row must be attributable to its source file via
+    * `input_file_name()` (true of any `spark.read.*(paths: _*)`). */
+  def syncAll(spark: SparkSession, inputDir: String, glob: String,
       factDir: String, ledgerDir: String,
-      load: String => DataFrame): Diff = {
+      loadAll: Seq[String] => DataFrame): Diff = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = ledgerPath.getFileSystem(conf)
+    val ledgerFs = ledgerPath.getFileSystem(conf)
+    // fact may live on a different filesystem than the ledger (s3a fact,
+    // local ledger): resolve each from its own path
+    val factFs = new org.apache.hadoop.fs.Path(factDir).getFileSystem(conf)
     val current = listFiles(spark, inputDir, glob)
     val ledger =
-      if (!fs.exists(ledgerPath)) Seq.empty[FileState]
+      if (!ledgerFs.exists(ledgerPath)) Seq.empty[FileState]
       else {
         import spark.implicits._
         spark.read.parquet(ledgerDir).as[FileState].collect().toSeq
@@ -128,12 +133,11 @@ object FileLedger {
     val d = diff(current, ledger)
     // cascade delete: one partition dir per dropped file
     d.toDrop.foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(factDir, s"file_id=${fileId(p)}"),
-        true)
+      factFs.delete(
+        new org.apache.hadoop.fs.Path(factDir, s"file_id=${fileId(p)}"), true)
     }
     if (d.toLoad.nonEmpty) {
-      d.toLoad.map(p => load(p).withColumn("file_id", lit(fileId(p))))
-        .reduce(_ unionByName _)
+      attachFileId(loadAll(d.toLoad), d.toLoad)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("file_id")
@@ -145,4 +149,44 @@ object FileLedger {
     }
     d
   }
+
+  /** Per-file-loader form of [[syncAll]], for heterogeneous sources
+    * where each path needs its own read (different formats/schemas).
+    * Plans one union branch per to-load file — fine for steady-state
+    * increments (a handful of files); large backfills should use
+    * [[syncAll]] with a single multi-path read. */
+  def sync(spark: SparkSession, inputDir: String, glob: String,
+      factDir: String, ledgerDir: String,
+      load: String => DataFrame): Diff =
+    syncAll(spark, inputDir, glob, factDir, ledgerDir,
+      paths => paths.map(p => load(p).withColumn(SrcPathCol, lit(p)))
+        .reduce(_ unionByName _))
+
+  /** Column the batch loader may pre-attach to claim each row's source
+    * path; when absent, `input_file_name()` supplies it. */
+  val SrcPathCol = "_graft_src_path"
+
+  /** Attach the partition column `file_id` to a batch-loaded DataFrame:
+    * rows are attributed to their source via [[SrcPathCol]] (if the
+    * loader set it) or `input_file_name()`, then mapped through ONE
+    * literal map {normalized path → fileId} — no per-file plan
+    * branches, no UDF. Normalization strips the `scheme://authority`
+    * URI prefix so the listing's `file:/x` form and
+    * `input_file_name()`'s `file:///x` form agree. */
+  def attachFileId(loaded: DataFrame, paths: Seq[String]): DataFrame = {
+    val idMap = paths.map(p => normalizePath(p) -> fileId(p)).toMap
+    val src =
+      if (loaded.columns.contains(SrcPathCol)) col(SrcPathCol)
+      else input_file_name()
+    val normalized = regexp_replace(src, UriPrefixRe, "")
+    loaded
+      .withColumn("file_id", element_at(typedLit(idMap), normalized))
+      .drop(SrcPathCol)
+  }
+
+  private val UriPrefixRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+
+  /** Driver-side twin of the column normalization in [[attachFileId]]. */
+  def normalizePath(p: String): String =
+    p.replaceFirst(UriPrefixRe, "")
 }

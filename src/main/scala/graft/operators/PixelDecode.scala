@@ -115,7 +115,14 @@ object PixelDecode {
         w > (1 << 15) || h > (1 << 15) ||
         bitDepth != 8 || colorType != 2 || interlace != 0) return None
     val stride = w * 3
-    val raw = new Array[Byte]((stride + 1) * h)
+    // Never-throw on adversarial bytes: the declared dimensions alone can
+    // demand up to (3*32768+1)*32768 ≈ 3.2 GB (Int-overflowing), so size
+    // the raw buffer in Long and bound it by what the collected IDAT bytes
+    // could plausibly inflate to (deflate expands at most ~1032x).
+    val rawLen = (stride + 1).toLong * h
+    if (rawLen > Int.MaxValue.toLong ||
+        rawLen > idat.size.toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)

@@ -44,6 +44,21 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT adc_sum(array(1, 0), array(CAST(0.5 AS DOUBLE), 1.5, 2.5, 3.5), 2) AS d")
         .head().getDouble(0) == 1.5 + 2.5)
+      // wrong-typed arguments fail at ANALYSIS time with a clean error,
+      // not at execution with a ClassCastException (ExpectsInputTypes)
+      for (bad <- Seq(
+          "SELECT simhash30(array(1))",            // array<int>, wants array<bigint>
+          "SELECT token_array(42)",                // int, wants string
+          "SELECT token_hash_set(array('a'))",     // array, wants string
+          "SELECT token_ngram_hashes(7, 2)",       // int, wants string
+          "SELECT token_bigrams(array('a','b'))",  // array, wants string
+          "SELECT adc_sum(array(1L, 2L), array(CAST(1.0 AS DOUBLE)), 2)", // bigint codes
+          "SELECT sub_squared_dist(array('x'), array(CAST(1.0 AS DOUBLE)), 0, 1)",
+          "SELECT sorted_jaccard(array('a'), array('b'))",
+          "SELECT poly_hash(array(1))")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(bad).collect())
+        assert(e.getMessage.toLowerCase.contains("type"), s"$bad: ${e.getMessage}")
+      }
       // don't stop s — it shares the JVM-wide SparkContext
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -126,6 +126,47 @@ class MiscSpec extends AnyFunSuite {
     assert(factRows().map(_._2) == Set("b1"))
   }
 
+  test("ledger syncAll: batched backfill — one scan, O(1) plan branches") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("ledger_syncall").toString
+    val in = s"$root/in"; Files.createDirectories(Paths.get(in))
+    val factDir = s"$root/fact"; val ledgerDir = s"$root/ledger"
+    val n = 200
+    def name(i: Int) = f"f$i%03d.log"
+    (0 until n).foreach { i =>
+      Files.write(Paths.get(in, name(i)), s"row-$i".getBytes("UTF-8"))
+    }
+    // production shape: ONE multi-path read for the whole batch;
+    // attribution via input_file_name() inside attachFileId
+    def loadAll(paths: Seq[String]) =
+      spark.read.textFile(paths: _*).toDF("line")
+    val d1 = FileLedger.syncAll(spark, in, "*.log", factDir, ledgerDir, loadAll)
+    assert(d1.added.size == n && d1.changed.isEmpty && d1.removed.isEmpty)
+    val fact = spark.read.parquet(factDir)
+    assert(fact.count() == n)
+    // every row landed in its own file's partition
+    assert(fact.select("file_id").distinct().count() == n)
+    val f7 = fact.filter(col("line") === "row-7")
+      .select("file_id").as[String].head()
+    assert(f7.startsWith("f007.log_"), f7)
+    // the 200-file reload planned ZERO union branches: one scan plus
+    // one literal-map projection (the round-6 scale seam, closed)
+    val paths = FileLedger.listFiles(spark, in, "*.log").map(_.path)
+    val attached = FileLedger.attachFileId(loadAll(paths), paths)
+    assert(!attached.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union]))
+    // mtime-changed file reloads through the same batched path
+    Files.write(Paths.get(in, name(3)), "row-3-v2".getBytes("UTF-8"))
+    Paths.get(in, name(3)).toFile.setLastModified(
+      System.currentTimeMillis() + 60000)
+    val d2 = FileLedger.syncAll(spark, in, "*.log", factDir, ledgerDir, loadAll)
+    assert(d2.changed.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq(name(3)))
+    val lines = spark.read.parquet(factDir).select("line").as[String]
+      .collect().toSet
+    assert(lines.contains("row-3-v2") && !lines.contains("row-3") &&
+      lines.size == n)
+  }
+
   test("sessionize: window-function and native session_window agree") {
     // boundary semantics differ only at EXACTLY-gap spacing (ours: same
     // session at ==gap; session_window: new) — absent in ms-random data

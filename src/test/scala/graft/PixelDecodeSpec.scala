@@ -86,4 +86,26 @@ class PixelDecodeSpec extends AnyFunSuite {
     // BMP truncated below its declared pixel data
     assert(PixelDecode.decodeBmp(PixelDecode.bmpFixture(4, 3, rgb).take(50)).isEmpty)
   }
+
+  test("adversarial PNG dimensions: tiny file, huge claimed size → None") {
+    def claimDims(w: Int, h: Int): Array[Byte] = {
+      // valid 1x1 fixture, IHDR width/height patched (CRCs unchecked
+      // by contract, so the claim reaches the allocation guard)
+      val png = PixelDecode.pngPixelFixture(1, 1, Array[Byte](1, 2, 3)).clone()
+      def be32(i: Int, v: Int): Unit = {
+        png(i) = ((v >>> 24) & 0xff).toByte; png(i + 1) = ((v >>> 16) & 0xff).toByte
+        png(i + 2) = ((v >>> 8) & 0xff).toByte; png(i + 3) = (v & 0xff).toByte
+      }
+      be32(16, w); be32(20, h) // IHDR data starts at offset 16
+      png
+    }
+    // (3*32768+1)*32768 overflows Int — must not NegativeArraySizeException
+    assert(PixelDecode.decodePng(claimDims(32768, 32768)).isEmpty)
+    // no overflow, but ~1 GB claimed from a ~60-byte file — the IDAT
+    // inflation bound (deflate ≤ ~1032x) rejects before allocating
+    assert(PixelDecode.decodePng(claimDims(32768, 10000)).isEmpty)
+    assert(PixelDecode.decodePng(claimDims(100, 32768)).isEmpty)
+    // a consistent claim still decodes
+    assert(PixelDecode.decodePng(claimDims(1, 1)).nonEmpty)
+  }
 }
