@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("shingle_hashes", 2)(e => ShingleHashes(e.head, intArg(e(1))))
     inject("minhash_sig", 1)(e => MinHashSig(e.head))
     inject("sorted_jaccard", 2)(e => SortedJaccard(e(0), e(1)))
+    inject("sorted_intersect_count", 2)(e => SortedIntersectCount(e(0), e(1)))
     inject("poly_hash", 1)(e => PolyHash(e.head))
     inject("dot_product", 2)(e => DotProduct(e(0), e(1)))
     inject("lsh_projections", 2)(e => LshProjections(e.head, intArg(e(1))))

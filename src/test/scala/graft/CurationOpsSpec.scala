@@ -184,6 +184,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
   }
 
+  test("editDistancePairs: q-gram prefilter never drops a qualifying pair") {
+    // dist ≤ k ⇒ the strings share ≥ max(|D_a|,|D_b|) − k·n distinct
+    // n-grams (each edit destroys at most n), so the prune is lossless:
+    // compare prefiltered output against the plain blocked form across
+    // gram sizes and tight/loose thresholds
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (gram <- Seq(3, 4, 8); k <- Seq(30, 90)) {
+      val plain = Dedup.editDistancePairs(docs, Seq("lang", "source"), k)
+      val pruned = Dedup.editDistancePairs(docs, Seq("lang", "source"), k,
+        prefilterGram = gram)
+      assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+        s"gram=$gram k=$k")
+    }
+    // synthetic exact-boundary case: dist == k with maximal gram damage
+    val edge = Seq(
+      (1L, "b", "abcdefghijklmnop"),
+      (2L, "b", "Xbcdefghijklmnop"), // dist 1, head gram destroyed
+      (3L, "b", "abcdXfghijklmnoY") // dist 2, spread damage
+    ).toDF("doc_id", "blk", "text")
+    val plainE = Dedup.editDistancePairs(edge, Seq("blk"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prunedE = Dedup.editDistancePairs(edge, Seq("blk"), 2, prefilterGram = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plainE == prunedE && plainE.contains((1L, 2L, 1L)))
+  }
+
   // ---------------------------------------------------------------- //
   //  Random projection                                                //
   // ---------------------------------------------------------------- //

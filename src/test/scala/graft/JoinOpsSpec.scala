@@ -108,4 +108,25 @@ class JoinOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == want)
   }
+
+  test("connectedComponents: long chain beyond maxIter converges via pointer jumping") {
+    // a 120-node path needs ~119 plain-propagation rounds; with
+    // maxIter=5 the old code returned silently-wrong labels. The
+    // pointer-jumping phase compresses the chain in O(log n) rounds.
+    val n = 120L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(
+      chain.toDF("a", "b"), "a", "b", maxIter = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L), got.toSeq.sorted.take(20))
+  }
+
+  test("connectedComponents: non-convergence throws instead of mislabeling") {
+    val chain = (0L until 80L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        chain.toDF("a", "b"), "a", "b", maxIter = 3, shortcutIter = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
