@@ -137,4 +137,44 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("lambdafunction"), s"$q:\n${plan.take(3000)}")
     }
   }
+
+  test("q78: corpus diff shuffles 16-byte hash rows, never document text") {
+    val plan = physical("q78_corpus_diff")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the full-outer join keys on doc_id over (doc_id, poly_hash) rows:
+    // text must be projected away BELOW both exchanges — no shuffled
+    // attribute set may contain the text column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, plan.take(3000))
+    assert(plan.contains("poly_hash"), plan.take(3000))
+    // text appears only in scan/project lines, never after an exchange:
+    // the hash projection happens before the join, so the join operator
+    // itself must not reference `text`
+    val joinLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("text#")),
+      joinLines.mkString("\n"))
+  }
+
+  test("q79: token-budget prefix has no global window or single-partition funnel") {
+    // the operator materializes through the two-pass offset trick, so
+    // the output plan is an ExistingRDD scan — what must NOT appear is
+    // a global window or an everything-to-one-partition exchange (the
+    // range shuffle itself runs inside the operator; its semantics are
+    // pinned by CurationOpsSpec's partitioning-invariance test)
+    val plan = physical("q79_token_budget")
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+  }
+
+  test("q72: fuzzy edit distance is a block equi-join with the q-gram prune in place") {
+    val plan = physical("q72_fuzzy_editdist")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the lossless prefilter sits in the join condition/filter ahead of
+    // the DP: both the intersect-count scan and the early-abandon
+    // levenshtein must be present
+    assert(plan.contains("sorted_intersect_count"), plan.take(4000))
+    assert(plan.contains("levenshtein"), plan.take(4000))
+  }
 }

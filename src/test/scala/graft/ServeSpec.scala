@@ -114,6 +114,67 @@ class ServeSpec extends AnyFunSuite {
     assert(wb == 1710057600000L)
   }
 
+  test("Sunday-week + day buckets across BOTH Santiago DST transitions") {
+    // Southern-hemisphere zone whose transitions happen AT local
+    // midnight: DST ends Sun 2024-04-07 (00:00 → 23:00 Sat, repeated
+    // hour) and starts Sun 2024-09-08 (00:00 → 01:00, the week-start
+    // midnight itself DOES NOT EXIST). Expected values are computed
+    // with java.time's first-valid-instant resolution — verified
+    // equal to the DuckDB oracle formula (q30 family) on the same
+    // points, so the two engines agree on the gap Sunday too.
+    import java.time._
+    val zone = "America/Santiago"
+    val tz = ZoneId.of(zone)
+    def expectedWeek(ms: Long): Long = {
+      val d = Instant.ofEpochMilli(ms).atZone(tz).toLocalDate
+      val sunday = d.minusDays(d.getDayOfWeek.getValue % 7)
+      sunday.atStartOfDay(tz).toInstant.toEpochMilli // gap-safe
+    }
+    def expectedDay(ms: Long): Long = {
+      val d = Instant.ofEpochMilli(ms).atZone(tz).toLocalDate
+      d.atStartOfDay(tz).toInstant.toEpochMilli
+    }
+    // ±2 weeks around each transition, several local hours incl. the
+    // edges of the repeated/missing hour
+    val samples = for {
+      start <- Seq(LocalDate.of(2024, 3, 24), LocalDate.of(2024, 8, 25))
+      day <- 0 until 28
+      hourMs <- Seq(0L, 1800000L, 3 * H, 12 * H, 23 * H + 1800000L)
+    } yield start.atStartOfDay(tz).toInstant.toEpochMilli + day * D + hourMs
+    val df = samples.toDF("t").select(col("t"),
+      TimeBuckets.bucket(col("t"), "WEEKS", zone).as("wk"),
+      TimeBuckets.bucket(col("t"), "DAYS", zone).as("dy"))
+    df.collect().foreach { r =>
+      val t = r.getLong(0)
+      assert(r.getLong(1) == expectedWeek(t),
+        s"week mismatch at ${Instant.ofEpochMilli(t)}")
+      assert(r.getLong(2) == expectedDay(t),
+        s"day mismatch at ${Instant.ofEpochMilli(t)}")
+      // the week bucket is always a local Sunday at the first valid
+      // local instant of that date
+      val wkLocal = Instant.ofEpochMilli(r.getLong(1)).atZone(tz)
+      assert(wkLocal.getDayOfWeek == DayOfWeek.SUNDAY)
+      assert(wkLocal.toLocalDate.atStartOfDay(tz).toInstant.toEpochMilli
+        == r.getLong(1))
+    }
+    // WEEKS ticks around the gap transition stay Sunday-anchored and
+    // 1-week-spaced in LOCAL time (168h ± the 1h DST shift in UTC)
+    val s = LocalDate.of(2024, 8, 25).atStartOfDay(tz).toInstant.toEpochMilli
+    val e = LocalDate.of(2024, 9, 22).atStartOfDay(tz).toInstant.toEpochMilli
+    val ticks = TimeBuckets.ticks("WEEKS", zone, s, e, s, e)
+    assert(ticks.nonEmpty)
+    ticks.foreach { ms =>
+      val z = Instant.ofEpochMilli(ms).atZone(tz)
+      assert(z.getDayOfWeek == DayOfWeek.SUNDAY, z.toString)
+    }
+    ticks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val weekH = (b - a) / 3600000L
+        assert(weekH == 167L || weekH == 168L || weekH == 169L, s"$a -> $b")
+      case _ => ()
+    }
+  }
+
   test("perUserSeries densifies with defaults") {
     val qt = QueryType.All("minutesTotal")
     val series = UsageQueries.perUserSeries(
