@@ -1,0 +1,194 @@
+package graft
+
+import graft.model.{Attempt, Job, Task}
+import graft.sources.AvroKv
+import java.nio.file.Files
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** S4–S6 byte-compatibility: the engine reads and writes the
+  * reference's Avro KV container layout (`AvroKeyValueOutputFormat`
+  * with `AttemptStatsKey`/`AttemptStatsValue` and string→`LogData`
+  * pairs) through the real Apache Avro codec. The "reference-layout"
+  * fixtures here are written by VANILLA avro (DataFileWriter + the
+  * AvroKeyValue wrapper schema) — exactly what the MR output format
+  * produces — so reading them proves interop with files our code never
+  * touched.
+  */
+class AvroKvSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"avrokv_$tag").toString
+
+  /** Reference-layout usage fixture written by plain Avro, not our
+    * writer: deflate container, KeyValuePair wrapper, enum symbols. */
+  private def writeReferenceUsageFixture(path: String): Unit = {
+    val pair = new Schema.Parser().parse(AvroKv.usagePairSchemaJson)
+    val key = new Schema.Parser().parse(AvroKv.StatsKeySchemaJson)
+    val value = new Schema.Parser().parse(AvroKv.StatsValueSchemaJson)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](pair))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(pair, new java.io.File(path))
+    def enumOf(s: Schema, v: String) = new GenericData.EnumSymbol(s, v)
+    val rows = Seq(
+      ("alice", 3600000L, "prod", false, "MAP", "SUCCESS", 2, 2, 30.5,
+        Some(12.25), Some(100L), None),
+      ("bob", 7200000L, "prod", true, "REDUCE", "FAILED", 1, 0, 61.0,
+        None, None, Some(4096L)))
+    rows.foreach { case (u, t, c, ex, tt, st, s0, f0, el, cpu, sp, rsb) =>
+      val k = new GenericData.Record(key)
+      k.put("user", u); k.put("time", t)
+      k.put("unit", enumOf(key.getField("unit").schema(), "HOURS"))
+      k.put("cluster", c); k.put("excess", ex)
+      k.put("type", enumOf(key.getField("type").schema(), tt))
+      k.put("status", enumOf(key.getField("status").schema(), st))
+      val v = new GenericData.Record(value)
+      v.put("started", s0); v.put("finished", f0)
+      v.put("elapsedMinutes", el)
+      v.put("cpuMinutes", cpu.map(java.lang.Double.valueOf).orNull)
+      v.put("spilledRecords", sp.map(java.lang.Long.valueOf).orNull)
+      v.put("reduceShuffleBytes", rsb.map(java.lang.Long.valueOf).orNull)
+      val rec = new GenericData.Record(pair)
+      rec.put("key", k); rec.put("value", v)
+      w.append(rec)
+    }
+    w.close()
+  }
+
+  test("readUsageFact parses a reference-layout container it never wrote") {
+    val dir = tmpDir("ref_usage")
+    writeReferenceUsageFixture(s"$dir/part-r-00000.avro")
+    val got = AvroKv.readUsageFact(spark, dir)
+      .orderBy("user").collect()
+    assert(got.length == 2)
+    val a = got(0)
+    assert(a.getString(0) == "alice" && a.getLong(1) == 3600000L &&
+      a.getString(2) == "prod" && !a.getBoolean(3) &&
+      a.getString(4) == "MAP" && a.getString(5) == "SUCCESS" &&
+      a.getInt(6) == 2 && a.getInt(7) == 2 && a.getDouble(8) == 30.5 &&
+      a.getDouble(9) == 12.25 && a.getDouble(10) == 100.0 && a.isNullAt(11))
+    val b = got(1)
+    assert(b.getString(0) == "bob" && b.getBoolean(3) &&
+      b.getString(4) == "REDUCE" && b.isNullAt(9) && b.isNullAt(10) &&
+      b.getLong(11) == 4096L)
+  }
+
+  test("usage fact round-trip: write → vanilla-avro read → byte-faithful values") {
+    val dir = tmpDir("rt_usage")
+    val fact = Seq(
+      ("u1", 3600000L, "c1", false, "MAP", "SUCCESS", 3, 2, 12.5,
+        Some(1.25), Some(7.0), None: Option[Long]),
+      ("u2", 7200000L, "c1", true, "REDUCE", "KILLED", 1, 0, 0.75,
+        None: Option[Double], None: Option[Double], Some(123L)))
+      .toDF("user", "time", "cluster", "excess", "taskType", "status",
+        "started", "finished", "elapsedMinutes", "cpuMinutes",
+        "spilledRecords", "reduceShuffleBytes")
+    AvroKv.writeUsageFact(fact, dir)
+    // read the container back with PLAIN avro — proves the bytes are a
+    // well-formed reference-layout file, not something only our reader
+    // understands
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    val recs = files.flatMap { f =>
+      val r = new DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      val out = r.iterator.asScala.map { rec =>
+        val k = rec.get("key").asInstanceOf[GenericRecord]
+        val v = rec.get("value").asInstanceOf[GenericRecord]
+        (k.get("user").toString, k.get("time").asInstanceOf[Long],
+          k.get("unit").toString, k.get("type").toString,
+          v.get("started").asInstanceOf[Int],
+          v.get("elapsedMinutes").asInstanceOf[Double],
+          Option(v.get("reduceShuffleBytes"))
+            .map(_.asInstanceOf[Long]))
+      }.toList
+      r.close(); out
+    }.sortBy(_._1)
+    assert(recs.length == 2)
+    assert(recs(0) == ("u1", 3600000L, "HOURS", "MAP", 3, 12.5, None))
+    assert(recs(1) == ("u2", 7200000L, "HOURS", "REDUCE", 1, 0.75, Some(123L)))
+    // and through our own reader: full fact equality
+    val back = AvroKv.readUsageFact(spark, dir)
+    assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
+  }
+
+  private def sampleJobs: Seq[Job] = Seq(
+    Job("job_1", "prod", Some("alice"), Some("wordcount"), Some("default"),
+      Some("SUCCESS"), Some(1000L), Some(2000L), Some(9000L),
+      Some(2), Some(1), Some(2), Some(1), Some(0), Some(0),
+      tasks = Seq(
+        Task("task_m_0", "MAP", Some("SUCCESS"), Some(2000L), Some(5000L),
+          attempts = Seq(
+            Attempt("attempt_m_0_0", "MAP", "SUCCESS", 2000L, 5000L,
+              None, None, Map("CPU_MILLISECONDS" -> 1234L,
+                "SPILLED_RECORDS" -> 10L),
+              excess = false, minutes = 0.05, cpuMinutes = Some(0.02057)))),
+        Task("task_r_0", "REDUCE", Some("SUCCESS"), Some(5000L), Some(9000L),
+          attempts = Seq(
+            Attempt("attempt_r_0_0", "REDUCE", "SUCCESS", 5000L, 9000L,
+              Some(6000L), Some(7000L),
+              Map("REDUCE_SHUFFLE_BYTES" -> 2048L),
+              excess = false, minutes = 0.0666, cpuMinutes = None),
+            Attempt("attempt_r_0_1", "REDUCE", "KILLED", 5500L, 8000L,
+              None, None, Map.empty,
+              excess = true, minutes = 0.0416, cpuMinutes = None))))),
+    Job("job_2", "prod", None, None, None, Some("FAILED"),
+      None, None, Some(20000L), None, None, None, None, None, None,
+      tasks = Seq.empty))
+
+  test("jobs round-trip: LogData union layout preserved through write → read") {
+    val dir = tmpDir("rt_jobs")
+    AvroKv.writeJobs(spark.createDataset(sampleJobs), dir)
+    val back = AvroKv.readJobs(spark, dir).collect().sortBy(_.jobId)
+    assert(back.toSeq == sampleJobs.sortBy(_.jobId))
+    // vanilla-avro inspection: the entry union branch is the Job record
+    // with the reference's schema name, key is the jobId
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    val r = new DataFileReader[GenericRecord](
+      f, new GenericDatumReader[GenericRecord]())
+    val rec = r.iterator.next()
+    assert(rec.get("key").toString.startsWith("job_"))
+    val entry = rec.get("value").asInstanceOf[GenericRecord]
+      .get("entry").asInstanceOf[GenericRecord]
+    assert(entry.getSchema.getFullName ==
+      "com.linkedin.whiteelephant.parsing.Job")
+    r.close()
+  }
+
+  test("readKv maps the LogData union generically (entryType + branch structs)") {
+    val dir = tmpDir("generic")
+    AvroKv.writeJobs(spark.createDataset(sampleJobs), dir)
+    val df = AvroKv.readKv(spark, dir)
+    assert(df.columns.toSeq == Seq("key", "value"))
+    val entry = df.select(col("value.entry.entryType").as("t"),
+      col("value.entry.Job.jobId").as("id")).orderBy("id").collect()
+    assert(entry.map(_.getString(0)).forall(_ == "Job"))
+    assert(entry.map(_.getString(1)).toSeq == Seq("job_1", "job_2"))
+  }
+
+  test("end-to-end: assembled jobs → usage fact → avro sink → identical fact") {
+    implicit val s: SparkSession = spark
+    val fact = graft.usage.UsageEtl.usageFact(spark.createDataset(sampleJobs))
+    val dir = tmpDir("e2e_usage")
+    AvroKv.writeUsageFact(fact, dir)
+    val back = AvroKv.readUsageFact(spark, dir)
+    assert(back.count() == fact.count() && back.count() > 0)
+    assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
+  }
+}
