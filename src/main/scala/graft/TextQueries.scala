@@ -147,8 +147,10 @@ object TextQueries {
     * integer-parity hyperplanes + sequential double folds, reproduced
     * bit-identically in DuckDB). */
   private def q25(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, d),
-      dim = 64, nPlanes = 32, nBands = 4, k = 3)
+    // auto band width: identical to (nPlanes=32, nBands=4) at every
+    // oracle-checked scale (≤ 2048 vecs ⇒ 8 bits/band); wider bands
+    // beyond that keep candidate volume linear (see lshTopKAuto doc)
+    Similarity.lshTopKAuto(Tables.embeddings(s, d), dim = 64, nBands = 4, k = 3)
 
   /** Embedding-cosine near-dup pairs within label blocks. */
   private def q32(s: SparkSession, d: String): DataFrame =
@@ -159,9 +161,14 @@ object TextQueries {
     * ship centroids as data). With fixed centroid literals the search
     * is pure join/fold arithmetic, so the DuckDB oracle reproduces it
     * bit-for-bit (exact hash-match, formerly rows-only). */
-  private def q33(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopKWithCentroids(Tables.embeddings(s, d),
-      IvfCentroids.Centroids16, nProbe = 2, k = 3)
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // quantizer sized to the corpus (cells ∝ N): identical Centroids16
+    // at every oracle-checked scale; the 160-cell table keeps
+    // candidates-per-query constant at 10× data (see forCorpusSize)
+    Similarity.ivfTopKWithCentroids(emb,
+      IvfCentroids.forCorpusSize(emb.count()), nProbe = 2, k = 3)
+  }
 
   /** Corpus term frequency: top-10 terms per language (explode +
     * count + rank, deterministic term tie-break).

@@ -76,16 +76,29 @@ object TextFunctions {
     * 16-entry minhash family so minhash signatures (q21) are
     * untouched. Same contract: arbitrary fixed constants mirrored
     * verbatim in the DuckDB oracle. */
+  // 64 planes: the first 32 are the original table (oracle SQL and all
+  // gate-scale queries use only these); 33..64 extend the run of
+  // consecutive primes (>200383 / >283) so the adaptive LSH mode
+  // ([[graft.operators.Similarity.lshTopKAuto]]) can widen band hashes
+  // with corpus size without touching the pinned prefix.
   val LshA: IndexedSeq[Long] =
-    IndexedSeq(200003, 200017, 200029, 200033, 200041, 200063, 200087,
-      200117, 200131, 200153, 200159, 200171, 200177, 200183, 200191,
-      200201, 200227, 200231, 200237, 200257, 200273, 200293, 200297,
-      200323, 200329, 200341, 200351, 200357, 200363, 200371, 200381,
-      200383)
+    IndexedSeq(200003L, 200017L, 200029L, 200033L, 200041L, 200063L, 200087L,
+      200117L, 200131L, 200153L, 200159L, 200171L, 200177L, 200183L, 200191L,
+      200201L, 200227L, 200231L, 200237L, 200257L, 200273L, 200293L, 200297L,
+      200323L, 200329L, 200341L, 200351L, 200357L, 200363L, 200371L, 200381L,
+      200383L,
+      200401L, 200407L, 200437L, 200443L, 200461L, 200467L, 200483L,
+      200513L, 200569L, 200573L, 200579L, 200587L, 200591L, 200597L,
+      200609L, 200639L, 200657L, 200671L, 200689L, 200699L, 200713L,
+      200723L, 200731L, 200771L, 200779L, 200789L, 200797L, 200807L,
+      200843L, 200861L, 200867L, 200869L)
   val LshB: IndexedSeq[Long] =
-    IndexedSeq(5, 11, 19, 31, 43, 59, 71, 83, 103, 107, 131, 137, 149,
-      157, 167, 173, 181, 193, 199, 211, 223, 227, 233, 239, 251, 257,
-      263, 269, 271, 277, 281, 283)
+    IndexedSeq(5L, 11L, 19L, 31L, 43L, 59L, 71L, 83L, 103L, 107L, 131L, 137L,
+      149L, 157L, 167L, 173L, 181L, 193L, 199L, 211L, 223L, 227L, 233L, 239L,
+      251L, 257L, 263L, 269L, 271L, 277L, 281L, 283L,
+      293L, 307L, 311L, 313L, 317L, 331L, 337L, 347L, 349L, 353L, 359L,
+      367L, 373L, 379L, 383L, 389L, 397L, 401L, 409L, 419L, 421L, 431L,
+      433L, 439L, 443L, 449L, 457L, 461L, 463L, 467L, 479L, 487L)
 
   /** Exact-arithmetic minhash signature (k = 16): element j is
     * `min over token hashes h of (A(j)*h + B(j)) mod P`. Input must be

@@ -346,37 +346,68 @@ object Dedup {
     * one O(len) merge scan per PAIR ([[HashExpressions
     * .SortedIntersectCount]]), vs O(len·k) for the banded DP — at
     * 100 TB the survivors of the block join are overwhelmingly
-    * NON-duplicates, and this discards them at ~k× less cost. */
+    * NON-duplicates, and this discards them at ~k× less cost.
+    *
+    * Pair-generation shape (sf1 measurement drove this): the block
+    * join runs on SLIM rows — ids, lengths, and a length BUCKET of
+    * width maxDist+1 folded into the join key (|len_a − len_b| ≤
+    * maxDist forces same-or-adjacent buckets, so the a-side probes 3
+    * buckets: an equi-join, still lossless) — and the multi-KB
+    * payloads join back by doc id only for pairs that SURVIVE each
+    * stage: shingle arrays after the length band, text only after the
+    * q-gram prune. The naive join carried ~4 KB of arrays per
+    * candidate pair through the shuffle (tens of GB at 50 k docs);
+    * this shape moves payload bytes proportional to survivors. */
   def editDistancePairs(docs: DataFrame, blockCols: Seq[String],
       maxDist: Int, prefilterGram: Int = 0): DataFrame = {
-    val shingled =
-      if (prefilterGram > 0)
-        docs.withColumn("sh",
-          HashExpressions.shingleHashes(col("text"), prefilterGram))
-      else docs
-    val base = shingled.select(
+    val w = maxDist + 1
+    val slim = docs.select(
       (col("doc_id") +: blockCols.map(col)) :+
-        col("text") :+ length(col("text")).as("len") :+
-        (if (prefilterGram > 0) col("sh") else lit(null).as("sh")): _*)
-    val a = base.select(
+        length(col("text")).as("len"): _*)
+    val a = slim.select(
       (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
-        col("text").as("t_a") :+ col("len").as("len_a") :+
-        col("sh").as("sh_a"): _*)
-    val b = base.select(
+        col("len").as("len_a"): _*)
+      .withColumn("bkt", explode(array(
+        floor(col("len_a") / w) - 1,
+        floor(col("len_a") / w),
+        floor(col("len_a") / w) + 1)))
+    val b = slim.select(
       (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
-        col("text").as("t_b") :+ col("len").as("len_b") :+
-        col("sh").as("sh_b"): _*)
-    val banded = a.join(b, blockCols)
+        col("len").as("len_b"): _*)
+      .withColumn("bkt", floor(col("len_b") / w))
+    val banded = a.join(b, blockCols :+ "bkt")
       .filter(col("doc_a") < col("doc_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-    val candidates =
-      if (prefilterGram > 0)
-        banded.filter(
-          HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
-            greatest(size(col("sh_a")), size(col("sh_b"))) -
-              lit(maxDist.toLong * prefilterGram))
-      else banded
-    candidates
+      .select("doc_a", "doc_b")
+    resolveEditPairs(docs, banded, maxDist, prefilterGram)
+  }
+
+  /** Shared tail of the edit-distance operators: candidate (doc_a,
+    * doc_b) id pairs → exact distances, attaching payloads stage by
+    * stage (arrays for the q-gram prune, text only for the DP). */
+  private def resolveEditPairs(docs: DataFrame, cand: DataFrame,
+      maxDist: Int, prefilterGram: Int): DataFrame = {
+    val pruned =
+      if (prefilterGram > 0) {
+        val sh = docs.select(col("doc_id"),
+          HashExpressions.shingleHashes(col("text"), prefilterGram).as("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+            "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+            "doc_b")
+          .filter(
+            HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
+              greatest(size(col("sh_a")), size(col("sh_b"))) -
+                lit(maxDist.toLong * prefilterGram))
+          .select("doc_a", "doc_b")
+      } else cand
+    val txt = docs.select(col("doc_id"), col("text"))
+    pruned
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")),
+        "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")),
+        "doc_b")
       .withColumn("dist",
         levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
@@ -394,33 +425,26 @@ object Dedup {
   def incrementalEditDistancePairs(newDocs: DataFrame, corpus: DataFrame,
       blockCols: Seq[String], maxDist: Int,
       prefilterGram: Int = 0): DataFrame = {
-    def prep(df: DataFrame, idAs: String, textAs: String, lenAs: String,
-        shAs: String) = {
-      val shingled =
-        if (prefilterGram > 0)
-          df.withColumn(shAs,
-            HashExpressions.shingleHashes(col("text"), prefilterGram))
-        else df.withColumn(shAs, lit(null))
-      shingled.select(
+    val w = maxDist + 1
+    def slim(df: DataFrame, idAs: String, lenAs: String) =
+      df.select(
         (col("doc_id").as(idAs) +: blockCols.map(col)) :+
-          col("text").as(textAs) :+ length(col("text")).as(lenAs) :+
-          col(shAs): _*)
-    }
-    val banded = prep(newDocs, "doc_a", "t_a", "len_a", "sh_a")
-      .join(prep(corpus, "doc_b", "t_b", "len_b", "sh_b"), blockCols)
+          length(col("text")).as(lenAs): _*)
+    val a = slim(newDocs, "doc_a", "len_a")
+      .withColumn("bkt", explode(array(
+        floor(col("len_a") / w) - 1,
+        floor(col("len_a") / w),
+        floor(col("len_a") / w) + 1)))
+    val b = slim(corpus, "doc_b", "len_b")
+      .withColumn("bkt", floor(col("len_b") / w))
+    val banded = a.join(b, blockCols :+ "bkt")
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-    val candidates =
-      if (prefilterGram > 0)
-        banded.filter(
-          HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
-            greatest(size(col("sh_a")), size(col("sh_b"))) -
-              lit(maxDist.toLong * prefilterGram))
-      else banded
-    val vsCorpus = candidates
-      .withColumn("dist",
-        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
-      .filter(col("dist") >= 0)
-      .select("doc_a", "doc_b", "dist")
+      .select("doc_a", "doc_b")
+    // the two sides come from different tables: resolve payloads from
+    // their union (ids are disjoint between increment and corpus)
+    val all = newDocs.select("doc_id", "text")
+      .unionByName(corpus.select("doc_id", "text"))
+    val vsCorpus = resolveEditPairs(all, banded, maxDist, prefilterGram)
       .withColumn("vs_corpus", lit(true))
     val vsNew = editDistancePairs(newDocs, blockCols, maxDist, prefilterGram)
       .withColumn("vs_corpus", lit(false))

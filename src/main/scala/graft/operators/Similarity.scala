@@ -52,7 +52,15 @@ object Similarity {
 
   /** Single nearest neighbor per vector inside equal-`blockCol` blocks
     * (a blocked similarity self-join — the shape of embedding-based
-    * near-dup detection). Output: vec_id, neighbor_id, cosine. */
+    * near-dup detection). Output: vec_id, neighbor_id, cosine.
+    *
+    * The top-1 is a `max_by` HASH AGGREGATE, not a row_number window:
+    * the block join emits Σ block² scored pairs, and a window must
+    * SORT them all (sf1 measurement: ~80 M pairs through the sort made
+    * this the slowest query in the suite at 249× the sf0.1 cost) while
+    * the aggregate folds them map-side in one pass. Tie-break matches
+    * the previous window exactly: highest cosine, then LOWEST
+    * neighbor_id (the `-neighbor_id` component of the max key). */
   def blockedNearestNeighbor(embeddings: DataFrame, blockCol: String): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
@@ -65,11 +73,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "neighbor_id", "cosine")
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("neighbor_id"), col("cosine")),
+        struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("best.neighbor_id").as("neighbor_id"),
+        col("best.cosine").as("cosine"))
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -327,6 +336,24 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+  }
+
+  /** [[lshTopK]] with the band width chosen from the corpus size —
+    * the STRESS-documented rule that keeps candidate volume linear:
+    * at FIXED bits per band, bucket populations grow with N and the
+    * bucket self-join grows with N² (sf1 measurement: 62× cost at 10×
+    * rows). Bits per band = max(8, ⌈log₂N⌉ − 3), so bucket count
+    * tracks N/8 and expected collision pairs stay ~linear; ≤ 2048
+    * vectors this is exactly 8 bits — bit-identical to the fixed
+    * (32, 4) gate configuration at every oracle-checked scale. One
+    * extra COUNT job pays for the adaptivity. */
+  def lshTopKAuto(embeddings: DataFrame, dim: Int, nBands: Int,
+      k: Int, probeBits: Int = 0): DataFrame = {
+    val n = math.max(embeddings.count(), 2L)
+    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val bits = math.min(math.max(8, log2ceil - 3),
+      graft.functions.TextFunctions.LshA.size / nBands)
+    lshTopK(embeddings, dim, nPlanes = bits * nBands, nBands, k, probeBits)
   }
 
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,

@@ -11,16 +11,17 @@ package graft.tools
   * query (exactly how a production IVF index ships: train once,
   * distribute centroids as data).
   *
-  * Usage: sbt "runMain graft.tools.FitQuantizer /root/testdata/sf0.01"
+  * Usage: sbt "runMain graft.tools.FitQuantizer /root/testdata/sf0.01 [k]"
   */
 object FitQuantizer {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val k = if (args.length > 1) args(1).toInt else 16
     val spark = graft.GraftSession.create("fit-quantizer")
     spark.sparkContext.setLogLevel("WARN")
     val cents = graft.operators.Similarity
-      .fitQuantizer(graft.Tables.embeddings(spark, dir), nCentroids = 16)
-    println("  val Centroids16: Seq[(Int, Seq[Double])] = Seq(")
+      .fitQuantizer(graft.Tables.embeddings(spark, dir), nCentroids = k)
+    println(s"  val Centroids$k: Seq[(Int, Seq[Double])] = Seq(")
     cents.foreach { case (i, c) =>
       // full-precision doubles: Double.toString round-trips exactly and
       // DuckDB parses the same decimal string to the same IEEE double
