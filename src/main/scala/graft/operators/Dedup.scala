@@ -378,40 +378,58 @@ object Dedup {
     val banded = a.join(b, blockCols :+ "bkt")
       .filter(col("doc_a") < col("doc_b"))
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "len_a", "len_b")
     resolveEditPairs(docs, banded, maxDist, prefilterGram)
   }
 
   /** Shared tail of the edit-distance operators: candidate (doc_a,
-    * doc_b) id pairs → exact distances, attaching payloads stage by
-    * stage (arrays for the q-gram prune, text only for the DP). */
+    * doc_b, len_a, len_b) pairs → exact distances, attaching payloads
+    * stage by stage (arrays for the q-gram prune, text only for the
+    * DP).
+    *
+    * The q-gram bound |D(a) ∩ D(b)| ≥ max(|D|) − k·n can only REJECT a
+    * pair when max(|D|) > k·n, and |D| ≤ len − n + 1 — so pairs with
+    * `greatest(len) ≤ k·n + n − 1` are provably un-prunable and go
+    * straight to the DP without ever attaching shingle arrays (at
+    * q72's loose k = 0.3·len parameterization that is EVERY pair, and
+    * the array joins were pure overhead: sf1 measured 195 s → 226 s
+    * from vacuous pruning; this split restores the direct path while
+    * keeping the prune for the tight-k regime where it removes ~all
+    * non-duplicates). Joins against the per-doc payload tables use
+    * shuffle-hash (the pair side dwarfs the doc side; sort-merge would
+    * sort multi-KB array rows). */
   private def resolveEditPairs(docs: DataFrame, cand: DataFrame,
       maxDist: Int, prefilterGram: Int): DataFrame = {
-    val pruned =
-      if (prefilterGram > 0) {
-        val sh = docs.select(col("doc_id"),
-          HashExpressions.shingleHashes(col("text"), prefilterGram).as("sh"))
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
-            "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-            "doc_b")
-          .filter(
-            HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
-              greatest(size(col("sh_a")), size(col("sh_b"))) -
-                lit(maxDist.toLong * prefilterGram))
-          .select("doc_a", "doc_b")
-      } else cand
     val txt = docs.select(col("doc_id"), col("text"))
-    pruned
-      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")),
-        "doc_a")
-      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")),
-        "doc_b")
+    def withText(pairs: DataFrame): DataFrame = pairs
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
+        .hint("shuffle_hash"), "doc_b")
+    def dp(pairs: DataFrame): DataFrame = pairs
       .withColumn("dist",
         levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select("doc_a", "doc_b", "dist")
+    if (prefilterGram <= 0) dp(withText(cand.select("doc_a", "doc_b")))
+    else {
+      val bound = maxDist.toLong * prefilterGram + prefilterGram - 1
+      val prunable = greatest(col("len_a"), col("len_b")) > bound
+      val direct = cand.filter(!prunable).select("doc_a", "doc_b")
+      val sh = docs.select(col("doc_id"),
+        HashExpressions.shingleHashes(col("text"), prefilterGram).as("sh"))
+      val pruned = cand.filter(prunable).select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+          .hint("shuffle_hash"), "doc_b")
+        .filter(
+          HashExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")) >=
+            greatest(size(col("sh_a")), size(col("sh_b"))) -
+              lit(maxDist.toLong * prefilterGram))
+        .select("doc_a", "doc_b")
+      dp(withText(pruned.unionByName(direct)))
+    }
   }
 
   /** Incremental fuzzy matching — [[editDistancePairs]] in the shape a
@@ -439,7 +457,7 @@ object Dedup {
       .withColumn("bkt", floor(col("len_b") / w))
     val banded = a.join(b, blockCols :+ "bkt")
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "len_a", "len_b")
     // the two sides come from different tables: resolve payloads from
     // their union (ids are disjoint between increment and corpus)
     val all = newDocs.select("doc_id", "text")
