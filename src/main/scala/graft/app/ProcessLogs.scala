@@ -128,6 +128,33 @@ object ProcessLogs {
     }
   }
 
+  /** S6 interop: write a usage fact ADDITIONALLY in the reference's
+    * exact on-disk layout — Avro AttemptStatsKey/Value containers
+    * under `<avroRoot>/<cluster>/<yyyy>/<MMdd>/`, the per-day output
+    * dirs of `ComputeUsagePerHour.java:120-174` — so a LIVE
+    * white-elephant server's loader ingests our output with no
+    * changes. One small write job per (cluster, day), mirroring the
+    * reference's own per-day job structure; the day count is bounded
+    * by the processing window (numDays), not data volume. The inverse
+    * (ingesting an existing deployment's history) is
+    * [[graft.sources.AvroKv.readUsageFact]] on the same root. */
+  def exportUsageAvro(fact: DataFrame, avroRoot: String): Unit = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val withDay = fact.withColumn("date",
+      to_date(timestamp_millis(col("time"))))
+    val days = withDay.select(col("cluster"), col("date"))
+      .distinct().as[(String, java.sql.Date)].collect()
+    days.foreach { case (cluster, date) =>
+      val d = date.toLocalDate
+      val dir = f"$avroRoot/$cluster/${d.getYear}%04d/${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
+      graft.sources.AvroKv.writeUsageFact(
+        withDay.filter(col("cluster") === cluster && col("date") === lit(date))
+          .drop("date"),
+        dir)
+    }
+  }
+
   /** J4: enrich merged jobs with their configuration (the latent join
     * the reference documents but never executes — README "Hadoop
     * Jobs"). Conf side is broadcast when small. */

@@ -182,6 +182,21 @@ class AvroKvSpec extends AnyFunSuite {
     assert(entry.map(_.getString(1)).toSeq == Seq("job_1", "job_2"))
   }
 
+  test("exportUsageAvro lays files out like the reference's per-day job dirs") {
+    implicit val s: SparkSession = spark
+    val fact = graft.usage.UsageEtl.usageFact(spark.createDataset(sampleJobs))
+    val root = tmpDir("layout")
+    graft.app.ProcessLogs.exportUsageAvro(fact, root)
+    // sampleJobs' attempts run on 1970-01-01 in cluster "prod" →
+    // <root>/prod/1970/0101/part-r-*.avro (ComputeUsagePerHour's
+    // outputPathForDay shape)
+    val dayDir = new java.io.File(s"$root/prod/1970/0101")
+    assert(dayDir.isDirectory, s"missing ${dayDir}")
+    assert(dayDir.listFiles().exists(_.getName.matches("part-r-\\d{5}\\.avro")))
+    val back = AvroKv.readUsageFact(spark, s"$root/prod/*/*")
+    assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
+  }
+
   test("end-to-end: assembled jobs → usage fact → avro sink → identical fact") {
     implicit val s: SparkSession = spark
     val fact = graft.usage.UsageEtl.usageFact(spark.createDataset(sampleJobs))
