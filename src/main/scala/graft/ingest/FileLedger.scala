@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level ingest ledger — the reference's `LoadedFiles` table +
@@ -58,7 +58,8 @@ object FileLedger {
     d.toLoad.map(load).foldLeft(kept)(_ unionByName _)
   }
 
-  /** List a directory as (path, mtime) FileStates. */
+  /** List a directory as (path, mtime) FileStates. Driver-side; fine
+    * for fixtures and small dirs — the sync path uses [[listFilesDs]]. */
   def listFiles(spark: SparkSession, dir: String, glob: String = "*"): Seq[FileState] = {
     val p = new org.apache.hadoop.fs.Path(dir, glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,6 +67,55 @@ object FileLedger {
       .filter(_.isFile)
       .map(st => FileState(st.getPath.toString, st.getModificationTime,
         st.getLen))
+  }
+
+  /** Distributed listing of `Path(dir, glob)`: the driver expands only
+    * the DIRECTORY component of the pattern (O(directories) — for a
+    * date-partitioned lake, thousands, not the 10⁷ files inside), then
+    * executors list each matched directory and apply the glob's
+    * filename component. The per-file (path, mtime, size) set lives in
+    * the cluster as a Dataset; the driver never materializes it. */
+  def listFilesDs(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[FileState] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val full = new org.apache.hadoop.fs.Path(dir, glob)
+    val parent = full.getParent
+    val namePattern = full.getName
+    val fs = parent.getFileSystem(conf.value)
+    val dirs = Option(fs.globStatus(parent)).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isDirectory).map(_.getPath.toString)
+    val slices = math.max(1, math.min(dirs.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.createDataset(
+      spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val f = p.getFileSystem(conf.value)
+        val filt = new org.apache.hadoop.fs.GlobFilter(namePattern)
+        f.listStatus(p).iterator
+          .filter(st => st.isFile && filt.accept(st.getPath))
+          .map(st => FileState(st.getPath.toString, st.getModificationTime,
+            st.getLen))
+      })
+  }
+
+  /** Join-based diff of two FileState datasets — the cluster-side twin
+    * of [[diff]]: O(files) stays distributed; only rows whose status
+    * changed (added/changed/removed) survive, so a steady-state sync
+    * collects O(changed files), never O(lake). */
+  def diffDs(current: Dataset[FileState],
+      ledger: Dataset[FileState]): DataFrame = {
+    val c = current.toDF().select(col("path"),
+      struct(col("mtime"), col("size")).as("c"))
+    val l = ledger.toDF().select(col("path"),
+      struct(col("mtime"), col("size")).as("l"))
+    c.join(l, Seq("path"), "full_outer")
+      .select(col("path"),
+        when(col("l").isNull, lit("added"))
+          .when(col("c").isNull, lit("removed"))
+          .when(col("c") =!= col("l"), lit("changed")).as("status"))
+      .filter(col("status").isNotNull)
   }
 
   /** Stable partition token for a source path — used as the fact's
@@ -104,12 +154,18 @@ object FileLedger {
     * replaces rather than appends (T4's at-least-once-then-dedup
     * discipline). Returns the applied diff.
     *
-    * Scale seam (deliberate, documented): the listing and diff are
-    * driver-side — file METADATA, ~100 B/file, fine to tens of
-    * millions of files (the reference's loader was equally
-    * driver-side). The reload itself is batched: ONE `loadAll` scan
-    * over every to-load path plus ONE literal-map lookup attaches
-    * `file_id`, so a 10k-file backfill plans in O(1) branches.
+    * Scale posture: listing is distributed ([[listFilesDs]] — driver
+    * cost O(directories)), the ledger is read as a table, and the diff
+    * is a full-outer JOIN ([[diffDs]]); the driver materializes only
+    * the diff — O(changed files) in steady state, never O(lake). (The
+    * reference's loader held the whole set driver-side,
+    * `usage_loader.rb:100-113`; a 10⁷-file lake forbids that.) The
+    * reload itself is batched: ONE `loadAll` scan over every to-load
+    * path plus ONE literal-map lookup attaches `file_id`, so a
+    * 10k-file backfill plans in O(1) branches. An initial backfill's
+    * diff IS the whole lake — unavoidable, since the concrete paths
+    * must reach `loadAll`; steady-state increments are the design
+    * point.
     *
     * `loadAll` maps the batch of paths to their rows in one DataFrame;
     * each row must be attributable to its source file via
@@ -117,37 +173,42 @@ object FileLedger {
   def syncAll(spark: SparkSession, inputDir: String, glob: String,
       factDir: String, ledgerDir: String,
       loadAll: Seq[String] => DataFrame): Diff = {
+    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
     val ledgerFs = ledgerPath.getFileSystem(conf)
     // fact may live on a different filesystem than the ledger (s3a fact,
     // local ledger): resolve each from its own path
     val factFs = new org.apache.hadoop.fs.Path(factDir).getFileSystem(conf)
-    val current = listFiles(spark, inputDir, glob)
-    val ledger =
-      if (!ledgerFs.exists(ledgerPath)) Seq.empty[FileState]
-      else {
-        import spark.implicits._
-        spark.read.parquet(ledgerDir).as[FileState].collect().toSeq
+    // one listing snapshot reused by the diff AND the ledger rewrite
+    val current = listFilesDs(spark, inputDir, glob).cache()
+    try {
+      val ledger =
+        if (!ledgerFs.exists(ledgerPath)) spark.emptyDataset[FileState]
+        else spark.read.parquet(ledgerDir).as[FileState]
+      // only the diff reaches the driver — O(changed), not O(files)
+      val diffRows = diffDs(current, ledger).collect()
+      def of(status: String): Seq[String] =
+        diffRows.collect { case r if r.getString(1) == status => r.getString(0) }
+          .toSeq.sorted
+      val d = Diff(of("added"), of("changed"), of("removed"))
+      // cascade delete: one partition dir per dropped file
+      d.toDrop.foreach { p =>
+        factFs.delete(
+          new org.apache.hadoop.fs.Path(factDir, s"file_id=${fileId(p)}"), true)
       }
-    val d = diff(current, ledger)
-    // cascade delete: one partition dir per dropped file
-    d.toDrop.foreach { p =>
-      factFs.delete(
-        new org.apache.hadoop.fs.Path(factDir, s"file_id=${fileId(p)}"), true)
-    }
-    if (d.toLoad.nonEmpty) {
-      attachFileId(loadAll(d.toLoad), d.toLoad)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("file_id")
-        .parquet(factDir)
-    }
-    { // ledger last (see above); tiny table, single file
-      import spark.implicits._
-      current.toDF().coalesce(1).write.mode("overwrite").parquet(ledgerDir)
-    }
-    d
+      if (d.toLoad.nonEmpty) {
+        attachFileId(loadAll(d.toLoad), d.toLoad)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("file_id")
+          .parquet(factDir)
+      }
+      // ledger last (see above); written straight from the distributed
+      // listing — metadata-sized partitions, no driver materialization
+      current.toDF().write.mode("overwrite").parquet(ledgerDir)
+      d
+    } finally current.unpersist()
   }
 
   /** Per-file-loader form of [[syncAll]], for heterogeneous sources
@@ -172,15 +233,30 @@ object FileLedger {
     * literal map {normalized path → fileId} — no per-file plan
     * branches, no UDF. Normalization strips the `scheme://authority`
     * URI prefix so the listing's `file:/x` form and
-    * `input_file_name()`'s `file:///x` form agree. */
+    * `input_file_name()`'s `file:///x` form agree. Because
+    * `input_file_name()` yields the URI-ENCODED path (spaces → `%20`),
+    * the map carries BOTH the raw and the encoded form of every path —
+    * encoding driver-side with the same `Path.toUri` rule Spark uses,
+    * rather than url-decoding column-side (whose `+`→space rule would
+    * corrupt legitimate `+` in paths). Any row whose path matches
+    * neither form fails the job loudly — a silent null `file_id` would
+    * drop the row from the ledger's cascade-delete and quietly corrupt
+    * incremental state. */
   def attachFileId(loaded: DataFrame, paths: Seq[String]): DataFrame = {
-    val idMap = paths.map(p => normalizePath(p) -> fileId(p)).toMap
+    val idMap = paths.flatMap { p =>
+      val id = fileId(p)
+      Seq(normalizePath(p) -> id, encodedPath(p) -> id)
+    }.toMap
     val src =
       if (loaded.columns.contains(SrcPathCol)) col(SrcPathCol)
       else input_file_name()
     val normalized = regexp_replace(src, UriPrefixRe, "")
+    val mapped = element_at(typedLit(idMap), normalized)
     loaded
-      .withColumn("file_id", element_at(typedLit(idMap), normalized))
+      .withColumn("file_id",
+        when(mapped.isNotNull, mapped).otherwise(raise_error(concat(
+          lit("FileLedger.attachFileId: row from unattributed source "),
+          normalized))))
       .drop(SrcPathCol)
   }
 
@@ -189,4 +265,11 @@ object FileLedger {
   /** Driver-side twin of the column normalization in [[attachFileId]]. */
   def normalizePath(p: String): String =
     p.replaceFirst(UriPrefixRe, "")
+
+  /** The URI-encoded, scheme-stripped form `input_file_name()` reports
+    * for path `p` — computed with the same `Path.toUri` encoding Spark
+    * itself applies. */
+  def encodedPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getRawPath
+
 }

@@ -134,6 +134,62 @@ object AvroKv {
 
   private def parse(json: String): Schema = new Schema.Parser().parse(json)
 
+  /** Container codec negotiation. Reads are codec-transparent (the
+    * container header names its codec and avro resolves it — deflate
+    * and snappy-java are both on Spark's classpath); writes accept the
+    * three codecs reference-era MR deployments produced. */
+  private def codecFor(codec: String): Option[CodecFactory] = codec match {
+    case "deflate"       => Some(CodecFactory.deflateCodec(6))
+    case "snappy"        => Some(CodecFactory.snappyCodec())
+    case "null" | "none" => None
+    case other =>
+      throw new IllegalArgumentException(s"unsupported avro codec: $other")
+  }
+
+  /** Iterator over a container stream that closes it BOTH when drained
+    * and at task completion — `limit`/`take`/downstream exceptions
+    * abandon iterators mid-stream, which would otherwise leak the file
+    * handle for the executor's lifetime. */
+  private def closing[T](stream: DataFileStream[GenericRecord],
+      in: java.io.Closeable)(iter: Iterator[T]): Iterator[T] = {
+    var closed = false
+    def close(): Unit = if (!closed) {
+      closed = true
+      try stream.close() finally in.close()
+    }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+    new Iterator[T] {
+      def hasNext: Boolean = { val h = iter.hasNext; if (!h) close(); h }
+      def next(): T = iter.next()
+    }
+  }
+
+  /** Open a part file for writing via temp + rename: each attempt
+    * writes its own temp (attempt id in the name) and publishes with a
+    * rename, so a speculative/retried task never interleaves bytes
+    * into the same container and a failed attempt leaves no torn
+    * part-r file — only a temp, deleted here on failure. */
+  private def writeCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, pid: Int)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val finalPath = new Path(dir, f"part-r-$pid%05d.avro")
+    val tmpPath = new Path(dir, f".part-r-$pid%05d-$attempt.avro.tmp")
+    try {
+      val out = fs.create(tmpPath, true)
+      body(out) // body closes `out` via DataFileWriter.close
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"commit rename failed: $tmpPath -> $finalPath")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmpPath, false) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   /** The exact KeyValuePair wrapper `AvroKeyValueOutputFormat` embeds. */
   def pairSchema(keyJson: String, valueJson: String): Schema =
     AvroKeyValue.getSchema(parse(keyJson), parse(valueJson))
@@ -248,16 +304,8 @@ object AvroKv {
         val in = fs.open(new Path(p))
         val stream = new DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord](schema))
-        val iter = stream.iterator.asScala.map(rec =>
-          convert(rec, schema).asInstanceOf[Row])
-        new Iterator[Row] { // close the stream when drained
-          def hasNext: Boolean = {
-            val h = iter.hasNext
-            if (!h) { stream.close(); in.close() }
-            h
-          }
-          def next(): Row = iter.next()
-        }
+        closing(stream, in)(stream.iterator.asScala.map(rec =>
+          convert(rec, schema).asInstanceOf[Row]))
       }
     spark.createDataFrame(rdd, sparkSchema)
   }
@@ -283,6 +331,7 @@ object AvroKv {
     * compressed deployments (`CodecFactory.deflateCodec`). */
   def writeUsageFact(fact: DataFrame, dir: String,
       codec: String = "deflate"): Unit = {
+    codecFor(codec) // validate driver-side, before any job launches
     val spark = fact.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -302,10 +351,10 @@ object AvroKv {
         val key = new Schema.Parser().parse(keyJson)
         val value = new Schema.Parser().parse(valueJson)
         val fs = new Path(dir).getFileSystem(conf.value)
-        val out = fs.create(new Path(dir, f"part-r-$pid%05d.avro"), true)
+        writeCommitted(fs, dir, pid) { out =>
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](pair))
-        if (codec == "deflate") w.setCodec(CodecFactory.deflateCodec(6))
+        codecFor(codec).foreach(w.setCodec)
         w.create(pair, out)
         it.foreach { r =>
           val k = new GenericData.Record(key)
@@ -337,6 +386,7 @@ object AvroKv {
           w.append(rec)
         }
         w.close()
+        }
       }
     }
   }
@@ -366,6 +416,7 @@ object AvroKv {
 
   def writeJobs(jobs: Dataset[Job], dir: String,
       codec: String = "deflate"): Unit = {
+    codecFor(codec) // validate driver-side, before any job launches
     val spark = jobs.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -390,10 +441,10 @@ object AvroKv {
         val taskStatusS = nullable(attS.getField("taskStatus").schema())
         val jobStatusS = nullable(jobS.getField("jobStatus").schema())
         val fs = new Path(dir).getFileSystem(conf.value)
-        val out = fs.create(new Path(dir, f"part-r-$pid%05d.avro"), true)
+        writeCommitted(fs, dir, pid) { out =>
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](pair))
-        if (codec == "deflate") w.setCodec(CodecFactory.deflateCodec(6))
+        codecFor(codec).foreach(w.setCodec)
         w.create(pair, out)
         def attemptRec(jobId: String, taskId: String, a: Attempt): GenericRecord = {
           val r = new GenericData.Record(attS)
@@ -461,6 +512,7 @@ object AvroKv {
           w.append(rec)
         }
         w.close()
+        }
       }
     }
   }
@@ -503,14 +555,18 @@ object AvroKv {
                   .asInstanceOf[java.util.Collection[GenericRecord]]
                   .asScala.toSeq.map { ar =>
                     val derived = ar.get("derived").asInstanceOf[GenericRecord]
+                    // Reference files legitimately carry null attempt
+                    // times: ParseJobsFromLogs.java:717-726 nulls
+                    // startTime/finishTime (leaving derived.minutes
+                    // null) whenever either was zero. Decode null back
+                    // to the pre-null sentinel 0 / 0.0 minutes — our
+                    // model's "unset" representation.
                     Attempt(
                       taskAttemptId = str(ar.get("taskAttemptId")),
                       taskType = str(ar.get("type")),
                       status = str(ar.get("taskStatus")),
-                      startTime = ar.get("startTime")
-                        .asInstanceOf[java.lang.Long].longValue(),
-                      finishTime = ar.get("finishTime")
-                        .asInstanceOf[java.lang.Long].longValue(),
+                      startTime = optLong(ar.get("startTime")).getOrElse(0L),
+                      finishTime = optLong(ar.get("finishTime")).getOrElse(0L),
                       shuffleFinished = optLong(ar.get("shuffleFinished")),
                       sortFinished = optLong(ar.get("sortFinished")),
                       counters = ar.get("counters")
@@ -519,10 +575,9 @@ object AvroKv {
                             k.toString -> v.asInstanceOf[java.lang.Long]
                               .longValue()
                         }.toMap,
-                      excess = derived.get("excess")
-                        .asInstanceOf[java.lang.Boolean].booleanValue(),
-                      minutes = derived.get("minutes")
-                        .asInstanceOf[java.lang.Double].doubleValue(),
+                      excess = Option(derived.get("excess"))
+                        .exists(_.asInstanceOf[java.lang.Boolean].booleanValue()),
+                      minutes = optDouble(derived.get("minutes")).getOrElse(0.0),
                       cpuMinutes = optDouble(derived.get("cpuMinutes")))
                   }
                 Task(
@@ -552,14 +607,7 @@ object AvroKv {
               tasks = tasks))
           }
         }
-        new Iterator[Job] {
-          def hasNext: Boolean = {
-            val h = iter.hasNext
-            if (!h) { stream.close(); in.close() }
-            h
-          }
-          def next(): Job = iter.next()
-        }
+        closing(stream, in)(iter)
       }
     spark.createDataset(rdd)
   }

@@ -197,6 +197,153 @@ class AvroKvSpec extends AnyFunSuite {
     assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
   }
 
+  /** Reference-layout jobs fixture written by plain Avro: one Job with
+    * one attempt whose startTime/finishTime (and derived.minutes) are
+    * NULL — exactly what ParseJobsFromLogs.java:717-726 emits when
+    * either raw time was zero. `schemaJson` lets the evolution test
+    * inject a foreign writer's extra field. */
+  private def writeReferenceJobsFixture(path: String,
+      schemaJson: String = AvroKv.LogDataSchemaJson,
+      extraField: Option[(String, String)] = None): Unit = {
+    val logData = new Schema.Parser().parse(schemaJson)
+    val pair = new Schema.Parser().parse(
+      org.apache.avro.hadoop.io.AvroKeyValue.getSchema(
+        new Schema.Parser().parse("\"string\""), logData).toString)
+    val entryUnion = logData.getField("entry").schema()
+    val jobS = entryUnion.getTypes.asScala.find(_.getName == "Job").get
+    val taskS = jobS.getField("tasks").schema().getElementType
+    val attS = taskS.getField("attempts").schema().getElementType
+    val derivedS = attS.getField("derived").schema()
+    def enumOf(s: Schema, v: String) = new GenericData.EnumSymbol(s, v)
+    def nullable(s: Schema) =
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](pair))
+    w.setCodec(CodecFactory.deflateCodec(6))
+    w.create(pair, new java.io.File(path))
+    val ar = new GenericData.Record(attS)
+    ar.put("jobId", "job_9"); ar.put("taskId", "task_9_m_0")
+    ar.put("taskAttemptId", "attempt_9_m_0_0")
+    ar.put("type", enumOf(attS.getField("type").schema(), "MAP"))
+    ar.put("taskStatus",
+      enumOf(nullable(attS.getField("taskStatus").schema()), "FAILED"))
+    ar.put("startTime", null); ar.put("finishTime", null) // the ref's nulls
+    ar.put("shuffleFinished", null); ar.put("sortFinished", null)
+    ar.put("counters", new java.util.HashMap[String, java.lang.Long]())
+    val dr = new GenericData.Record(derivedS)
+    dr.put("excess", java.lang.Boolean.TRUE)
+    dr.put("minutes", null) // null because times were null
+    dr.put("cpuMinutes", null)
+    ar.put("derived", dr)
+    val tr = new GenericData.Record(taskS)
+    tr.put("jobId", "job_9")
+    tr.put("type", enumOf(attS.getField("type").schema(), "MAP"))
+    tr.put("taskId", "task_9_m_0"); tr.put("taskStatus", null)
+    tr.put("startTime", null); tr.put("finishTime", null)
+    val atts = new java.util.ArrayList[GenericRecord](); atts.add(ar)
+    tr.put("attempts", atts)
+    val jr = new GenericData.Record(jobS)
+    jr.put("jobId", "job_9"); jr.put("user", "carol")
+    jr.put("jobName", null); jr.put("jobQueue", null)
+    jr.put("jobStatus",
+      enumOf(nullable(jobS.getField("jobStatus").schema()), "FAILED"))
+    jr.put("submitTime", java.lang.Long.valueOf(100L))
+    jr.put("launchTime", null); jr.put("finishTime", null)
+    jr.put("totalMaps", null); jr.put("totalReduces", null)
+    jr.put("finishedMaps", null); jr.put("finishedReduces", null)
+    jr.put("failedMaps", null); jr.put("failedReduces", null)
+    extraField.foreach { case (name, v) => jr.put(name, v) }
+    val tasks = new java.util.ArrayList[GenericRecord](); tasks.add(tr)
+    jr.put("tasks", tasks)
+    val ld = new GenericData.Record(logData)
+    ld.put("path", null); ld.put("cluster", "prod"); ld.put("entry", jr)
+    val rec = new GenericData.Record(pair)
+    rec.put("key", "job_9"); rec.put("value", ld)
+    w.append(rec); w.close()
+  }
+
+  test("readJobs tolerates the reference's null attempt times (ParseJobsFromLogs zeros)") {
+    val dir = tmpDir("null_times")
+    writeReferenceJobsFixture(s"$dir/part-r-00000.avro")
+    val back = AvroKv.readJobs(spark, dir).collect()
+    assert(back.length == 1)
+    val a = back.head.tasks.head.attempts.head
+    // null → the pre-null sentinel the raw logs carried
+    assert(a.startTime == 0L && a.finishTime == 0L && a.minutes == 0.0)
+    assert(a.excess && a.status == "FAILED" && a.cpuMinutes.isEmpty)
+    assert(back.head.user.contains("carol"))
+  }
+
+  test("readJobs skips an unknown trailing field from a foreign writer (schema evolution)") {
+    val evolved = AvroKv.LogDataSchemaJson.replace(
+      """{"name":"failedReduces","type":["int","null"]},""",
+      """{"name":"failedReduces","type":["int","null"]},
+        |{"name":"historyUri","type":"string"},""".stripMargin)
+    assert(evolved != AvroKv.LogDataSchemaJson) // anchor still matches
+    val dir = tmpDir("evolved")
+    writeReferenceJobsFixture(s"$dir/part-r-00000.avro", evolved,
+      extraField = Some("historyUri" -> "hdfs://nn/history/job_9.xml"))
+    val back = AvroKv.readJobs(spark, dir).collect()
+    assert(back.length == 1 && back.head.jobId == "job_9")
+    assert(back.head.tasks.head.attempts.head.startTime == 0L)
+    // and the generic reader surfaces the foreign field rather than dying
+    val df = AvroKv.readKv(spark, dir)
+    assert(df.select("value.entry.Job.historyUri").head.getString(0)
+      == "hdfs://nn/history/job_9.xml")
+  }
+
+  test("codec negotiation: null and snappy containers round-trip; header names the codec") {
+    for (codec <- Seq("null", "snappy", "deflate")) {
+      val dir = tmpDir(s"codec_$codec")
+      val fact = Seq(("u1", 3600000L, "c1", false, "MAP", "SUCCESS", 1, 1,
+        2.5, None: Option[Double], None: Option[Double], None: Option[Long]))
+        .toDF("user", "time", "cluster", "excess", "taskType", "status",
+          "started", "finished", "elapsedMinutes", "cpuMinutes",
+          "spilledRecords", "reduceShuffleBytes")
+      AvroKv.writeUsageFact(fact, dir, codec = codec)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val r = new DataFileReader[GenericRecord](
+        f, new GenericDatumReader[GenericRecord]())
+      assert(Option(r.getMetaString("avro.codec")).getOrElse("null") == codec)
+      r.close()
+      val back = AvroKv.readUsageFact(spark, dir)
+      assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty,
+        s"codec $codec")
+    }
+    intercept[IllegalArgumentException] {
+      AvroKv.writeUsageFact(
+        Seq(("u", 0L, "c", false, "MAP", "SUCCESS", 1, 1, 1.0,
+          None: Option[Double], None: Option[Double], None: Option[Long]))
+          .toDF("user", "time", "cluster", "excess", "taskType", "status",
+            "started", "finished", "elapsedMinutes", "cpuMinutes",
+            "spilledRecords", "reduceShuffleBytes"),
+        tmpDir("codec_bad"), codec = "zstd-nope")
+    }
+  }
+
+  test("early-terminated read (limit 1) completes: stream closed by task listener") {
+    val dir = tmpDir("early_term")
+    AvroKv.writeJobs(spark.createDataset(sampleJobs), dir)
+    // limit abandons the iterator mid-container; without the
+    // TaskContext completion listener this leaked the handle
+    assert(AvroKv.readKv(spark, dir).limit(1).count() == 1L)
+    assert(AvroKv.readJobs(spark, dir).limit(1).count() == 1L)
+  }
+
+  test("writers publish via temp+rename: no .tmp litter, complete containers") {
+    val dir = tmpDir("commit")
+    AvroKv.writeUsageFact(
+      Seq(("u1", 3600000L, "c1", false, "MAP", "SUCCESS", 1, 1, 2.5,
+        None: Option[Double], None: Option[Double], None: Option[Long]))
+        .toDF("user", "time", "cluster", "excess", "taskType", "status",
+          "started", "finished", "elapsedMinutes", "cpuMinutes",
+          "spilledRecords", "reduceShuffleBytes"), dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.exists(_.matches("part-r-\\d{5}\\.avro")))
+    assert(!names.exists(_.contains(".tmp")), names.mkString(","))
+  }
+
   test("end-to-end: assembled jobs → usage fact → avro sink → identical fact") {
     implicit val s: SparkSession = spark
     val fact = graft.usage.UsageEtl.usageFact(spark.createDataset(sampleJobs))

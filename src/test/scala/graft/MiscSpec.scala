@@ -167,6 +167,74 @@ class MiscSpec extends AnyFunSuite {
       lines.size == n)
   }
 
+  test("ledger listFilesDs: distributed listing equals driver glob, incl. dir globs") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("ledger_listds").toString
+    Files.createDirectories(Paths.get(s"$root/day=1"))
+    Files.createDirectories(Paths.get(s"$root/day=2"))
+    Files.write(Paths.get(root, "top.log"), "t".getBytes)
+    Files.write(Paths.get(s"$root/day=1", "a.log"), "a".getBytes)
+    Files.write(Paths.get(s"$root/day=1", "skip.txt"), "x".getBytes)
+    Files.write(Paths.get(s"$root/day=2", "b.log"), "bb".getBytes)
+    def paths(fs: Seq[FileState]) = fs.map(_.path).sorted
+    // flat glob over one dir
+    assert(paths(FileLedger.listFilesDs(spark, root, "*.log").collect().toSeq)
+      == paths(FileLedger.listFiles(spark, root, "*.log")))
+    // dir-component glob fans the listing out per matched directory
+    assert(paths(FileLedger.listFilesDs(spark, root, "day=*/*.log").collect().toSeq)
+      == paths(FileLedger.listFiles(spark, root, "day=*/*.log")))
+    // mtime+size agree with the driver listing
+    val ds = FileLedger.listFilesDs(spark, root, "day=*/*.log")
+      .collect().sortBy(_.path).toSeq
+    assert(ds == FileLedger.listFiles(spark, root, "day=*/*.log").sortBy(_.path))
+  }
+
+  test("ledger diffDs: 100k-file diff holds only O(changed) on the driver") {
+    // both sides built cluster-side (spark.range) — the driver never
+    // holds a 100k element listing; only the join's surviving diff
+    // rows are collected
+    val n = 100000L
+    def states(range: org.apache.spark.sql.DataFrame) = range
+      .select(concat(lit("/lake/f"), col("id")).as("path"),
+        col("mtime"), col("size")).as[FileState]
+    val ledger = states(spark.range(n).toDF("id")
+      .withColumn("mtime", lit(1L)).withColumn("size", lit(10L)))
+    // current: drop ids 0-2 (removed), bump mtime of 10-12 (changed),
+    // add n..n+1 (added)
+    val current = states(spark.range(3, n + 2).toDF("id")
+      .withColumn("mtime", when(col("id").between(10, 12), 2L).otherwise(1L))
+      .withColumn("size", lit(10L)))
+    val d = FileLedger.diffDs(current, ledger)
+      .as[(String, String)].collect().groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    assert(d("removed") == Set("/lake/f0", "/lake/f1", "/lake/f2"))
+    assert(d("changed") == Set("/lake/f10", "/lake/f11", "/lake/f12"))
+    assert(d("added") == Set(s"/lake/f$n", s"/lake/f${n + 1}"))
+    assert(d.values.map(_.size).sum == 8) // nothing else surfaced
+  }
+
+  test("attachFileId: uri-encoded input_file_name (space in path) still attributes; unknown path fails loudly") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("ledger_enc").toString
+    val in = s"$root/in dir"; Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(in, "a b.log"), "hello".getBytes("UTF-8"))
+    val paths = FileLedger.listFiles(spark, in, "*.log").map(_.path)
+    assert(paths.size == 1 && paths.head.contains("a b.log"))
+    // input_file_name() reports file:///...%20... — the encoded-form
+    // map entry must catch it (a silent null here corrupts the ledger)
+    val attached = FileLedger.attachFileId(
+      spark.read.textFile(paths: _*).toDF("line"), paths)
+    val ids = attached.select("file_id").as[String].collect()
+    assert(ids.length == 1 && ids.head.startsWith("a_b.log_"), ids.toSeq)
+    // a row from a path NOT in the load set must raise, not null out
+    val boom = intercept[Exception] {
+      FileLedger.attachFileId(
+        spark.read.textFile(paths: _*).toDF("line"),
+        Seq("/somewhere/else.log")).collect()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("sessionize: window-function and native session_window agree") {
     // boundary semantics differ only at EXACTLY-gap spacing (ours: same
     // session at ==gap; session_window: new) — absent in ms-random data
