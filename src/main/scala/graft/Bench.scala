@@ -41,11 +41,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision keeps the 79-query line under the driver's
+    // ~2.9 KB tail-capture window (full double repr pushed it to
+    // ~3.5 KB and head-truncated q01–q14 in rounds 6 and 7)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Stdout of a long run can be tail-truncated by harness plumbing
     // (r6's driver artifact lost 14 query timings that way) — also

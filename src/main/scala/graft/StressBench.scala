@@ -216,6 +216,29 @@ object StressBench {
         .duplicateSpanStats(docsWithId, n = 8, minDf = 2)
         .agg(sum("n_dup_spans")).first().getLong(0) % 1000000
     }
+    // same operator on the xxhash64 gram fast path (production knob;
+    // the exact polyhash family above stays the oracle default) — the
+    // per-gram cost drops from O(len·n) char re-hashing to O(len +
+    // windows·n) token-hash combining
+    timed("span_dedup_stats_fast", nDocs) {
+      graft.operators.Corpus
+        .duplicateSpanStats(docsWithId, n = 8, minDf = 2, fastGrams = true)
+        .agg(sum("n_dup_spans")).first().getLong(0) % 1000000
+    }
+    // isolated hashing kernels (narrow scan, no shuffle): the full
+    // operator above mixes hashing with the two gram shuffles, so the
+    // kernel ratio — the thing the fast path changes — is measured on
+    // its own. `sum(size(...))` forces every gram without exploding.
+    timed("gram_kernel_exact", nDocs) {
+      docsWithId.select(size(graft.functions.HashExpressions
+          .tokenNGramHashes(col("text"), 8)).as("n"))
+        .agg(sum("n")).first().getLong(0) % 1000000
+    }
+    timed("gram_kernel_fast", nDocs) {
+      docsWithId.select(size(graft.functions.HashExpressions
+          .tokenNGramXxHashes(col("text"), 8)).as("n"))
+        .agg(sum("n")).first().getLong(0) % 1000000
+    }
 
     // --- stage 9: ordered funnel + cohort over synthetic events ----- //
     // nAttempts events over 100 k users, 4 types, 100-day span — the
@@ -278,6 +301,14 @@ object StressBench {
       graft.operators.Corpus
         .contaminationCheckBloom(docsWithId,
           docsWithId.filter(col("doc_id") < 1000), n = 7, minMatches = 2)
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
+        .first().getLong(0)
+    }
+    timed("bloom_decontamination_fast", nDocs) {
+      graft.operators.Corpus
+        .contaminationCheckBloom(docsWithId,
+          docsWithId.filter(col("doc_id") < 1000), n = 7, minMatches = 2,
+          fastGrams = true)
         .agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
         .first().getLong(0)
     }

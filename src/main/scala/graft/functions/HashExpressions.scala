@@ -541,6 +541,89 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Production fast path for [[TokenNGramHashes]]: same whitespace
+    * tokenization (byte-level — the 6 ASCII ws bytes never occur
+    * inside a multi-byte UTF-8 sequence, so segmentation is identical
+    * to the char-level scan), but each token's BYTES are xxhash64'd
+    * once and each window combines n precomputed token hashes — O(len
+    * + windows·n) instead of the exact path's O(len·n) re-hash of
+    * every character per window. Values are a different hash family
+    * than the polyhash oracle, so operators keep the exact path as
+    * default and offer this behind `fastGrams`; span-dedup /
+    * decontamination OUTPUT is identical on collision-free inputs
+    * (CorpusSpec pins parity). Works on the raw UTF8String — no
+    * String materialization at all. */
+  case class TokenNGramXxHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
+
+    require(n >= 1, "gram size >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_ngram_xxhashes"
+
+    private final val Seed = 42L
+    // odd 64-bit mix constant (golden-ratio) for the window polynomial
+    private final val M = 0x9E3779B97F4A7C15L
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokenNGramXxExpr", this,
+        classOf[TokenNGramXxHashes].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+    }
+
+    private def isWs(b: Byte): Boolean =
+      b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+    override def nullSafeEval(input: Any): Any = {
+      import org.apache.spark.unsafe.Platform
+      val u = input.asInstanceOf[UTF8String]
+      val base = u.getBaseObject
+      val off = u.getBaseOffset
+      val nb = u.numBytes
+      var starts = new Array[Int](16)
+      var lens = new Array[Int](16)
+      var m = 0
+      var i = 0
+      while (i < nb) {
+        while (i < nb && isWs(Platform.getByte(base, off + i))) i += 1
+        val st = i
+        while (i < nb && !isWs(Platform.getByte(base, off + i))) i += 1
+        if (i > st) {
+          if (m == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, m * 2)
+            lens = java.util.Arrays.copyOf(lens, m * 2)
+          }
+          starts(m) = st; lens(m) = i - st; m += 1
+        }
+      }
+      if (m < n) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        th(i) = XXH64.hashUnsafeBytes(base, off + starts(i), lens(i), Seed)
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var w = 0
+      while (w <= m - n) {
+        var h = Seed
+        var t = w
+        while (t < w + n) { h = h * M + th(t); t += 1 }
+        seen.add(h)
+        w += 1
+      }
+      val arr = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenNGramXxHashes =
+      copy(child = c)
+  }
+
   /** |a ∩ b| of two SORTED distinct long arrays — [[SortedJaccard]]'s
     * counting twin, for LOSSLESS q-gram prefilters where the bound is
     * on the intersection COUNT, not the ratio (edit-distance pruning:
@@ -864,6 +947,8 @@ object HashExpressions {
     ColumnBridge.column(TokenArray(ColumnBridge.expression(c)))
   def tokenNGramHashes(c: Column, n: Int): Column =
     ColumnBridge.column(TokenNGramHashes(ColumnBridge.expression(c), n))
+  def tokenNGramXxHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenNGramXxHashes(ColumnBridge.expression(c), n))
   def simHash30(c: Column): Column =
     ColumnBridge.column(SimHash30(ColumnBridge.expression(c)))
   def subSquaredDist(emb: Column, cent: Column, sub: Column, dsub: Int): Column =

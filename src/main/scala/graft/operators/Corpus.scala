@@ -293,9 +293,11 @@ object Corpus {
     * n_matched, contaminated. */
   def contaminationCheckBloom(docs: DataFrame, probes: DataFrame, n: Int,
       minMatches: Int, fpp: Double = 0.01,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = _ => (),
+      fastGrams: Boolean = false): DataFrame = {
+    def grams(c: Column) = gramHashesOf(c, n, fastGrams)
     val probeG = probes
-      .select(explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
+      .select(explode(grams(col("text"))).as("g"))
       .distinct()
     // Empty benchmark ⇒ nothing can be contaminated. Checked explicitly
     // because DataFrameStatFunctions.bloomFilter NPEs on zero rows
@@ -303,7 +305,7 @@ object Corpus {
     // case is the documented skip path in CurateCorpus.
     if (probeG.limit(1).count() == 0) {
       return docs.select(col("doc_id"),
-        size(HashExpressions.tokenNGramHashes(col("text"), n))
+        size(grams(col("text")))
           .cast("long").as("n_grams"))
         .withColumn("n_matched", lit(0L))
         .withColumn("contaminated", col("n_matched") >= minMatches)
@@ -323,7 +325,7 @@ object Corpus {
     // gram INDEX a pipeline materializes to disk once per corpus
     // version, exactly like the minhash band index.
     val g = Parallelism.widen(docs)
-      .select(col("doc_id"), HashExpressions.tokenNGramHashes(col("text"), n).as("grams"))
+      .select(col("doc_id"), grams(col("text")).as("grams"))
       .cache()
     pin(g)
     g.count()
@@ -624,6 +626,17 @@ object Corpus {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Gram-hash family selector: the 31-base polyhash is the
+    * oracle-exact default (DuckDB can reproduce it); `fast` swaps in
+    * [[HashExpressions.tokenNGramXxHashes]] — identical tokenization,
+    * per-token xxhash64 + window combine, O(len + windows·n) instead
+    * of O(len·n) — for production runs where the oracle isn't in the
+    * loop. Operator OUTPUT is identical whenever neither family
+    * collides (pinned by CorpusSpec parity tests). */
+  private def gramHashesOf(c: Column, n: Int, fast: Boolean): Column =
+    if (fast) HashExpressions.tokenNGramXxHashes(c, n)
+    else HashExpressions.tokenNGramHashes(c, n)
+
   /** Sub-document duplication signal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the n-gram
     * approximation of their suffix-array ExactSubstr): for every
@@ -636,9 +649,10 @@ object Corpus {
     * document-frequency count (partial-agg collapses heavy grams
     * map-side) → one shuffle back on doc_id. Never pairs, never N².
     * Output: doc_id, n_spans, n_dup_spans, dup_frac. */
-  def duplicateSpanStats(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+  def duplicateSpanStats(docs: DataFrame, n: Int, minDf: Int = 2,
+      fastGrams: Boolean = false): DataFrame = {
     val g = docs.select(col("doc_id"),
-      explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
+      explode(gramHashesOf(col("text"), n, fastGrams)).as("g"))
     // per-doc distinct grams ⇒ count(*) per gram = document frequency
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
     val per = g.join(dfreq, "g")

@@ -219,6 +219,91 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0.0))) // guarded division, row kept
   }
 
+  /** Gram population is collision-free for BOTH hash families iff the
+    * families agree on the distinct count (each path dedups within
+    * itself; equal counts mean neither merged grams the other kept
+    * apart). The parity tests gate on this so they measure the
+    * OPERATOR, not hash luck. */
+  private def collisionFree(d: org.apache.spark.sql.DataFrame, n: Int): Boolean = {
+    import graft.functions.HashExpressions
+    val a = d.select(explode(HashExpressions.tokenNGramHashes(col("text"), n)).as("g"))
+    val b = d.select(explode(HashExpressions.tokenNGramXxHashes(col("text"), n)).as("g"))
+    a.distinct().count() == b.distinct().count()
+  }
+
+  test("duplicateSpanStats: xxhash fast path is output-identical on collision-free input") {
+    val boiler = "this content is licensed under the terms below"
+    val fix = Seq(
+      (1L, s"$boiler unique tail one two"),
+      (2L, s"$boiler other ending words here"),
+      (3L, "entirely different text with no shared spans at all"),
+      (4L, "tiny"))
+      .toDF("doc_id", "text")
+    // 100-doc real-text subset, verified collision-free (the FULL
+    // sf0.001 table has exactly one polyhash birthday collision at its
+    // 23k-gram population — see the next test)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").filter(col("doc_id") % 5 === 0)
+    for (d <- Seq(fix, docs)) {
+      assert(collisionFree(d, 8))
+      val exact = Corpus.duplicateSpanStats(d, n = 8, minDf = 2)
+      val fast = Corpus.duplicateSpanStats(d, n = 8, minDf = 2,
+        fastGrams = true)
+      assert(exact.exceptAll(fast).isEmpty && fast.exceptAll(exact).isEmpty)
+    }
+  }
+
+  test("duplicateSpanStats: a polyhash collision only ever ADDS phantom dup spans") {
+    // the full sf0.001 table carries one 31-base-mod-1e9+7 birthday
+    // collision (23171 vs 23172 distinct over 24439 grams): the exact
+    // family merges two different grams, marking their two documents
+    // as sharing a span. That IS q49's oracle semantics (DuckDB
+    // reproduces the same polyhash); the 64-bit fast path doesn't
+    // collide. Pin the divergence's SHAPE: same rows, same n_spans,
+    // fast's n_dup_spans ≤ exact's.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val exact = Corpus.duplicateSpanStats(docs, n = 8, minDf = 2)
+      .withColumnRenamed("n_dup_spans", "dup_exact")
+      .select("doc_id", "n_spans", "dup_exact")
+    val fast = Corpus.duplicateSpanStats(docs, n = 8, minDf = 2,
+      fastGrams = true)
+      .withColumnRenamed("n_dup_spans", "dup_fast")
+      .select("doc_id", "n_spans", "dup_fast")
+    val j = exact.join(fast, Seq("doc_id", "n_spans")).cache()
+    assert(j.count() == 500) // n_spans identical on every doc
+    assert(j.filter(col("dup_fast") > col("dup_exact")).count() == 0)
+    val phantoms = j.filter(col("dup_exact") > col("dup_fast")).count()
+    assert(phantoms <= 4, s"unexpectedly many collision phantoms: $phantoms")
+    j.unpersist()
+  }
+
+  test("contaminationCheckBloom: xxhash fast path is output-identical on collision-free input") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").filter(col("doc_id") % 5 === 0)
+    assert(collisionFree(docs, 7))
+    val probes = docs.filter(col("doc_id") % 15 === 0).select("text")
+    val exact = Corpus.contaminationCheckBloom(docs, probes,
+      n = 7, minMatches = 2)
+    val fast = Corpus.contaminationCheckBloom(docs, probes,
+      n = 7, minMatches = 2, fastGrams = true)
+    assert(exact.exceptAll(fast).isEmpty && fast.exceptAll(exact).isEmpty)
+    assert(exact.filter(col("contaminated")).count() > 0) // non-vacuous
+  }
+
+  test("tokenNGramXxHashes: segmentation parity with the exact path (count + short-doc cases)") {
+    import graft.functions.HashExpressions
+    val rows = Seq(
+      (1L, "a b c d e"), (2L, "  leading   and\ttrailing ws \n"),
+      (3L, "九 unicode 久 tokens mixed in here"), (4L, ""), (5L, "one two"))
+      .toDF("doc_id", "text")
+    val both = rows.select(
+      size(HashExpressions.tokenNGramHashes(col("text"), 3)).as("a"),
+      size(HashExpressions.tokenNGramXxHashes(col("text"), 3)).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("piiScan: counts, redaction, and clean-doc passthrough") {
     val docs = Seq(
       (1L, "mail a@b.co or x.y@sub.domain.org, call +1 (555) 123-4567"),
