@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object ServeQueries {
 
-  /** Hour-grain analog fact with integer elapsedMs measure. */
-  private def analogFact(s: SparkSession, d: String): DataFrame = {
+  /** Hour-grain analog fact with integer elapsedMs measure.
+    * `private[graft]` so [[ServeFuzz]] fuzzes the same fact the gate
+    * queries serve from. */
+  private[graft] def analogFact(s: SparkSession, d: String): DataFrame = {
     val at = analog.EventUsage.attempts(Tables.events(s, d))
     graft.usage.HourProration
       .explodeHours(at, col("startMs"), col("finishMs"))

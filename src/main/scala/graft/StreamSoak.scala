@@ -1,0 +1,237 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming soak harness — the measured counterpart of the
+  * Streaming*Spec parity proofs: throughput (rows/s), STATE-STORE size
+  * as the watermark advances, and behavior under a late-data burst at
+  * the reference's 5-day boundary (T5,
+  * `hadoop/.../JobStatsProcessing.java:51` semantics).
+  *
+  * Stages (one JSON line each, like [[StressBench]]):
+  *  - `assembly_soak`: [[graft.streaming.StreamingAssembly]] over
+  *    synthesized log-line files. Verifies state rows track OPEN jobs
+  *    (completed jobs leave state immediately), drain to ~0 when the
+  *    watermark passes lateness, and that a burst arriving 5+ days
+  *    late neither grows state nor double-emits.
+  *  - `neardup_soak`: [[graft.streaming.StreamingNearDup]] stream
+  *    against a static band index — must report ZERO state operators
+  *    (the first-shared-band trick replaces stateful dedup).
+  *  - `ann_soak`: foreachBatch IVF search of streaming query batches
+  *    against a static index (the StreamingAnnSpec shape, at soak
+  *    scale).
+  *
+  * Usage: `sbt "runMain graft.StreamSoak [nJobs] [nDocs] [stageFilter]"`
+  * — defaults 200k jobs / 100k docs. Not part of the driver gate;
+  * numbers land in STRESS.md.
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val nJobs = if (args.nonEmpty) args(0).toLong else 200000L
+    val nDocs = if (args.length > 1) args(1).toLong else 100000L
+    val only = if (args.length > 2) args(2) else ""
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def emit(stage: String, fields: (String, Any)*): Unit =
+      println(fields.map { case (k, v) => s""""$k":$v""" }
+        .mkString(s"""{"stage":"$stage",""", ",", "}"))
+
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+    def stateBytes(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .getOrElse(-1L)
+
+    // ---------------- assembly soak -------------------------------- //
+    if (only.isEmpty || "assembly_soak".contains(only)) {
+      val in = Files.createTempDirectory("soak_asm_in")
+      val ckpt = Files.createTempDirectory("soak_asm_ck")
+      val nOpen = nJobs / 10 // 10% of jobs never see their final line
+      def jobLines(i: Long, complete: Boolean): Seq[String] = {
+        val t = 1000000L + i * 13 // event times spread over ~nJobs*13 ms
+        val id = s"job_77_$i"
+        val tid = f"task_77_${i}_m_000000"
+        val att = f"attempt_77_${i}_m_000000_0"
+        val open = Seq(
+          s"""Job JOBID="$id" JOBNAME="soak" USER="u${i % 1000}" SUBMIT_TIME="$t" .""",
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" START_TIME="${t + 1}" .""")
+        if (!complete) open
+        else open ++ Seq(
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" TASK_STATUS="SUCCESS" FINISH_TIME="${t + 2}" .""",
+          s"""Job JOBID="$id" FINISH_TIME="${t + 3}" JOB_STATUS="SUCCESS" .""")
+      }
+      // batch 1: every job's lines; the last nOpen jobs stay open
+      val b1 = new java.io.PrintWriter(in.resolve("b1.txt").toFile)
+      (0L until nJobs).foreach(i =>
+        jobLines(i, complete = i < nJobs - nOpen).foreach(b1.println))
+      b1.close()
+
+      val stream = spark.readStream.textFile(in.toString)
+      val jobs = graft.streaming.StreamingAssembly
+        .assembleJobsStream(stream, "soak")
+      val q = jobs.writeStream.outputMode("append")
+        .format("memory").queryName("soak_assembled")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val s1 = (System.nanoTime() - t0) / 1e9
+        val emitted1 = spark.table("soak_assembled").count()
+        val state1 = stateRows(q)
+        val bytes1 = stateBytes(q)
+
+        // late burst: 5+ days BEHIND the watermark (the T5 boundary) —
+        // must neither grow state nor emit duplicates
+        val b2 = new java.io.PrintWriter(in.resolve("b2_late.txt").toFile)
+        (0L until nOpen).foreach { i =>
+          b2.println(s"""Job JOBID="job_76_$i" JOBNAME="late" USER="u0" SUBMIT_TIME="1" .""")
+        }
+        b2.close()
+        q.processAllAvailable()
+        val stateLate = stateRows(q)
+        val emittedLate = spark.table("soak_assembled").count()
+
+        // watermark push: one far-future line flushes every open tree
+        val far = 1000000L + nJobs * 13 +
+          2 * graft.streaming.StreamingAssembly.DefaultLatenessMs + 10000000L
+        Files.write(in.resolve("b3_flush.txt"),
+          s"""Job JOBID="job_78_0" JOBNAME="x" USER="u0" SUBMIT_TIME="$far" .""".getBytes)
+        q.processAllAvailable()
+        val state3 = stateRows(q)
+        val emitted3 = spark.table("soak_assembled").count()
+
+        val totalLines = nJobs * 4 - nOpen * 2
+        emit("assembly_soak",
+          "input_lines" -> totalLines, "sec" -> f"$s1%.2f",
+          "lines_per_sec" -> (totalLines / s1).toLong,
+          "jobs_emitted_b1" -> emitted1,
+          "state_rows_after_b1" -> state1,
+          "state_bytes_after_b1" -> bytes1,
+          "open_jobs" -> nOpen,
+          "state_rows_after_late_burst" -> stateLate,
+          "emitted_after_late_burst" -> emittedLate,
+          "state_rows_after_flush" -> state3,
+          "jobs_emitted_total" -> emitted3)
+        // invariants, loudly
+        require(emitted1 == nJobs - nOpen, s"b1 emitted $emitted1")
+        require(state1 >= nOpen, s"state rows $state1 < open jobs $nOpen")
+        require(stateLate <= state1 + 1,
+          s"late burst grew state: $state1 -> $stateLate")
+        require(emittedLate == emitted1,
+          s"late burst double-emitted: $emitted1 -> $emittedLate")
+        require(emitted3 >= nJobs, s"flush lost jobs: $emitted3 < $nJobs")
+        require(state3 <= 1, s"state not drained after flush: $state3")
+      } finally q.stop()
+    }
+
+    // ---------------- near-dup soak -------------------------------- //
+    if (only.isEmpty || "neardup_soak".contains(only)) {
+      val words = (0 until 64).map(i => s"w$i")
+      val wordArr = array(words.map(lit): _*)
+      def synthDocs(from: Long, until: Long) = spark.range(from, until)
+        .withColumn("doc_id", col("id"))
+        .withColumn("text",
+          concat_ws(" ", transform(sequence(lit(0), lit(79)),
+            i => element_at(wordArr,
+              (pmod(col("id") * 31 + i * 7 + (col("id") + i) * (col("id") + i),
+                lit(64)) + 1).cast("int")))))
+        .select("doc_id", "text")
+      val corpus = synthDocs(0, nDocs)
+      val idx = graft.streaming.StreamingNearDup.indexSignatures(corpus)
+        .cache()
+      idx.count() // build once, like a persisted band index
+
+      val nStream = nDocs / 10
+      val in = Files.createTempDirectory("soak_nd_in")
+      val ckpt = Files.createTempDirectory("soak_nd_ck")
+      // stream docs overlap corpus ids => guaranteed band collisions
+      synthDocs(nDocs / 2, nDocs / 2 + nStream)
+        .write.parquet(in.toString + "/b1")
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("path", in.toString + "/*").format("parquet").load()
+      val matches = graft.streaming.StreamingNearDup
+        .nearDupAgainstIndex(stream, idx, threshold = 0.5)
+      val q = matches.writeStream.outputMode("append")
+        .format("memory").queryName("soak_neardup")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        val out = spark.table("soak_neardup").count()
+        val nStateOps = Option(q.lastProgress)
+          .map(_.stateOperators.length).getOrElse(-1)
+        emit("neardup_soak",
+          "stream_docs" -> nStream, "corpus_docs" -> nDocs,
+          "sec" -> f"$s%.2f", "docs_per_sec" -> (nStream / s).toLong,
+          "matches" -> out, "state_operators" -> nStateOps)
+        require(nStateOps == 0,
+          s"near-dup stream grew a state store: $nStateOps operators")
+        require(out >= nStream,
+          s"self-matches missing: $out < $nStream") // each doc matches its corpus twin
+      } finally q.stop()
+      idx.unpersist()
+    }
+
+    // ---------------- ann soak ------------------------------------- //
+    if (only.isEmpty || "ann_soak".contains(only)) {
+      val nVecs = math.max(nDocs, 50000L)
+      val emb = spark.range(nVecs)
+        .withColumn("vec_id", col("id"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(63)), i =>
+            ((pmod(xxhash64(col("id"), i), lit(2000L)) - 1000L) / 1000.0)
+              .cast("float")))
+        .select("vec_id", "embedding")
+      val cents = graft.operators.IvfCentroids.forCorpusSize(nVecs)
+      val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val staticIdx = graft.operators.Similarity
+        .buildIvfIndex(emb, cents, nProbe = 2, pinned += _)
+
+      val nQueries = 5000L
+      val in = Files.createTempDirectory("soak_ann_in")
+      val ckpt = Files.createTempDirectory("soak_ann_ck")
+      emb.filter(col("vec_id") < nQueries).write.parquet(in.toString + "/b1")
+      val counted = new java.util.concurrent.atomic.AtomicLong()
+      val stream = spark.readStream.schema(emb.schema)
+        .option("path", in.toString + "/*").format("parquet").load()
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val bp = scala.collection.mutable.ListBuffer.empty[DataFrame]
+            val res = graft.operators.Similarity.ivfSearchAgainst(
+              graft.operators.Similarity.buildIvfIndex(batch, cents, 2, bp += _),
+              staticIdx, nProbe = 2, k = 3).count()
+            counted.addAndGet(res)
+            bp.foreach(_.unpersist())
+          }
+          ()
+        }.start()
+      try {
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        emit("ann_soak",
+          "corpus_vectors" -> nVecs, "query_vectors" -> nQueries,
+          "sec" -> f"$s%.2f", "queries_per_sec" -> (nQueries / s).toLong,
+          "result_rows" -> counted.get())
+        require(counted.get() >= nQueries, "missing top-k rows")
+      } finally q.stop()
+      pinned.foreach(_.unpersist())
+    }
+
+    spark.stop()
+  }
+}
