@@ -93,6 +93,13 @@ object TextQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d),
       Seq("lang", "source"), 3, 0.5)
 
+  /** Forced-prefix twin of q20: keeps the PPJoin rarity-prefix path
+    * oracle-checked even though `auto` picks all-pairs at gate scale
+    * (both strategies are exact, so the oracle SQL is shared). */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      Seq("lang", "source"), 3, 0.5, strategy = "prefix")
+
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(Tables.documents(s, d), 0.6)
 
@@ -295,6 +302,7 @@ object TextQueries {
     "q18_fingerprint"    -> (q18 _),
     "q19_exact_dedup"    -> (q19 _),
     "q20_ngram_jaccard"  -> (q20 _),
+    "q80_ngram_prefix"   -> (q80 _),
     "q21_minhash_lsh"    -> (q21 _),
     "q22_simhash"        -> (q22 _),
     "q23_ann_bruteforce" -> (q23 _),
@@ -728,6 +736,7 @@ object TextQueries {
         |SELECT d.doc_id, g.canonical_id, g.dup_count
         |FROM documents d JOIN g USING (text)""".stripMargin,
     "q20_ngram_jaccard" -> q20Sql,
+    "q80_ngram_prefix" -> q20Sql,
     "q48_cc_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT doc_a, doc_b FROM ($q20Sql)

@@ -137,10 +137,29 @@ object Dedup {
   }
 
   /** N-gram (character 3-shingle) jaccard near-dup pairs inside
-    * explicit blocks (e.g. lang+source). Exact — used when blocks are
-    * bounded; complements LSH which needs no blocking column. */
+    * explicit blocks (e.g. lang+source). Exact — every strategy below
+    * produces the identical pair set; they differ only in how the
+    * candidate space is enumerated.
+    *
+    * `strategy`:
+    *  - `"allpairs"`: block equi-join, candidate volume Σ_b n_b².
+    *  - `"prefix"`: lossless SSJoin/PPJoin rarity-prefix filter,
+    *    candidate volume Σ_g df_prefix(g)².
+    *  - `"auto"` (default): all-pairs while Σ_b n_b² is small; beyond
+    *    that, prefix ONLY if a corpus sample shows a sparse gram
+    *    universe (average df ≈ 1, i.e. the universe grows with N —
+    *    word tokens, long shingles). With a BOUNDED gram universe
+    *    (character 3-grams: ≲ alphabet³ distinct values) every gram's
+    *    df grows ∝ N, so the prefix index degenerates — measured 5×
+    *    MORE candidates than all-pairs at 10× bench scale and an
+    *    executor OOM at 100×, while all-pairs completes. In that dense
+    *    regime exact jaccard enumeration is Θ(N²) for ANY order-based
+    *    filter; the scale path is [[minHashLshPairs]] (sub-linear,
+    *    measured 7.9× at 10× data) when approximate candidates are
+    *    acceptable.
+    */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, strategy: String = "auto"): DataFrame = {
     // intersect on hashed shingles (integer arrays), same rationale and
     // oracle-mirroring as minHashLshPairs; widen() because the shingle
     // hashing runs in the projection BEFORE the join exchange — on a
@@ -149,6 +168,45 @@ object Dedup {
     val sh = Parallelism.widen(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+
         HashExpressions.shingleHashes(col("text"), n).as("sh"): _*)
+    val chosen = strategy match {
+      case "auto" =>
+        // decision pass 1 (cheap, narrow scan of block cols only):
+        // all-pairs candidate volume Σ_b n_b²
+        val allPairsCands = docs
+          .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
+          .agg(sum(col("nb") * col("nb"))).head.getLong(0)
+        if (allPairsCands <= 2e8.toLong) "allpairs"
+        else {
+          // decision pass 2 (4096-doc sample): average within-sample
+          // gram df. A bounded universe is dense even in a small
+          // sample (avg df ≫ 1 ⇒ df scales ∝ N ⇒ prefix degenerates);
+          // a growing universe shows avg df ≈ 1. Both branches are
+          // exact, so the sample's file-order determinism only ever
+          // affects the PLAN, never the result.
+          val s = sh.select(explode(col("sh")).as("g")).limit(4096 * 256)
+            .agg(count(lit(1)).cast("double").as("tot"),
+              approx_count_distinct(col("g")).cast("double").as("uni"))
+            .head
+          val avgDf = s.getDouble(0) / math.max(s.getDouble(1), 1.0)
+          if (avgDf <= 2.0) "prefix" else "allpairs"
+        }
+      case s => s
+    }
+    if (chosen == "allpairs") {
+      val a = sh.select(
+        (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
+          col("sh").as("sh_a"): _*)
+      val b = sh.select(
+        (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
+          col("sh").as("sh_b"): _*)
+      return a.join(b, blockCols)
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= threshold)
+        .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
+          col("jac"): _*)
+    }
     // LOSSLESS prefix filter (SSJoin/PPJoin — Chaudhuri, Ganti &
     // Kaushik ICDE 2006; Xiao et al. WWW 2008): jaccard(A,B) >= t
     // implies |A∩B| >= ceil(t·max(|A|,|B|)), so in ANY shared total
@@ -157,18 +215,15 @@ object Dedup {
     // here is RARITY (global df ascending, gram hash tiebreak) — the
     // PPJoin canonical order: each doc indexes only its rarest grams,
     // making candidate volume Σ_g df_prefix(g)², which tracks true
-    // near-dup density instead of block volume. Hash order measured
-    // 9× WORSE than the plain block join on this corpus (3-char gram
-    // universe is dense — every prefix gram has df in the thousands);
-    // the block² all-pairs join itself measured 171× at 10× data
-    // (block sizes grow with the corpus when block keys are fixed).
-    // A size filter (t·|B| <= |A| <= |B|/t) prunes cross-size
-    // candidates before the distinct. One extra prefix slot absorbs
-    // any fp-ceil edge; extra candidates only cost the exact verify,
-    // never correctness. Honest bound: a family of k mutually-similar
-    // docs has k²/2 OUTPUT pairs — no exact pair enumerator is
-    // sub-quadratic in that family; run exactDupGroups first and
-    // collapse clusters (connectedComponents) when families are big.
+    // near-dup density instead of block volume (hash order measured
+    // 9× worse: dense grams land in prefixes). A size filter
+    // (t·|B| <= |A| <= |B|/t) prunes cross-size candidates before the
+    // distinct. One extra prefix slot absorbs any fp-ceil edge; extra
+    // candidates only cost the exact verify, never correctness.
+    // Honest bound: a family of k mutually-similar docs has k²/2
+    // OUTPUT pairs — no exact pair enumerator is sub-quadratic in
+    // that family; run exactDupGroups first and collapse clusters
+    // (connectedComponents) when families are big.
     val g = sh.select(
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("sh")).as("sz") :+ explode(col("sh")).as("g"): _*)

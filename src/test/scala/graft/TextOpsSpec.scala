@@ -163,6 +163,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L))) // high-cos same-label only; 3 blocked out
   }
 
+  test("ngramJaccardPairs: allpairs/prefix/auto strategies are bit-identical") {
+    val docs = Seq(
+      (0L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (1L, "en", "web", "the quick brown fox jumps over the lazy cat"),
+      (2L, "en", "web", "completely different text with no overlap at all"),
+      (3L, "en", "book", "the quick brown fox jumps over the lazy dog"),
+      (4L, "fr", "web", "le renard brun rapide saute par dessus le chien"),
+      (5L, "fr", "web", "le renard brun rapide saute par dessus le chat"),
+      (6L, "en", "web", "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "lang", "source", "text")
+    def run(strategy: String): Set[(Long, Long, String, String, Double)] =
+      Dedup.ngramJaccardPairs(docs, Seq("lang", "source"), 3, 0.5, strategy)
+        .select("doc_a", "doc_b", "lang", "source", "jac")
+        .as[(Long, Long, String, String, Double)].collect().toSet
+    val ap = run("allpairs")
+    assert(ap.nonEmpty && ap.forall { case (a, b, _, _, j) => a < b && j >= 0.5 })
+    assert(ap.map(p => (p._1, p._2)).contains((0L, 1L)))
+    assert(!ap.exists(p => p._1 == 3L || p._2 == 3L)) // cross-block excluded
+    assert(run("prefix") == ap)
+    assert(run("auto") == ap)
+  }
+
   test("predictedLang: deterministic argmax with tie-break") {
     val df = Seq("the a join join", "spark batch column stuff", "xyzzy")
       .toDF("text")
