@@ -23,14 +23,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional subset filter for scale-proof runs (comma-separated name
+    // prefixes, e.g. "q19,q2,q32"); unset ⇒ the full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.isEmpty || only.exists(name.startsWith)
+    }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -53,8 +62,11 @@ object Bench {
     // Stdout of a long run can be tail-truncated by harness plumbing
     // (r6's driver artifact lost 14 query timings that way) — also
     // land the identical line in a file the driver can ship whole.
+    // Subset runs must not clobber the full-contract mirror the driver
+    // ships — they default to a /tmp path instead.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json")
+      if (only.isEmpty) "/root/repo/bench_out.json"
+      else "/tmp/bench_subset.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -251,7 +251,7 @@ object ServeFuzz {
     val b = bucketSql("hourMs", unit, zone)
     val userList = users.map(sqlStr).mkString(", ")
     val base =
-      s"""WITH fact AS (SELECT * FROM read_parquet('$factPath')),
+      s"""WITH fact AS (SELECT * FROM read_parquet('$factPath/*.parquet')),
          |cf AS (SELECT * FROM fact WHERE cluster = ${sqlStr(cluster)}),
          |bounds AS (SELECT MIN(hourMs) AS lo, MAX(hourMs) AS hi FROM cf),
          |f AS (SELECT * FROM fact WHERE ${filterSql(cluster, qt)}),

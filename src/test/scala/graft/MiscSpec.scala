@@ -235,6 +235,30 @@ class MiscSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("events reader: unit sniff handles nanos AND micros encodings") {
+    // The driver has regenerated events.parquet with different physical
+    // timestamp units across rounds (nanos ≤ r7, micros at r8). The
+    // reader takes raw int64 and magnitude-sniffs the unit; both
+    // encodings of the same instant must decode identically.
+    val instMs = 1704067200123L // 2024-01-01T00:00:00.123Z
+    val dir = java.nio.file.Files.createTempDirectory("evsniff")
+    def write(sub: String, raw: Long): String = {
+      val p = s"$dir/$sub/events.parquet"
+      spark.range(1).select(
+        col("id").as("event_id"), lit(raw).as("ts"),
+        lit(7L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(p)
+      s"$dir/$sub"
+    }
+    val nanosDir = write("ns", instMs * 1000000L)
+    val microsDir = write("us", instMs * 1000L)
+    val msOf = (d: String) =>
+      Tables.events(spark, d).select("tsMs").as[Long].head()
+    assert(msOf(nanosDir) == instMs)
+    assert(msOf(microsDir) == instMs)
+  }
+
   test("sessionize: window-function and native session_window agree") {
     // boundary semantics differ only at EXACTLY-gap spacing (ours: same
     // session at ==gap; session_window: new) — absent in ms-random data
