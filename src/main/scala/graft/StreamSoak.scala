@@ -58,8 +58,15 @@ object StreamSoak {
       val in = Files.createTempDirectory("soak_asm_in")
       val ckpt = Files.createTempDirectory("soak_asm_ck")
       val nOpen = nJobs / 10 // 10% of jobs never see their final line
+      // Realistic epoch base: the late burst must land BELOW the
+      // watermark (max event − 5 days), which small toy timestamps can
+      // never produce (the watermark would sit at/near epoch 0 and
+      // nothing is ever "late"). That miscalibration originally hid
+      // the fact that the engine does not watermark-filter
+      // flatMapGroupsWithState input at all.
+      val baseMs = 1700000000000L
       def jobLines(i: Long, complete: Boolean): Seq[String] = {
-        val t = 1000000L + i * 13 // event times spread over ~nJobs*13 ms
+        val t = baseMs + i * 13 // event times spread over ~nJobs*13 ms
         val id = s"job_77_$i"
         val tid = f"task_77_${i}_m_000000"
         val att = f"attempt_77_${i}_m_000000_0"
@@ -91,19 +98,20 @@ object StreamSoak {
         val state1 = stateRows(q)
         val bytes1 = stateBytes(q)
 
-        // late burst: 5+ days BEHIND the watermark (the T5 boundary) —
-        // must neither grow state nor emit duplicates
+        // late burst: genuinely below the watermark (max event − 5
+        // days; these are ~6 days older than t0) — must neither grow
+        // state nor emit duplicates (T5 boundary)
+        val lateTs = baseMs - 6L * 24 * 60 * 60 * 1000
         val b2 = new java.io.PrintWriter(in.resolve("b2_late.txt").toFile)
         (0L until nOpen).foreach { i =>
-          b2.println(s"""Job JOBID="job_76_$i" JOBNAME="late" USER="u0" SUBMIT_TIME="1" .""")
+          b2.println(s"""Job JOBID="job_76_$i" JOBNAME="late" USER="u0" SUBMIT_TIME="$lateTs" .""")
         }
         b2.close()
         q.processAllAvailable()
         val stateLate = stateRows(q)
         val emittedLate = spark.table("soak_assembled").count()
-
         // watermark push: one far-future line flushes every open tree
-        val far = 1000000L + nJobs * 13 +
+        val far = baseMs + nJobs * 13 +
           2 * graft.streaming.StreamingAssembly.DefaultLatenessMs + 10000000L
         Files.write(in.resolve("b3_flush.txt"),
           s"""Job JOBID="job_78_0" JOBNAME="x" USER="u0" SUBMIT_TIME="$far" .""".getBytes)
@@ -137,15 +145,18 @@ object StreamSoak {
 
     // ---------------- near-dup soak -------------------------------- //
     if (only.isEmpty || "neardup_soak".contains(only)) {
-      val words = (0 until 64).map(i => s"w$i")
-      val wordArr = array(words.map(lit): _*)
+      // Vocabulary must be LARGE (64k hashed words): a tiny shared
+      // vocab makes every doc-pair's token jaccard ~0.5 and the soak
+      // quadratic by data design (the STRESS.md token-jaccard
+      // degeneracy). With 64k words, unrelated docs share ~0 tokens;
+      // the id-overlap twins (identical text by construction) provide
+      // the guaranteed matches.
       def synthDocs(from: Long, until: Long) = spark.range(from, until)
         .withColumn("doc_id", col("id"))
         .withColumn("text",
           concat_ws(" ", transform(sequence(lit(0), lit(79)),
-            i => element_at(wordArr,
-              (pmod(col("id") * 31 + i * 7 + (col("id") + i) * (col("id") + i),
-                lit(64)) + 1).cast("int")))))
+            i => concat(lit("w"),
+              pmod(xxhash64(col("id") * 131 + i * 7, i), lit(65536L))))))
         .select("doc_id", "text")
       val corpus = synthDocs(0, nDocs)
       val idx = graft.streaming.StreamingNearDup.indexSignatures(corpus)

@@ -25,9 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * livelocks tests; event-time timeouts only fire when data moves the
   * watermark.)
   *
-  * Fragments older than the watermark are dropped by the engine before
-  * the stateful operator — the same 5-day late-arrival contract as the
-  * batch trailing-window reprocess.
+  * Fragments older than the watermark are dropped INSIDE the state
+  * function — the same 5-day late-arrival contract as the batch
+  * trailing-window reprocess. The engine does NOT pre-filter late
+  * input for `flatMapGroupsWithState` (it only does so for stateful
+  * aggregations/dedup); without the explicit drop, a burst of 5+
+  * day-late fragments would mint a fresh state group per stale jobId
+  * and re-emit long-completed jobs on timeout — unbounded state growth
+  * under replay, measured by the StreamSoak late-burst stage.
   *
   * Lines are parsed ONCE into a sparse union [[Fragment]] (same
   * Encoder-friendly shape the batch shuffle uses) — key extraction and
@@ -108,8 +113,22 @@ object StreamingAssembly {
       Iterator.single(JobAssembly.assemble(
         jobId, cluster, st.jobs, st.tasks, st.attempts))
     } else {
-      val merged = frags.foldLeft(state.getOption.getOrElse(Frags.empty))(_ add _)
-      if (merged.isFinal) {
+      // Enforce the late-arrival contract ourselves: the engine does
+      // not watermark-filter flatMapGroupsWithState input. ts >= wm
+      // keeps everything in batch mode (wm stays Long.MinValue).
+      val wm = if (useTimeout) state.getCurrentWatermarkMs() else Long.MinValue
+      var sawLive = false
+      val live = frags.filter { f =>
+        val ok = f.ts.getTime >= wm
+        if (ok) sawLive = true
+        ok
+      }
+      val merged = live.foldLeft(state.getOption.getOrElse(Frags.empty))(_ add _)
+      if (!sawLive && state.getOption.isEmpty) {
+        // every fragment was late and no job is in flight: leave no
+        // trace (creating state here is exactly the replay leak)
+        Iterator.empty
+      } else if (merged.isFinal) {
         state.remove()
         Iterator.single(JobAssembly.assemble(
           jobId, cluster, merged.jobs, merged.tasks, merged.attempts))
