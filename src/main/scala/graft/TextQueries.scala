@@ -103,6 +103,13 @@ object TextQueries {
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(Tables.documents(s, d), 0.6)
 
+  /** Skew-safe LSH dedup groups: star edges to band-bucket minima +
+    * connected components — the linear-cost dedup labeling that stays
+    * feasible when a Zipfian duplicate family makes the all-pairs
+    * output itself quadratic (see [[Dedup.lshDupGroups]]). */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    Dedup.lshDupGroups(Tables.documents(s, d), 0.6)
+
   private def q22(s: SparkSession, d: String): DataFrame =
     Dedup.simHashSignatures(Tables.documents(s, d))
 
@@ -303,6 +310,7 @@ object TextQueries {
     "q19_exact_dedup"    -> (q19 _),
     "q20_ngram_jaccard"  -> (q20 _),
     "q80_ngram_prefix"   -> (q80 _),
+    "q81_lsh_groups"     -> (q81 _),
     "q21_minhash_lsh"    -> (q21 _),
     "q22_simhash"        -> (q22 _),
     "q23_ann_bruteforce" -> (q23 _),
@@ -820,6 +828,60 @@ object TextQueries {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT DISTINCT doc_a, doc_b, jac FROM verified WHERE jac >= 0.6""".stripMargin,
+    "q81_lsh_groups" ->
+      s"""WITH RECURSIVE shing AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, length(text)-3), i -> substr(text, i, 5))) AS tk
+         |  FROM documents
+         |), shashed AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(tk, t ->
+         |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(range(1, length(t)+1), i -> CAST(unicode(substr(t,i,1)) AS BIGINT))),
+         |             (acc, c) -> (acc * 31 + c) % 1000000007))) AS hs
+         |  FROM shing
+         |), sigs AS (
+         |  SELECT doc_id, hs,
+         |         $sigEntries AS sig
+         |  FROM shashed
+         |), banded AS (
+         |  SELECT doc_id, $bandEntries AS bnds FROM sigs
+         |), eb AS (
+         |  SELECT s.doc_id, h.hs, unnest([1,2,3,4]) AS band_idx, unnest(bnds) AS band_hash
+         |  FROM banded s JOIN shashed h USING (doc_id)
+         |), reps AS (
+         |  SELECT band_idx, band_hash, MIN(doc_id) AS rep
+         |  FROM eb GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT e.doc_id AS doc_a, r.rep AS doc_b
+         |  FROM eb e JOIN reps r USING (band_idx, band_hash)
+         |  WHERE e.doc_id != r.rep
+         |), ver AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN shashed a ON a.doc_id = c.doc_a
+         |  JOIN shashed b ON b.doc_id = c.doc_b
+         |  WHERE ${duckJaccard("a.hs", "b.hs")} >= 0.6
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ver
+         |  UNION
+         |  SELECT doc_b, doc_a FROM ver
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS id, least(a, MIN(b)) AS component FROM reach GROUP BY a
+         |), sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       COALESCE(c.component, d.doc_id) AS canonical_id,
+         |       COALESCE(s.cluster_size, CAST(1 AS BIGINT)) AS cluster_size
+         |FROM documents d
+         |LEFT JOIN comp c ON c.id = d.doc_id
+         |LEFT JOIN sizes s ON s.component = c.component""".stripMargin,
     "q71_incr_neardup" ->
       s"""WITH shing AS (
          |  SELECT doc_id,

@@ -136,6 +136,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Skew-safe LSH dedup GROUPS — the linear-cost production shape of
+    * minhash dedup under Zipfian duplicate families.
+    *
+    * [[minHashLshPairs]] enumerates every passing pair, which is
+    * data-quadratic inside a large duplicate family: a boilerplate
+    * family of b mutually-similar members contributes ~b²/2 TRUE pairs
+    * (at the gen_skew stress scale, a 37 500-member family alone is
+    * ~7×10⁸ pairs — unenumerable by any engine, because the OUTPUT is
+    * quadratic, not the algorithm). Deduplication doesn't need the
+    * pairs; it needs each document labeled with a canonical
+    * representative.
+    *
+    * Star-edge construction: per (band_idx, band_hash) bucket, connect
+    * every member to the bucket's MIN doc_id. A b-member bucket emits
+    * b−1 edges instead of b²/2 candidate pairs, so total edge volume is
+    * ≤ nBands · N regardless of skew. Edges are verified with exact
+    * jaccard on the distinct shingle-hash sets (slim (doc_a, doc_b)
+    * pairs first, arrays attached after the distinct — the q72
+    * payload-attach lesson), then [[connectedComponents]] collapses
+    * transitive chains; unmatched docs stay singletons.
+    *
+    * Semantics vs all-pairs+CC: the star skips member↔member edges, so
+    * a member whose jaccard to every bucket REPRESENTATIVE it meets is
+    * below threshold keeps its own label even when some other member is
+    * within threshold. For real duplicate families (mutually similar by
+    * construction) representatives are family members and the collapse
+    * is identical; the difference surfaces only on borderline chains,
+    * where the all-pairs pair set is itself threshold-brittle. That is
+    * the documented trade for O(N·bands) vs Σ bucket².
+    *
+    * Output: (doc_id, canonical_id, cluster_size) — one row per input
+    * document, singletons included (cluster_size 1).
+    */
+  def lshDupGroups(docs: DataFrame, threshold: Double,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
+    val bandRel = minHashBandRel(docs, pin)
+    val reps = bandRel.groupBy("band_idx", "band_hash")
+      .agg(min("doc_id").as("rep"))
+    val cand = bandRel.select("band_idx", "band_hash", "doc_id")
+      .join(reps, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+      .distinct()
+    val sigs = bandRel.select("doc_id", "hs").dropDuplicates("doc_id")
+    val edges = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .filter(HashExpressions.sortedJaccard(col("hs_a"), col("hs_b"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(edges, "doc_a", "doc_b")
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select("doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+      .na.fill(1L, Seq("cluster_size"))
+      .select("doc_id", "canonical_id", "cluster_size")
+  }
+
   /** N-gram (character 3-shingle) jaccard near-dup pairs inside
     * explicit blocks (e.g. lang+source). Exact — every strategy below
     * produces the identical pair set; they differ only in how the

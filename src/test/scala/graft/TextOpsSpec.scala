@@ -66,6 +66,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshDupGroups: families collapse to min-id canonical, singletons kept") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val other = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq(
+      (1L, base), (2L, base + "extra tail"), (5L, base + "another suffix"),
+      (3L, other), (4L, "unrelated totally different singleton text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshDupGroups(docs, 0.6).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 3L)))
+    assert(got(2L) == ((1L, 3L)))
+    assert(got(5L) == ((1L, 3L)))
+    assert(got(3L) == ((3L, 1L)))
+    assert(got(4L) == ((4L, 1L)))
+  }
+
   test("exactDupGroups: canonical id and counts") {
     val docs = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("doc_id", "text")
     val got = Dedup.exactDupGroups(docs).as[(Long, Long, Long)]
