@@ -14,9 +14,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override for scale-proof runs: 32 partitions is
+    // right for sf<=0.1 but undersizes sorts at sf10 (~GB partitions
+    // spill serially); the driver contract (unset) keeps cpus.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -40,24 +44,38 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e) }
       val dt = (System.nanoTime() - t0) / 1e9
+      // A thrown query must be LOUD: in round 8's first sf10 run, five
+      // swallowed failures recorded ~0.03 s each and read as "fast".
+      err match {
+        case Some(e) => System.err.println(
+          f"[bench] FAIL $name after $dt%.1f s: $e")
+        case None => System.err.println(f"[bench] done  $name in $dt%.1f s")
+      }
       // Operators that cache internally (LSH signatures, CC iterations)
       // would otherwise leak blocks into the next query's measurement —
       // by q35 of a 66-query run the accumulated pressure inflated
       // unrelated queries up to 9×. Each query is timed on its own plan.
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      (name, dt, err.isDefined)
     }
     // 0.1 ms precision keeps the 79-query line under the driver's
     // ~2.9 KB tail-capture window (full double repr pushed it to
     // ~3.5 KB and head-truncated q01–q14 in rounds 6 and 7)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    // "failed" only appears when something threw — the driver's happy
+    // path sees the unchanged contract shape.
+    val failedField =
+      if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
     println(json)
     // Stdout of a long run can be tail-truncated by harness plumbing
     // (r6's driver artifact lost 14 query timings that way) — also
