@@ -260,10 +260,18 @@ object TextQueries {
   }
 
   /** Hybrid semantic+lexical near-dup: LSH candidates → cosine ≥ 0.2
-    * gate → exact token-jaccard verify (is_dup at jac ≥ 0.5). */
-  private def q44(s: SparkSession, d: String): DataFrame =
-    Corpus.hybridNearDupPairs(Tables.documents(s, d), Tables.embeddings(s, d),
-      nPlanes = 32, nBands = 4, cosineThreshold = 0.2, jacThreshold = 0.5)
+    * gate → exact token-jaccard verify (is_dup at jac ≥ 0.5). Band
+    * width is N-adaptive ([[Similarity.autoPlanes]]) — identical to
+    * (nPlanes=32, nBands=4) at every oracle-checked scale (≤ 2048
+    * vectors ⇒ 8 bits/band); without it the fixed 256-buckets-per-band
+    * population grows ∝ N and candidate volume ∝ N² (first sf10 run:
+    * 118× the sf1 cost at 10× the data). */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Corpus.hybridNearDupPairs(Tables.documents(s, d), emb,
+      nPlanes = Similarity.autoPlanes(emb.count(), 4), nBands = 4,
+      cosineThreshold = 0.2, jacThreshold = 0.5)
+  }
 
   /** Dedup clusters: connected components over the union of exact-dup
     * edges and blocked 3-gram near-dup pairs — pairs → transitive

@@ -61,15 +61,37 @@ object Similarity {
     * the aggregate folds them map-side in one pass. Tie-break matches
     * the previous window exactly: highest cosine, then LOWEST
     * neighbor_id (the `-neighbor_id` component of the max key). */
-  def blockedNearestNeighbor(embeddings: DataFrame, blockCol: String): DataFrame = {
+  def blockedNearestNeighbor(embeddings: DataFrame, blockCol: String,
+      saltOverride: Int = 0): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
+    // Block-count parallelism ceiling: the pair stream lands in one
+    // task per block, so a 10-label corpus uses 10 cores no matter how
+    // many partitions or executors exist. Salting fixes it EXACTLY:
+    // the probe side keeps one salted copy per row, the index side is
+    // replicated to every salt (index rows ∝ R·N — trivial next to the
+    // Σ block² pair stream), and each (blk, salt) task scores a 1/R
+    // slice of its block's pairs. Every pair still appears exactly
+    // once, so the max_by fold and tie-break are unchanged. R sizes to
+    // ~2 waves of cores per block; blocks ≥ parallelism ⇒ R=1 (the
+    // unsalted plan).
+    val spark = embeddings.sparkSession
+    val r =
+      if (saltOverride > 0) saltOverride
+      else {
+        val nBlocks = math.max(
+          base.agg(countDistinct(col("blk"))).first().getLong(0), 1L)
+        math.max(1L, 2L * spark.sparkContext.defaultParallelism / nBlocks)
+          .toInt
+      }
     val a = base.select(col("vec_id"), col("blk"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(r)))
     val b = base.select(col("vec_id").as("neighbor_id"), col("blk"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, "blk")
+      .withColumn("salt", explode(array((0 until r).map(lit): _*)))
+    a.join(b, Seq("blk", "salt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
@@ -347,14 +369,24 @@ object Similarity {
     * vectors this is exactly 8 bits — bit-identical to the fixed
     * (32, 4) gate configuration at every oracle-checked scale. One
     * extra COUNT job pays for the adaptivity. */
-  def lshTopKAuto(embeddings: DataFrame, dim: Int, nBands: Int,
-      k: Int, probeBits: Int = 0): DataFrame = {
-    val n = math.max(embeddings.count(), 2L)
-    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+  /** N-adaptive plane count: band width ≈ log2(N) − 3 bits (≥ 8,
+    * capped by the plane budget), so buckets-per-band tracks N and the
+    * per-bucket population — the quadratic candidate-volume driver —
+    * stays ~constant as the corpus grows. Identical to 8 bits/band
+    * (nPlanes = 8·nBands) at every oracle-checked scale (≤ 2048
+    * vectors). */
+  def autoPlanes(n: Long, nBands: Int): Int = {
+    val m = math.max(n, 2L)
+    val log2ceil = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     val bits = math.min(math.max(8, log2ceil - 3),
       graft.functions.TextFunctions.LshA.size / nBands)
-    lshTopK(embeddings, dim, nPlanes = bits * nBands, nBands, k, probeBits)
+    bits * nBands
   }
+
+  def lshTopKAuto(embeddings: DataFrame, dim: Int, nBands: Int,
+      k: Int, probeBits: Int = 0): DataFrame =
+    lshTopK(embeddings, dim, autoPlanes(embeddings.count(), nBands),
+      nBands, k, probeBits)
 
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,
       k: Int, probeBits: Int = 0): DataFrame = {
