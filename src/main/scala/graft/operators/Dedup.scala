@@ -260,7 +260,10 @@ object Dedup {
       val b = sh.select(
         (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
           col("sh").as("sh_b"): _*)
-      return a.join(b, blockCols)
+      // salted: one 11 k-doc block is ~1.2×10⁸ jaccard evals — in a
+      // plain block join that is ONE task (AQE can't see join-output
+      // skew); see [[Parallelism.saltedBlockJoin]]
+      return Parallelism.saltedBlockJoin(a, b, blockCols, "doc_a")
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("jac",
           HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
@@ -332,7 +335,7 @@ object Dedup {
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = base.select(col("vec_id").as("vec_b"), col("blk"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, "blk")
+    Parallelism.saltedBlockJoin(a, b, Seq("blk"), "vec_a")
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))

@@ -61,37 +61,21 @@ object Similarity {
     * the aggregate folds them map-side in one pass. Tie-break matches
     * the previous window exactly: highest cosine, then LOWEST
     * neighbor_id (the `-neighbor_id` component of the max key). */
-  def blockedNearestNeighbor(embeddings: DataFrame, blockCol: String,
-      saltOverride: Int = 0): DataFrame = {
+  def blockedNearestNeighbor(embeddings: DataFrame,
+      blockCol: String): DataFrame = {
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    // Block-count parallelism ceiling: the pair stream lands in one
-    // task per block, so a 10-label corpus uses 10 cores no matter how
-    // many partitions or executors exist. Salting fixes it EXACTLY:
-    // the probe side keeps one salted copy per row, the index side is
-    // replicated to every salt (index rows ∝ R·N — trivial next to the
-    // Σ block² pair stream), and each (blk, salt) task scores a 1/R
-    // slice of its block's pairs. Every pair still appears exactly
-    // once, so the max_by fold and tie-break are unchanged. R sizes to
-    // ~2 waves of cores per block; blocks ≥ parallelism ⇒ R=1 (the
-    // unsalted plan).
-    val spark = embeddings.sparkSession
-    val r =
-      if (saltOverride > 0) saltOverride
-      else {
-        val nBlocks = math.max(
-          base.agg(countDistinct(col("blk"))).first().getLong(0), 1L)
-        math.max(1L, 2L * spark.sparkContext.defaultParallelism / nBlocks)
-          .toInt
-      }
+    // A 10-label corpus puts the whole Σ block² pair stream on 10
+    // cores no matter the partition count — the salted join splits
+    // each block's pair slice across ~n_b²/target tasks, exactly
+    // (every pair scored once, max_by fold and tie-break unchanged);
+    // see [[Parallelism.saltedBlockJoin]].
     val a = base.select(col("vec_id"), col("blk"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
-      .withColumn("salt", pmod(hash(col("vec_id")), lit(r)))
     val b = base.select(col("vec_id").as("neighbor_id"), col("blk"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-      .withColumn("salt", explode(array((0 until r).map(lit): _*)))
-    a.join(b, Seq("blk", "salt"))
+    Parallelism.saltedBlockJoin(a, b, Seq("blk"), "vec_id")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
