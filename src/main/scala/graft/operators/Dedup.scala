@@ -50,22 +50,35 @@ object Dedup {
     * caller controls when it is unpersisted. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit): DataFrame = {
-    // Single bucket self-join carrying the hash arrays (4 bands ×
-    // O(docs) rows of ~3.6 KB each side — far cheaper than joining
-    // arrays back onto the candidate-pair list), verify jaccard inside
-    // the join, and dedupe only the (few) passing pairs at the end.
+    // Slim bucket self-join (ids only), THEN attach the hash arrays to
+    // the distinct candidates — the q72 payload-attach lesson, which
+    // this operator had not yet absorbed: carrying the ~3.6 KB `hs`
+    // arrays on both sides of the band join makes the join a
+    // sort-merge over N·bands wide rows (~14 GB sorted at sf10 —
+    // measured 243 s; 25× the sf1 cost at 10× the data), while the
+    // slim join sorts N·bands 16-byte rows and the arrays shuffle once
+    // per side, ∝ candidates. Deduping candidates BEFORE the verify
+    // also evaluates jaccard once per pair instead of once per shared
+    // band.
     val bandRel = minHashBandRel(docs, pin)
     val a = bandRel.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      col("doc_id").as("doc_a"))
     val b = bandRel.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      col("doc_id").as("doc_b"))
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sigs = bandRel.select("doc_id", "hs").dropDuplicates("doc_id")
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
-      .distinct()
   }
 
   /** The minhash LSH band relation — (doc_id, hs, band_idx,
@@ -116,24 +129,37 @@ object Dedup {
     * [[minHashLshPairs]] (doc_a < doc_b). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
       threshold: Double, pin: DataFrame => Unit = _ => ()): DataFrame = {
+    // Slim band joins + payload attach, as in [[minHashLshPairs]]:
+    // the corpus index side would otherwise drag every corpus doc's
+    // `hs` array through the shuffle (∝ corpus bytes per increment —
+    // exactly what an incremental pass must not pay).
     val newBands = minHashBandRel(newDocs, pin)
     val a = newBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val corpus = corpusBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    val vsCorpus = a.join(corpus, Seq("band_idx", "band_hash"))
+      col("doc_id").as("doc_a"))
+    val corpusSlim = corpusBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"))
+    val vsCorpus = a.join(corpusSlim, Seq("band_idx", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
       .withColumn("vs_corpus", lit(true))
     val b = newBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      col("doc_id").as("doc_b"))
     val vsNew = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
       .withColumn("vs_corpus", lit(false))
+    val newSigs = newBands.select("doc_id", "hs").dropDuplicates("doc_id")
+    val allSigs = newSigs.unionByName(
+        corpusBands.select("doc_id", "hs").dropDuplicates("doc_id"))
+      .dropDuplicates("doc_id")
     vsCorpus.unionByName(vsNew)
+      .join(newSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac", "vs_corpus")
-      .distinct()
   }
 
   /** Skew-safe LSH dedup GROUPS — the linear-cost production shape of
