@@ -50,35 +50,36 @@ object Dedup {
     * caller controls when it is unpersisted. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit): DataFrame = {
-    // Slim bucket self-join (ids only), THEN attach the hash arrays to
-    // the distinct candidates — the q72 payload-attach lesson, which
-    // this operator had not yet absorbed: carrying the ~3.6 KB `hs`
-    // arrays on both sides of the band join makes the join a
-    // sort-merge over N·bands wide rows (~14 GB sorted at sf10 —
-    // measured 243 s; 25× the sf1 cost at 10× the data), while the
-    // slim join sorts N·bands 16-byte rows and the arrays shuffle once
-    // per side, ∝ candidates. Deduping candidates BEFORE the verify
-    // also evaluates jaccard once per pair instead of once per shared
-    // band.
+    // Carry-the-arrays band join with IN-JOIN verification — re-proven
+    // twice now (STRESS.md r7 negative result, and an sf10 post-mortem
+    // of the opposite shape). The tempting "slim id join → distinct
+    // candidates → attach arrays" staging bounds the BAND JOIN's bytes
+    // but shuffles ~3.6 KB of shingle hashes per CANDIDATE in the
+    // attach joins — and candidate volume is Σ bucket², which a few
+    // boilerplate-heavy band buckets make quadratic (sf10: 16 buckets
+    // of ~10⁴ docs → 1.35×10⁸ candidates → ~500 GB of attach shuffle;
+    // the run died on disk). Carrying the arrays through the band join
+    // keeps shuffled bytes ∝ N·bands (linear, whatever the skew):
+    // pairs are verified as the join STREAMS them — a wide pair exists
+    // only inside the jaccard filter's pipeline, never on disk — and
+    // only survivors reach the distinct. saltedBlockJoin splits the
+    // giant buckets' pair streams across tasks (AQE can't see
+    // join-output skew), and its shuffle-hash build avoids sort-merge
+    // SORTING the wide rows (measured 243 s / 14 GB spilled without
+    // it at sf10).
     val bandRel = minHashBandRel(docs, pin)
     val a = bandRel.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"))
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = bandRel.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"))
-    val cands = a.join(b, Seq("band_idx", "band_hash"))
+      col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    Parallelism.saltedBlockJoin(a, b, Seq("band_idx", "band_hash"),
+        saltKeyA = "doc_a", shuffleHashBuild = true)
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val sigs = bandRel.select("doc_id", "hs").dropDuplicates("doc_id")
-    cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-        .hint("shuffle_hash"), "doc_b")
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
+      .distinct()
   }
 
   /** The minhash LSH band relation — (doc_id, hs, band_idx,
@@ -129,37 +130,34 @@ object Dedup {
     * [[minHashLshPairs]] (doc_a < doc_b). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
       threshold: Double, pin: DataFrame => Unit = _ => ()): DataFrame = {
-    // Slim band joins + payload attach, as in [[minHashLshPairs]]:
-    // the corpus index side would otherwise drag every corpus doc's
-    // `hs` array through the shuffle (∝ corpus bytes per increment —
-    // exactly what an incremental pass must not pay).
+    // Carry-the-arrays band join, as in [[minHashLshPairs]] (see the
+    // shape post-mortem there: attaching arrays per CANDIDATE is
+    // quadratic bytes under bucket skew; carrying them through the
+    // join is ∝ rows·bands and verifies pairs as the join streams
+    // them). The b side unions the new batch's own index with the
+    // persisted corpus index — at scale the corpus side is a bucketed
+    // table on (band_idx, band_hash), and only buckets the increment
+    // actually touches contribute join work; the increment is never
+    // paired against corpus-corpus. saltedBlockJoin sizes its salts
+    // from n_a·n_b, so a small increment meeting a giant corpus
+    // bucket still splits that bucket's pair stream.
     val newBands = minHashBandRel(newDocs, pin)
     val a = newBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"))
-    val corpusSlim = corpusBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"))
-    val vsCorpus = a.join(corpusSlim, Seq("band_idx", "band_hash"))
-      .select("doc_a", "doc_b").distinct()
-      .withColumn("vs_corpus", lit(true))
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = newBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"))
-    val vsNew = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-      .withColumn("vs_corpus", lit(false))
-    val newSigs = newBands.select("doc_id", "hs").dropDuplicates("doc_id")
-    val allSigs = newSigs.unionByName(
-        corpusBands.select("doc_id", "hs").dropDuplicates("doc_id"))
-      .dropDuplicates("doc_id")
-    vsCorpus.unionByName(vsNew)
-      .join(newSigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(allSigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-        .hint("shuffle_hash"), "doc_b")
+        col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .withColumn("vs_corpus", lit(false))
+      .unionByName(corpusBands.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .withColumn("vs_corpus", lit(true)))
+    Parallelism.saltedBlockJoin(a, b, Seq("band_idx", "band_hash"),
+        saltKeyA = "doc_a", shuffleHashBuild = true)
+      .filter(col("vs_corpus") || col("doc_a") < col("doc_b"))
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac", "vs_corpus")
+      .distinct()
   }
 
   /** Skew-safe LSH dedup GROUPS — the linear-cost production shape of

@@ -49,21 +49,35 @@ object Parallelism {
     *
     * `a`/`b` must both carry `blockCols`; `saltKeyA` names any
     * well-distributed `a` column (a doc/vec id). Returns the inner
-    * join of `a` and `b` on `blockCols`, exactly. */
+    * join of `a` and `b` on `blockCols`, exactly.
+    *
+    * `shuffleHashBuild` hints the replicated `b` side as a shuffle-hash
+    * build: when the sides carry wide payload arrays (minhash shingle
+    * sets, ~3.6 KB/row), sort-merge must SORT gigabytes of payload per
+    * side (measured 243 s / 14 GB spilled on the sf10 band join) while
+    * a hash build only buckets them. Leave it off when a block×salt
+    * partition's build side may not fit executor memory. */
   def saltedBlockJoin(a: DataFrame, b: DataFrame, blockCols: Seq[String],
-      saltKeyA: String, targetPairsPerTask: Long = 20000000L): DataFrame = {
-    val factors = a.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("nb"))
+      saltKeyA: String, targetPairsPerTask: Long = 20000000L,
+      shuffleHashBuild: Boolean = false): DataFrame = {
+    // r_b from the block's true pair volume n_a·n_b (== n² for a
+    // self-join; an increment-vs-corpus join would undersize its salts
+    // from the small increment side alone). Inner join of the two
+    // count frames: a block absent from either side produces no pairs.
+    val na = a.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("na"))
+    val nb = b.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
+    val factors = na.join(nb, blockCols)
       .withColumn("r",
-        greatest(lit(1L), ceil(col("nb") * col("nb") / targetPairsPerTask))
+        greatest(lit(1L), ceil(col("na") * col("nb") / targetPairsPerTask))
           .cast("int"))
       .select(blockCols.map(col) :+ col("r"): _*)
     val aS = a.join(broadcast(factors), blockCols)
       .withColumn("salt", pmod(hash(col(saltKeyA)), col("r")))
       .drop("r")
-    val bS = b.join(broadcast(factors), blockCols)
+    val bS0 = b.join(broadcast(factors), blockCols)
       .withColumn("salt", explode(sequence(lit(0), col("r") - 1)))
       .drop("r")
+    val bS = if (shuffleHashBuild) bS0.hint("shuffle_hash") else bS0
     aS.join(bS, blockCols :+ "salt").drop("salt")
   }
 }

@@ -302,14 +302,16 @@ object Similarity {
     * to p^b + probeBits·p^(b−1)(1−p) for query-side row growth of
     * ×(probeBits+1) — much cheaper than halving bits-per-band, which
     * multiplies JOIN volume by 2^(b/2). */
-  def lshCandidatePairs(embeddings: DataFrame, nPlanes: Int, nBands: Int,
-      probeBits: Int = 0): DataFrame = {
+  /** Exploded (vec_id, embedding, band_idx, band_hash) band relation —
+    * the shared input of the slim candidate generator and the
+    * carry-the-vectors [[lshTopK]] join (callers that don't select
+    * `embedding` get it pruned at the scan). */
+  private def lshBandRel(embeddings: DataFrame, nPlanes: Int,
+      nBands: Int): DataFrame = {
     import graft.functions.TextFunctions.LshA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
     require(nPlanes <= LshA.size, s"at most ${LshA.size} planes")
     val rowsPerBand = nPlanes / nBands
-    require(probeBits >= 0 && probeBits <= rowsPerBand,
-      s"probeBits must be 0..$rowsPerBand")
     // all projections in one native pass (identical sequential double
     // fold as the per-plane aggregate(zip_with(...)) — see
     // HashExpressions.LshProjections; the oracle mirrors the fold)
@@ -321,21 +323,34 @@ object Similarity {
           .otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val eb = withProjs
+    withProjs
       .withColumn("bnds", array(bands: _*))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Query-side band rows for multi-probe: the true hash plus its
+    * 1-bit-flip neighbors on the first `probeBits` positions. */
+  private def probeVariants(rel: DataFrame, probeBits: Int,
+      carry: Seq[String]): DataFrame =
+    if (probeBits == 0) rel
+    else {
+      val variants = col("band_hash") +:
+        (0 until probeBits).map(r => col("band_hash").bitwiseXOR(lit(1L << r)))
+      rel.select(carry.map(col) :+ col("band_idx") :+
+        explode(array(variants: _*)).as("band_hash"): _*)
+    }
+
+  def lshCandidatePairs(embeddings: DataFrame, nPlanes: Int, nBands: Int,
+      probeBits: Int = 0): DataFrame = {
+    val rowsPerBand = nPlanes / nBands
+    require(probeBits >= 0 && probeBits <= rowsPerBand,
+      s"probeBits must be 0..$rowsPerBand")
+    val eb = lshBandRel(embeddings, nPlanes, nBands)
+      .select("vec_id", "band_idx", "band_hash")
     // probe side: the true hash plus (optionally) its 1-bit-flip
     // neighbors; the index side always keeps the true hash only
-    val probeSide =
-      if (probeBits == 0) eb
-      else {
-        val variants = col("band_hash") +:
-          (0 until probeBits).map(r => col("band_hash").bitwiseXOR(lit(1L << r)))
-        eb.select(col("vec_id"), col("band_idx"),
-          explode(array(variants: _*)).as("band_hash"))
-      }
-    probeSide
+    probeVariants(eb, probeBits, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_hash"))
       .join(eb.select(col("vec_id").as("neighbor_id"), col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
@@ -374,20 +389,53 @@ object Similarity {
 
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,
       k: Int, probeBits: Int = 0): DataFrame = {
-    val pairs = lshCandidatePairs(embeddings, nPlanes, nBands, probeBits)
-    val side = embeddings.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    pairs
-      .join(side.select(col("vec_id").as("query_id"),
-        col("embedding").as("e_a"), col("nrm").as("n_a")), "query_id")
-      .join(side.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("e_b"), col("nrm").as("n_b")), "neighbor_id")
+    // Carry-the-vectors band join (the minHashLshPairs shape): the old
+    // "slim candidate pairs → distinct → join embeddings back twice"
+    // staging shuffled ~300 B of vector per CANDIDATE — clustered
+    // corpora make candidates grow with cluster mass (sf10: ~12 M
+    // candidates → ~14 GB of attach traffic, 33× cost at 10× data),
+    // while the carried band rel is N·bands·300 B flat. Cosines are
+    // computed as the join streams and deduped (a pair colliding in
+    // several bands scores identically), so only slim
+    // (query, neighbor, cosine) rows ever shuffle again.
+    val rowsPerBand = nPlanes / nBands
+    require(probeBits >= 0 && probeBits <= rowsPerBand,
+      s"probeBits must be 0..$rowsPerBand")
+    val rel = lshBandRel(embeddings, nPlanes, nBands)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val probe = probeVariants(rel, probeBits,
+      Seq("vec_id", "embedding", "nrm"))
+      .select(col("band_idx"), col("band_hash"),
+        col("vec_id").as("query_id"), col("embedding").as("e_a"),
+        col("nrm").as("n_a"))
+    val index = rel.select(col("band_idx"), col("band_hash"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"))
+    val scored = Parallelism.saltedBlockJoin(probe, index,
+        Seq("band_idx", "band_hash"), saltKeyA = "query_id",
+        shuffleHashBuild = true)
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
+      .select("query_id", "neighbor_id", "cosine")
+      .distinct()
+    // Top-k per query as a hash aggregate over each group's candidate
+    // list (the q33/q24 lesson: a row_number window locally sorts ALL
+    // scored rows; the per-group array_sort touches only that query's
+    // candidates). Sort key replicates the window's
+    // (cosine DESC, neighbor_id ASC) order exactly: negated cosine
+    // ascending, with NaN (zero-norm vectors) mapped to -∞ because
+    // Spark's DESC places NaN first while -NaN = NaN would sort last.
+    val negCos = when(isnan(col("cosine")), lit(Double.NegativeInfinity))
+      .otherwise(-col("cosine"))
+    scored
+      .withColumn("cand", struct(negCos.as("nc"),
+        col("neighbor_id"), col("cosine")))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "cand")))
+      .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("cand.cosine").as("cosine"))
   }
 }
