@@ -100,6 +100,13 @@ object TextQueries {
     Dedup.ngramJaccardPairs(Tables.documents(s, d),
       Seq("lang", "source"), 3, 0.5, strategy = "prefix")
 
+  /** Forced-tiled twin of q20: keeps [[TiledKernels.blockJaccardPairs]]
+    * oracle-checked even though `auto` picks the join at gate scale
+    * (every strategy is exact, so the oracle SQL is shared). */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d),
+      Seq("lang", "source"), 3, 0.5, strategy = "tiled")
+
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(Tables.documents(s, d), 0.6)
 
@@ -159,6 +166,12 @@ object TextQueries {
   private def q24(s: SparkSession, d: String): DataFrame =
     Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "label")
 
+  /** Forced-tiled twin of q24 ([[TiledKernels.blockTop1Partials]]
+    * oracle-checked at gate scale; `auto` picks the join there). */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedNearestNeighbor(Tables.embeddings(s, d), "label",
+      strategy = "tiled")
+
   /** Banded polynomial-hash LSH ANN — exact oracle (signatures are
     * integer-parity hyperplanes + sequential double folds, reproduced
     * bit-identically in DuckDB). */
@@ -171,6 +184,12 @@ object TextQueries {
   /** Embedding-cosine near-dup pairs within label blocks. */
   private def q32(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4)
+
+  /** Forced-tiled twin of q32 ([[TiledKernels.blockCosinePairs]]
+    * oracle-checked at gate scale; `auto` picks the join there). */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4,
+      strategy = "tiled")
 
   /** IVF ANN against the pinned coarse quantizer
     * ([[IvfCentroids.Centroids16]], a build artifact — train once,
@@ -319,6 +338,9 @@ object TextQueries {
     "q20_ngram_jaccard"  -> (q20 _),
     "q80_ngram_prefix"   -> (q80 _),
     "q81_lsh_groups"     -> (q81 _),
+    "q82_ngram_tiled"    -> (q82 _),
+    "q83_nn_tiled"       -> (q83 _),
+    "q84_cosine_tiled"   -> (q84 _),
     "q21_minhash_lsh"    -> (q21 _),
     "q22_simhash"        -> (q22 _),
     "q23_ann_bruteforce" -> (q23 _),
@@ -753,6 +775,7 @@ object TextQueries {
         |FROM documents d JOIN g USING (text)""".stripMargin,
     "q20_ngram_jaccard" -> q20Sql,
     "q80_ngram_prefix" -> q20Sql,
+    "q82_ngram_tiled" -> q20Sql,
     "q48_cc_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |  SELECT doc_a, doc_b FROM ($q20Sql)
@@ -995,16 +1018,8 @@ object TextQueries {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
-    "q32_embed_neardup" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, label, embedding,
-         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "q32_embed_neardup" -> q32Sql,
+    "q84_cosine_tiled" -> q32Sql,
     "q25_ann_lsh" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding,
@@ -1034,19 +1049,33 @@ object TextQueries {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
-    "q24_blocked_nn" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, label, embedding,
-         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |), scored AS (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |         ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id
-         |), ranked AS (
-         |  SELECT *, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |  FROM scored
-         |)
-         |SELECT vec_id, neighbor_id, cosine FROM ranked WHERE rk = 1""".stripMargin)
+    "q24_blocked_nn" -> q24Sql,
+    "q83_nn_tiled" -> q24Sql)
+
+  private lazy val q24Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, neighbor_id, cosine FROM ranked WHERE rk = 1""".stripMargin
+
+  private lazy val q32Sql =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
 }

@@ -227,21 +227,28 @@ object Dedup {
     * candidate space is enumerated.
     *
     * `strategy`:
-    *  - `"allpairs"`: block equi-join, candidate volume Σ_b n_b².
+    *  - `"allpairs"`: salted block equi-join, candidate volume
+    *    Σ_b n_b² — fastest while the pair space fits one codegen
+    *    pipeline pass without spilling.
+    *  - `"tiled"`: the same candidate space through
+    *    [[TiledKernels.blockJaccardPairs]] — grid-salted tiles scored
+    *    in a tight merge loop with lossless size/threshold pruning;
+    *    2.2× the join at sf10 (106 s vs 233 s) where sort-merge over
+    *    wide shingle rows dominates the join shape.
     *  - `"prefix"`: lossless SSJoin/PPJoin rarity-prefix filter,
     *    candidate volume Σ_g df_prefix(g)².
-    *  - `"auto"` (default): all-pairs while Σ_b n_b² is small; beyond
-    *    that, prefix ONLY if a corpus sample shows a sparse gram
-    *    universe (average df ≈ 1, i.e. the universe grows with N —
-    *    word tokens, long shingles). With a BOUNDED gram universe
-    *    (character 3-grams: ≲ alphabet³ distinct values) every gram's
-    *    df grows ∝ N, so the prefix index degenerates — measured 5×
-    *    MORE candidates than all-pairs at 10× bench scale and an
-    *    executor OOM at 100×, while all-pairs completes. In that dense
-    *    regime exact jaccard enumeration is Θ(N²) for ANY order-based
-    *    filter; the scale path is [[minHashLshPairs]] (sub-linear,
-    *    measured 7.9× at 10× data) when approximate candidates are
-    *    acceptable.
+    *  - `"auto"` (default): all-pairs join while Σ_b n_b² is small
+    *    (≤ 2×10⁸); beyond that, prefix ONLY if a corpus sample shows a
+    *    sparse gram universe (average df ≈ 1, i.e. the universe grows
+    *    with N — word tokens, long shingles), else tiled. With a
+    *    BOUNDED gram universe (character 3-grams: ≲ alphabet³ distinct
+    *    values) every gram's df grows ∝ N, so the prefix index
+    *    degenerates — measured 5× MORE candidates than all-pairs at
+    *    10× bench scale and an executor OOM at 100×, while all-pairs
+    *    completes. In that dense regime exact jaccard enumeration is
+    *    Θ(N²) for ANY order-based filter; the scale path is
+    *    [[minHashLshPairs]] (sub-linear, measured 7.9× at 10× data)
+    *    when approximate candidates are acceptable.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       n: Int, threshold: Double, strategy: String = "auto"): DataFrame = {
@@ -256,7 +263,13 @@ object Dedup {
     val chosen = strategy match {
       case "auto" =>
         // decision pass 1 (cheap, narrow scan of block cols only):
-        // all-pairs candidate volume Σ_b n_b²
+        // all-pairs candidate volume Σ_b n_b². Below the dispatch
+        // bound the codegen'd salted join evaluates the whole pair
+        // space faster than the tiled kernel's fixed stages (extra
+        // count job, tile exchange, encoder decode — measured ~1.3 s
+        // flat at sf0.1/sf1); above it the join's sort-merge over
+        // wide shingle rows dominates (sf10: 233 s join vs 106 s
+        // tiled) and the kernel's in-merge early-exit pays.
         val allPairsCands = docs
           .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
           .agg(sum(col("nb") * col("nb"))).head.getLong(0)
@@ -265,17 +278,44 @@ object Dedup {
           // decision pass 2 (4096-doc sample): average within-sample
           // gram df. A bounded universe is dense even in a small
           // sample (avg df ≫ 1 ⇒ df scales ∝ N ⇒ prefix degenerates);
-          // a growing universe shows avg df ≈ 1. Both branches are
+          // a growing universe shows avg df ≈ 1. All branches are
           // exact, so the sample's file-order determinism only ever
-          // affects the PLAN, never the result.
+          // affects the PLAN, never the result. Dense + big ⇒ the
+          // tiled kernel (exact enumeration is Θ(Σ n_b²) for any
+          // order-based filter there — see the prefix note below).
           val s = sh.select(explode(col("sh")).as("g")).limit(4096 * 256)
             .agg(count(lit(1)).cast("double").as("tot"),
               approx_count_distinct(col("g")).cast("double").as("uni"))
             .head
           val avgDf = s.getDouble(0) / math.max(s.getDouble(1), 1.0)
-          if (avgDf <= 2.0) "prefix" else "allpairs"
+          if (avgDf <= 2.0) "prefix" else "tiled"
         }
       case s => s
+    }
+    if (chosen == "tiled") {
+      // Tiled kernel, not a row join: in the salted-join shape every
+      // candidate row carries both ~3.8 KB shingle arrays through the
+      // join machinery (sort-merge must SORT those bytes; bytes
+      // ∝ Σ_b n_b² — the whole reason q20 measured 64× at 10× data,
+      // 233 s at sf10). The grid tiles keep the join's skew-proof task
+      // split and exactly-once coverage, decode each tile's arrays
+      // once, check id order BEFORE scoring (halves the merges) and
+      // abort merges the threshold already excludes — all lossless,
+      // identical survivor arithmetic
+      // (see [[TiledKernels.blockJaccardPairs]]). Block-col values
+      // re-attach by a slim doc_a join ∝ survivors.
+      // A null block col never equi-joins, so such rows pair with
+      // nothing — drop them before keying (to_json omits null fields,
+      // which would otherwise merge distinct null-keyed blocks).
+      val rel = sh
+        .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(col("doc_id").as("id"),
+          to_json(struct(blockCols.map(col): _*)).as("bk"), col("sh"))
+      return TiledKernels.blockJaccardPairs(rel, threshold)
+        .join(sh.select((col("doc_id").as("doc_a") +:
+          blockCols.map(col)): _*), "doc_a")
+        .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
+          col("jac"): _*)
     }
     if (chosen == "allpairs") {
       val a = sh.select(
@@ -346,12 +386,38 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs inside `blockCol` blocks:
-    * semantic dedup — pairs with cosine ≥ threshold. Same blocked
-    * self-join shape as the other pair generators (no N²); for
-    * unblocked corpora use [[Similarity.ivfTopK]]/[[Similarity.lshTopK]]
-    * cells as the blocking key instead. */
+    * semantic dedup — pairs with cosine ≥ threshold. Blocked self
+    * pair space (no global N²); for unblocked corpora use
+    * [[Similarity.ivfTopK]]/[[Similarity.lshTopK]] cells as the
+    * blocking key instead.
+    *
+    * `strategy`: `"join"` = salted block equi-join; `"tiled"` =
+    * [[TiledKernels.blockCosinePairs]] grid tiles (2.9× the join at
+    * sf1 already — the id-order check before the dot halves the
+    * scored pairs and nothing re-materializes the embeddings per
+    * candidate — and 2× at sf10); `"auto"` (default) dispatches on
+    * the Σ n_b² count from one narrow block-col scan, with a LOWER
+    * crossover than the top-1 operator because the join shape's
+    * a<b filter still pays for both orderings' rows. Identical
+    * results on every path. */
   def embeddingNearDupPairs(embeddings: DataFrame, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, strategy: String = "auto"): DataFrame = {
+    val chosen = strategy match {
+      case "auto" =>
+        val cands = embeddings.groupBy(col(blockCol))
+          .agg(count(lit(1)).as("nb"))
+          .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
+        if (cands <= 1e7.toLong) "join" else "tiled"
+      case s => s
+    }
+    if (chosen == "tiled") {
+      val rel = embeddings.select(
+        col("vec_id").as("id"), col(blockCol).cast("string").as("bk"),
+        col("embedding").cast("array<double>").as("emb"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      return TiledKernels.blockCosinePairs(rel, threshold)
+        .select("vec_a", "vec_b", "cosine")
+    }
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
       Similarity.l2Norm(col("embedding")).as("nrm"))

@@ -61,8 +61,41 @@ object Similarity {
     * the aggregate folds them map-side in one pass. Tie-break matches
     * the previous window exactly: highest cosine, then LOWEST
     * neighbor_id (the `-neighbor_id` component of the max key). */
+  /** Exact top-1 cosine neighbor within `blockCol` blocks.
+    *
+    * `strategy`: `"join"` = salted block equi-join + max_by fold;
+    * `"tiled"` = [[TiledKernels.blockTop1Partials]] grid tiles (wins
+    * once the join's sort-merge must move the Σ n_b² candidate rows'
+    * embedding payloads: sf10 measured 51.7 s join vs 21.2 s tiled);
+    * `"auto"` (default) dispatches on the candidate count from one
+    * narrow block-col scan. Identical results on every path — same
+    * sequential double folds, same (cosine desc, lowest id) fold
+    * under Spark NaN/-0.0 comparison semantics. */
   def blockedNearestNeighbor(embeddings: DataFrame,
-      blockCol: String): DataFrame = {
+      blockCol: String, strategy: String = "auto"): DataFrame = {
+    val chosen = strategy match {
+      case "auto" =>
+        val cands = embeddings.groupBy(col(blockCol))
+          .agg(count(lit(1)).as("nb"))
+          .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
+        if (cands <= 2e8.toLong) "join" else "tiled"
+      case s => s
+    }
+    if (chosen == "tiled") {
+      val rel = embeddings.select(
+        col("vec_id").as("id"), col(blockCol).cast("string").as("bk"),
+        col("embedding").cast("array<double>").as("emb"),
+        l2Norm(col("embedding")).as("nrm"))
+      // partial best per (query, tile) in-loop; the max_by fold below
+      // is the same comparator, so partial-then-final equals global
+      return TiledKernels.blockTop1Partials(rel)
+        .groupBy("vec_id")
+        .agg(max_by(
+          struct(col("neighbor_id"), col("cosine")),
+          struct(col("cosine"), (-col("neighbor_id")).as("nid"))).as("best"))
+        .select(col("vec_id"), col("best.neighbor_id").as("neighbor_id"),
+          col("best.cosine").as("cosine"))
+    }
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))

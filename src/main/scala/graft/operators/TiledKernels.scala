@@ -1,0 +1,276 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tiled evaluation kernels for dense blocked pair generators — the
+  * answer to a cost the salted ROW-JOIN shape cannot avoid: every
+  * candidate row the join emits materializes copies of BOTH sides'
+  * payload arrays (two ~300 B embeddings, or two ~3.8 KB shingle-hash
+  * arrays) before the scoring expression reads them once. At sf10 that
+  * is 4×10⁹ pairs · ~600 B ≈ 2.4 TB of row copying for blocked NN
+  * (q24 measured 410 ns/pair where the 64-float dot itself is ~60 ns)
+  * and 3.2×10⁹ · ~7.6 KB ≈ 24 TB for n-gram jaccard (q20: 233 s at
+  * sf10 — 64× the sf1 cost at 10× the data, because copy bytes scale
+  * with CANDIDATES = Σ_b n_b² while everything before the join is
+  * linear).
+  *
+  * Shape: GRID salting — each block's rows are split into
+  * g = ⌈n_b / √target⌉ groups by id-hash; tile (qg, xg) scores the
+  * ordered pairs (query ∈ qg, index ∈ xg), so every ordered pair lands
+  * in exactly one tile and each row is shuffled 2g times (g query
+  * roles + g index roles) instead of the one-sided salt's r ≈ g² index
+  * replicas. The tile relation is repartitioned on the tile key (an
+  * UnsafeRow hash exchange — no sort, unlike mapGroups' required
+  * ordering) and a typed mapPartitions kernel decodes each tile ONCE
+  * into primitive arrays, then runs a tight scoring loop over the pair
+  * space: zero per-pair copying, plus pruning a row join cannot
+  * express (id-order check before scoring, jaccard size-filter and
+  * in-merge threshold early-exit). Tile memory is bounded by
+  * construction: 2·√target rows of payload per tile (~17 MB at the
+  * 2×10⁷ default), independent of block size — the one-sided salt
+  * held the whole block's index side per task.
+  *
+  * Results are bit-identical to the join shape: the same sequential
+  * double folds as [[graft.functions.HashExpressions.DotProduct]] /
+  * SortedJaccard, and Spark SQL's comparison semantics (NaN greatest
+  * and equal to itself, -0.0 == 0.0) replicated in [[cmpD]]. Rows
+  * whose block key or payload is null are dropped up front — a null
+  * block key never equi-joins and a null payload scores a null that
+  * every downstream filter/rank discards.
+  *
+  * Candidate volume is still Σ_b n_b²: that asymptote is the SPEC of
+  * an exact blocked pair generator (quadratic in N at fixed block
+  * count — see STRESS.md round 8). The kernels buy the constant — pair
+  * cost drops to the arithmetic itself — and the sub-linear production
+  * forms remain the LSH/IVF family.
+  */
+object TiledKernels {
+
+  /** Spark SQL's double total order: NaN is greatest and equals
+    * itself; -0.0 == 0.0 (java.lang.Double.compare differs on both). */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a.isNaN) { if (b.isNaN) 0 else 1 }
+    else if (b.isNaN) -1
+    else if (a == b) 0
+    else if (a < b) -1 else 1
+
+  /** Sequential double fold over double arrays — bit-identical to
+    * [[graft.functions.HashExpressions.DotProduct]] on the same values
+    * (float inputs are cast element-wise to double in the tile
+    * relation; the widening is exact). */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Exact jaccard of two sorted hash arrays, or -1.0 when it is
+    * provably below `t`. Both prunes are lossless under double
+    * rounding: the final jac double is round(x/y) with x ≤ the bound's
+    * numerator and y ≥ its denominator, rationals ordered ⇒ rounded
+    * doubles ordered, so bound < t ⇒ final jac < t under the SAME
+    * compare the caller applies. The survivor value is the identical
+    * inter/union division SortedJaccard (and the DuckDB oracle)
+    * computes. */
+  private def jaccardOrBelow(a: Array[Long], b: Array[Long], t: Double): Double = {
+    val na = a.length
+    val nb = b.length
+    val mn = math.min(na, nb)
+    val mx = math.max(na, nb)
+    // jac ≤ |min|/|max|
+    if (mx > 0 && mn.toDouble / mx.toDouble < t) return -1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    var steps = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      steps += 1
+      if ((steps & 63) == 0) {
+        // jac ≤ (inter + rem) / (na + nb - inter - rem), rem matches left
+        val rem = math.min(na - i, nb - j)
+        if ((inter + rem).toDouble / (na + nb - inter - rem).toDouble < t)
+          return -1.0
+      }
+    }
+    val uni = na + nb - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni.toDouble
+  }
+
+  /** Grid-tile relation over `base` (columns: bk, id, payload...):
+    * adds qg/xg/is_q and repartitions on the tile key. g_b per block
+    * from one narrow count (payload projection pruned); the row count
+    * action also sizes the exchange to ~one tile per partition,
+    * clamped to [defaultParallelism, 4096]. */
+  private def tileRel(base: DataFrame, target: Long): DataFrame = {
+    val spark = base.sparkSession
+    val factors = base.select("bk").groupBy("bk")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("g", greatest(lit(1),
+        ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
+      .select("bk", "g")
+    val stats = factors.agg(
+      coalesce(sum(col("g").cast("long") * col("g")), lit(0L))).head
+    val nTiles = stats.getLong(0)
+    val nPart = math.min(4096L,
+      math.max(nTiles, spark.sparkContext.defaultParallelism.toLong)).toInt
+    // One scan, one generate: role index k ∈ [0, 2g) encodes the g
+    // query roles (k < g: tile (grp, k)) then the g index roles
+    // (tile (k−g, grp)) — a two-branch union would evaluate the
+    // payload projection (shingle hashing, casts) twice per row.
+    base.join(broadcast(factors), Seq("bk"))
+      .withColumn("grp", pmod(hash(col("id")), col("g")))
+      .withColumn("k", explode(sequence(lit(0), lit(2) * col("g") - 1)))
+      .withColumn("is_q", col("k") < col("g"))
+      .withColumn("qg",
+        when(col("is_q"), col("grp")).otherwise(col("k") - col("g")))
+      .withColumn("xg", when(col("is_q"), col("k")).otherwise(col("grp")))
+      .drop("g", "grp", "k")
+      .repartition(nPart, col("bk"), col("qg"), col("xg"))
+  }
+
+  /** Exact within-block jaccard pairs over sorted hash arrays.
+    * `rel`: (id: Long, bk: String, sh: Array[Long] sorted distinct).
+    * Emits (doc_a, doc_b, jac) with doc_a < doc_b and jac ≥ threshold,
+    * each qualifying pair exactly once. */
+  def blockJaccardPairs(rel: DataFrame, threshold: Double,
+      targetPairsPerTask: Long = 20000000L): DataFrame = {
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val tiled = tileRel(
+      rel.filter(col("bk").isNotNull && col("sh").isNotNull)
+        .select(col("bk"), col("id"), col("sh")),
+      targetPairsPerTask)
+      .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"), col("sh"))
+      .as[(String, Int, Int, Boolean, Long, Array[Long])]
+    tiled.mapPartitions { it =>
+      val tiles = mutable.HashMap.empty[(String, Int, Int),
+        (mutable.ArrayBuffer[(Long, Array[Long])],
+         mutable.ArrayBuffer[(Long, Array[Long])])]
+      it.foreach { case (bk, qg, xg, isQ, id, sh) =>
+        val t = tiles.getOrElseUpdate((bk, qg, xg),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        (if (isQ) t._1 else t._2) += ((id, sh))
+      }
+      tiles.valuesIterator.flatMap { case (qs, xs) =>
+        qs.iterator.flatMap { case (qid, qsh) =>
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var k = 0
+          while (k < xs.length) {
+            val (xid, xsh) = xs(k)
+            if (xid > qid) {
+              val jac = jaccardOrBelow(qsh, xsh, threshold)
+              if (jac >= threshold) out += ((qid, xid, jac))
+            }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("doc_a", "doc_b", "jac")
+  }
+
+  /** Exact within-block top-1 cosine neighbor partials.
+    * `rel`: (id: Long, bk: String, emb: Array[Double], nrm: Double).
+    * Emits one (vec_id, neighbor_id, cosine) per (query, tile); the
+    * caller folds partials with max_by(struct(neighbor_id, cosine),
+    * struct(cosine, -neighbor_id)) — the in-loop comparator below is
+    * that same ordering, so partial-then-final equals global. */
+  def blockTop1Partials(rel: DataFrame,
+      targetPairsPerTask: Long = 50000000L): DataFrame = {
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val tiled = tileRel(
+      rel.filter(col("bk").isNotNull && col("emb").isNotNull &&
+          col("nrm").isNotNull)
+        .select(col("bk"), col("id"), col("emb"), col("nrm")),
+      targetPairsPerTask)
+      .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
+        col("emb"), col("nrm"))
+      .as[(String, Int, Int, Boolean, Long, Array[Double], Double)]
+    tiled.mapPartitions { it =>
+      val tiles = mutable.HashMap.empty[(String, Int, Int),
+        (mutable.ArrayBuffer[(Long, Array[Double], Double)],
+         mutable.ArrayBuffer[(Long, Array[Double], Double)])]
+      it.foreach { case (bk, qg, xg, isQ, id, emb, nrm) =>
+        val t = tiles.getOrElseUpdate((bk, qg, xg),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        (if (isQ) t._1 else t._2) += ((id, emb, nrm))
+      }
+      tiles.valuesIterator.flatMap { case (qs, xs) =>
+        qs.iterator.flatMap { case (qid, qe, qn) =>
+          var bestId = -1L
+          var bestCos = 0.0
+          var found = false
+          var k = 0
+          while (k < xs.length) {
+            val (xid, xe, xn) = xs(k)
+            if (xid != qid) {
+              val cos = seqDot(qe, xe) / (qn * xn)
+              val c = cmpD(cos, bestCos)
+              if (!found || c > 0 || (c == 0 && xid < bestId)) {
+                found = true; bestId = xid; bestCos = cos
+              }
+            }
+            k += 1
+          }
+          if (found) Iterator.single((qid, bestId, bestCos))
+          else Iterator.empty
+        }
+      }
+    }.toDF("vec_id", "neighbor_id", "cosine")
+  }
+
+  /** Exact within-block cosine-threshold pairs.
+    * `rel`: (id: Long, bk: String, emb: Array[Double], nrm: Double).
+    * Emits (vec_a, vec_b, cosine) with vec_a < vec_b and
+    * cosine ≥ threshold under Spark's compare (NaN passes any
+    * threshold, as it does in the Column filter). */
+  def blockCosinePairs(rel: DataFrame, threshold: Double,
+      targetPairsPerTask: Long = 50000000L): DataFrame = {
+    val spark = rel.sparkSession
+    import spark.implicits._
+    val tiled = tileRel(
+      rel.filter(col("bk").isNotNull && col("emb").isNotNull &&
+          col("nrm").isNotNull)
+        .select(col("bk"), col("id"), col("emb"), col("nrm")),
+      targetPairsPerTask)
+      .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
+        col("emb"), col("nrm"))
+      .as[(String, Int, Int, Boolean, Long, Array[Double], Double)]
+    tiled.mapPartitions { it =>
+      val tiles = mutable.HashMap.empty[(String, Int, Int),
+        (mutable.ArrayBuffer[(Long, Array[Double], Double)],
+         mutable.ArrayBuffer[(Long, Array[Double], Double)])]
+      it.foreach { case (bk, qg, xg, isQ, id, emb, nrm) =>
+        val t = tiles.getOrElseUpdate((bk, qg, xg),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        (if (isQ) t._1 else t._2) += ((id, emb, nrm))
+      }
+      tiles.valuesIterator.flatMap { case (qs, xs) =>
+        qs.iterator.flatMap { case (qid, qe, qn) =>
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var k = 0
+          while (k < xs.length) {
+            val (xid, xe, xn) = xs(k)
+            if (xid > qid) {
+              val cos = seqDot(qe, xe) / (qn * xn)
+              if (cmpD(cos, threshold) >= 0) out += ((qid, xid, cos))
+            }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
+  }
+}

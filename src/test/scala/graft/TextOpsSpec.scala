@@ -198,7 +198,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ap.map(p => (p._1, p._2)).contains((0L, 1L)))
     assert(!ap.exists(p => p._1 == 3L || p._2 == 3L)) // cross-block excluded
     assert(run("prefix") == ap)
+    assert(run("tiled") == ap)
     assert(run("auto") == ap)
+  }
+
+  test("blockedNearestNeighbor/embeddingNearDupPairs: join and tiled agree") {
+    val vecs = (0L until 60L).map { i =>
+      (i, (i % 3).toInt,
+        Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+          (i % 7).toFloat / 7f))
+    }.toDF("vec_id", "label", "embedding")
+    val nnJ = Similarity.blockedNearestNeighbor(vecs, "label", "join")
+      .as[(Long, Long, Double)].collect().toSet
+    val nnT = Similarity.blockedNearestNeighbor(vecs, "label", "tiled")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(nnJ == nnT && nnJ.size == 60)
+    val pJ = Dedup.embeddingNearDupPairs(vecs, "label", 0.8, "join")
+      .as[(Long, Long, Double)].collect().toSet
+    val pT = Dedup.embeddingNearDupPairs(vecs, "label", 0.8, "tiled")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pJ == pT && pJ.nonEmpty)
+  }
+
+  test("ngramJaccardPairs tiled: stays bit-identical under grid salting (g > 1)") {
+    // tiny targetPairsPerTask forces g ≥ 2 so the multi-tile coverage
+    // (each ordered pair in exactly one tile) is what's under test
+    val docs = (0L until 40L).map { i =>
+      (i, "en", s"src${i % 2}",
+        if (i % 4 == 0) "the quick brown fox jumps over the lazy dog"
+        else if (i % 4 == 1) "the quick brown fox jumps over the lazy cat"
+        else s"unique filler text number $i with extra words ${i * 31}")
+    }.toDF("doc_id", "lang", "source", "text")
+    val viaJoin = Dedup.ngramJaccardPairs(docs, Seq("lang", "source"), 3,
+      0.5, "allpairs").select("doc_a", "doc_b", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = docs.select(col("doc_id").as("id"),
+      concat(col("lang"), lit("|"), col("source")).as("bk"),
+      graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("sh"))
+    val viaTiles = graft.operators.TiledKernels
+      .blockJaccardPairs(sh, 0.5, targetPairsPerTask = 16L)
+      .as[(Long, Long, Double)].collect()
+    assert(viaTiles.length == viaTiles.toSet.size) // exactly-once
+    assert(viaTiles.toSet == viaJoin)
   }
 
   test("predictedLang: deterministic argmax with tie-break") {
