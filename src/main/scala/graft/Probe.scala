@@ -17,6 +17,34 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, dir)
     println(s"docs: ${docs.count()}")
+    if (args.length > 1 && args(1) == "edit") {
+      // q72 candidate-volume probe: length-band pair count per
+      // (lang, source) block at maxDist = 90 (bucket width 91)
+      val w = 91
+      val slim = docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("len"),
+        pmod(col("doc_id"), lit(7)).as("m7"))
+      val a = slim.filter(col("m7") === 0)
+        .withColumn("bkt", explode(array(
+          floor(col("len") / w) - 1, floor(col("len") / w),
+          floor(col("len") / w) + 1)))
+        .groupBy("lang", "source", "bkt").agg(count(lit(1)).as("na"))
+      val b = slim.filter(col("m7") =!= 0)
+        .withColumn("bkt", floor(col("len") / w))
+        .groupBy("lang", "source", "bkt").agg(count(lit(1)).as("nb"))
+      val j = a.join(b, Seq("lang", "source", "bkt"))
+      println("q72 vs-corpus band candidates (pre len-filter): " +
+        j.agg(sum(col("na") * col("nb"))).head.getLong(0))
+      val aa = slim.filter(col("m7") === 0)
+        .withColumn("bkt", floor(col("len") / w))
+        .groupBy("lang", "source", "bkt").agg(count(lit(1)).as("na"))
+      println("q72 vs-new block candidates (~na^2 within bucket): " +
+        aa.agg(sum(col("na") * col("na"))).head.getLong(0))
+      println("length histogram:")
+      slim.groupBy((floor(col("len") / w) * w).as("len_bucket")).count()
+        .orderBy("len_bucket").show(30)
+      spark.stop(); return
+    }
     println("token-length histogram (short docs):")
     docs.select(size(split(col("text"), "\\s+")).as("ntok"))
       .groupBy(when(col("ntok") < 5, col("ntok")).otherwise(lit(5)).as("ntok_bucket"))

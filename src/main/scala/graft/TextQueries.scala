@@ -146,6 +146,20 @@ object TextQueries {
       Seq("lang", "source"), maxDist = 90, prefilterGram = 4)
   }
 
+  /** Forced-tiled twin of q72 ([[graft.operators.TiledKernels
+    * .bipartiteEditPairs]] oracle-checked at gate scale; `auto` picks
+    * the join there — at sf10 the join shape's per-candidate payload
+    * attach shuffled ~1.4 TB and filled the disk, so the kernel is the
+    * scale path and must stay hash-green). */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalEditDistancePairs(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      Seq("lang", "source"), maxDist = 90, prefilterGram = 4,
+      strategy = "tiled")
+  }
+
   /** JL random projection 64 → 16 dims: per-vector norm preservation
     * evidence (ratio ≈ 1 ± 1/√16). */
   private def q73(s: SparkSession, d: String): DataFrame = {
@@ -353,6 +367,7 @@ object TextQueries {
     "q49_span_dedup"     -> (q49 _),
     "q71_incr_neardup"   -> (q71 _),
     "q72_fuzzy_editdist" -> (q72 _),
+    "q85_edit_tiled"     -> (q85 _),
     "q73_rand_proj"      -> (q73 _))
 
   // ------------------------------------------------------------------ //
@@ -456,6 +471,28 @@ object TextQueries {
     s"CASE WHEN len($a) + len($b) = 0 THEN CAST(0.0 AS DOUBLE) " +
       s"ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE) " +
       s"/ (len($a) + len($b) - len(list_intersect($a, $b))) END"
+
+  /** q72's incremental bounded-edit-distance SQL — shared with its
+    * forced-tiled twin q85 (both strategies are exact; the oracle is
+    * strategy-blind). */
+  private lazy val q72Sql: String =
+    """WITH nw AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+      |     cp AS (SELECT * FROM documents WHERE doc_id % 7 != 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+      |       TRUE AS vs_corpus
+      |FROM nw a JOIN cp b
+      |  ON a.lang = b.lang AND a.source = b.source
+      | AND abs(length(a.text) - length(b.text)) <= 90
+      |WHERE levenshtein(a.text, b.text) <= 90
+      |UNION ALL
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+      |       FALSE AS vs_corpus
+      |FROM nw a JOIN nw b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      | AND abs(length(a.text) - length(b.text)) <= 90
+      |WHERE levenshtein(a.text, b.text) <= 90""".stripMargin
 
   /** q20's blocked 3-gram jaccard SQL — also the near-dup pair
     * generator nested inside the q48 connected-components oracle. */
@@ -951,24 +988,8 @@ object TextQueries {
          |   AND a.doc_id < b.doc_id
          |)
          |SELECT DISTINCT doc_a, doc_b, jac, vs_corpus FROM cand WHERE jac >= 0.5""".stripMargin,
-    "q72_fuzzy_editdist" ->
-      """WITH nw AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
-        |     cp AS (SELECT * FROM documents WHERE doc_id % 7 != 0)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-        |       TRUE AS vs_corpus
-        |FROM nw a JOIN cp b
-        |  ON a.lang = b.lang AND a.source = b.source
-        | AND abs(length(a.text) - length(b.text)) <= 90
-        |WHERE levenshtein(a.text, b.text) <= 90
-        |UNION ALL
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-        |       FALSE AS vs_corpus
-        |FROM nw a JOIN nw b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        | AND abs(length(a.text) - length(b.text)) <= 90
-        |WHERE levenshtein(a.text, b.text) <= 90""".stripMargin,
+    "q72_fuzzy_editdist" -> q72Sql,
+    "q85_edit_tiled" -> q72Sql,
     "q73_rand_proj" ->
       s"""WITH proj AS (
          |  SELECT vec_id,

@@ -607,8 +607,21 @@ object Dedup {
     * candidate pair through the shuffle (tens of GB at 50 k docs);
     * this shape moves payload bytes proportional to survivors. */
   def editDistancePairs(docs: DataFrame, blockCols: Seq[String],
-      maxDist: Int, prefilterGram: Int = 0): DataFrame = {
+      maxDist: Int, prefilterGram: Int = 0,
+      strategy: String = "auto"): DataFrame = {
     val w = maxDist + 1
+    val chosen = strategy match {
+      case "auto" =>
+        if (editBandCandidates(docs, docs, blockCols, w) <= 1e7.toLong)
+          "join"
+        else "tiled"
+      case s => s
+    }
+    if (chosen == "tiled")
+      return TiledKernels.bipartiteEditPairs(
+        editTileRel(docs, blockCols, w, probe = true, prefilterGram),
+        editTileRel(docs, blockCols, w, probe = false, prefilterGram),
+        maxDist, prefilterGram, orderCheck = true)
     val slim = docs.select(
       (col("doc_id") +: blockCols.map(col)) :+
         length(col("text")).as("len"): _*)
@@ -628,6 +641,55 @@ object Dedup {
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .select("doc_a", "doc_b", "len_a", "len_b")
     resolveEditPairs(docs, banded, maxDist, prefilterGram)
+  }
+
+  /** Tile-relation side for the kernel edit-distance path: block key =
+    * block cols + length bucket (the a side probes 3 buckets — the
+    * same lossless |len_a − len_b| ≤ maxDist cover as the join shape;
+    * each pair meets in exactly one bucket, the non-probing side's).
+    * Shingle arrays ride along only when the gram prune is on. */
+  private def editTileRel(docs: DataFrame, blockCols: Seq[String],
+      w: Int, probe: Boolean, prefilterGram: Int): DataFrame = {
+    // a null block col never equi-joins in the join shape — drop such
+    // rows before keying (to_json omits null fields, which would
+    // otherwise merge distinct null-keyed blocks)
+    val base = docs
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col("doc_id").as("id") +:
+        length(col("text")).as("len") +: col("text") +:
+        (if (prefilterGram > 0)
+          HashExpressions.shingleHashes(col("text"), prefilterGram).as("sh")
+        else lit(null).cast("array<long>").as("sh")) +:
+        blockCols.map(col)): _*)
+    val bucketed =
+      if (probe) base.withColumn("bkt", explode(array(
+        floor(col("len") / w) - 1, floor(col("len") / w),
+        floor(col("len") / w) + 1)))
+      else base.withColumn("bkt", floor(col("len") / w))
+    bucketed.select(
+      to_json(struct((blockCols.map(col) :+ col("bkt")): _*)).as("bk"),
+      col("id"), col("len"), col("text"), col("sh"))
+  }
+
+  /** Σ n_a·n_b over (block, bucket) cells with the a side 3-probed —
+    * the exact candidate count the band join (or tile kernel) will
+    * enumerate, from two narrow scans. */
+  private def editBandCandidates(aDocs: DataFrame, bDocs: DataFrame,
+      blockCols: Seq[String], w: Int): Long = {
+    def cnt(df: DataFrame, probe: Boolean, as: String) = {
+      val slim = df.select(
+        (blockCols.map(col) :+ length(col("text")).as("len")): _*)
+      val b =
+        if (probe) slim.withColumn("bkt", explode(array(
+          floor(col("len") / w) - 1, floor(col("len") / w),
+          floor(col("len") / w) + 1)))
+        else slim.withColumn("bkt", floor(col("len") / w))
+      b.groupBy((blockCols.map(col) :+ col("bkt")): _*)
+        .agg(count(lit(1)).as(as))
+    }
+    cnt(aDocs, probe = true, "na")
+      .join(cnt(bDocs, probe = false, "nb"), blockCols :+ "bkt")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
   }
 
   /** Shared tail of the edit-distance operators: candidate (doc_a,
@@ -690,29 +752,45 @@ object Dedup {
     * with doc_a < doc_b). */
   def incrementalEditDistancePairs(newDocs: DataFrame, corpus: DataFrame,
       blockCols: Seq[String], maxDist: Int,
-      prefilterGram: Int = 0): DataFrame = {
+      prefilterGram: Int = 0, strategy: String = "auto"): DataFrame = {
     val w = maxDist + 1
-    def slim(df: DataFrame, idAs: String, lenAs: String) =
-      df.select(
-        (col("doc_id").as(idAs) +: blockCols.map(col)) :+
-          length(col("text")).as(lenAs): _*)
-    val a = slim(newDocs, "doc_a", "len_a")
-      .withColumn("bkt", explode(array(
-        floor(col("len_a") / w) - 1,
-        floor(col("len_a") / w),
-        floor(col("len_a") / w) + 1)))
-    val b = slim(corpus, "doc_b", "len_b")
-      .withColumn("bkt", floor(col("len_b") / w))
-    val banded = a.join(b, blockCols :+ "bkt")
-      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("doc_a", "doc_b", "len_a", "len_b")
-    // the two sides come from different tables: resolve payloads from
-    // their union (ids are disjoint between increment and corpus)
-    val all = newDocs.select("doc_id", "text")
-      .unionByName(corpus.select("doc_id", "text"))
-    val vsCorpus = resolveEditPairs(all, banded, maxDist, prefilterGram)
-      .withColumn("vs_corpus", lit(true))
-    val vsNew = editDistancePairs(newDocs, blockCols, maxDist, prefilterGram)
+    val chosen = strategy match {
+      case "auto" =>
+        // one strategy for both halves: the vs-corpus candidate count
+        // dominates (|increment|·|block| vs |increment|²/blocks)
+        if (editBandCandidates(newDocs, corpus, blockCols, w) <= 1e7.toLong)
+          "join"
+        else "tiled"
+      case s => s
+    }
+    val vsCorpus = (if (chosen == "tiled") {
+      TiledKernels.bipartiteEditPairs(
+        editTileRel(newDocs, blockCols, w, probe = true, prefilterGram),
+        editTileRel(corpus, blockCols, w, probe = false, prefilterGram),
+        maxDist, prefilterGram, orderCheck = false)
+    } else {
+      def slim(df: DataFrame, idAs: String, lenAs: String) =
+        df.select(
+          (col("doc_id").as(idAs) +: blockCols.map(col)) :+
+            length(col("text")).as(lenAs): _*)
+      val a = slim(newDocs, "doc_a", "len_a")
+        .withColumn("bkt", explode(array(
+          floor(col("len_a") / w) - 1,
+          floor(col("len_a") / w),
+          floor(col("len_a") / w) + 1)))
+      val b = slim(corpus, "doc_b", "len_b")
+        .withColumn("bkt", floor(col("len_b") / w))
+      val banded = a.join(b, blockCols :+ "bkt")
+        .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+        .select("doc_a", "doc_b", "len_a", "len_b")
+      // the two sides come from different tables: resolve payloads from
+      // their union (ids are disjoint between increment and corpus)
+      val all = newDocs.select("doc_id", "text")
+        .unionByName(corpus.select("doc_id", "text"))
+      resolveEditPairs(all, banded, maxDist, prefilterGram)
+    }).withColumn("vs_corpus", lit(true))
+    val vsNew = editDistancePairs(newDocs, blockCols, maxDist,
+        prefilterGram, strategy = chosen)
       .withColumn("vs_corpus", lit(false))
     vsCorpus.unionByName(vsNew)
   }

@@ -230,6 +230,170 @@ object TiledKernels {
     }.toDF("vec_id", "neighbor_id", "cosine")
   }
 
+  /** Threshold Levenshtein over code-point arrays: the exact integer
+    * Spark's `levenshtein(a, b, k)` returns — dist when ≤ k, else −1.
+    * Banded DP (commons-lang shape): only the diagonal band of width
+    * 2k+1 is filled, rows abandon early when the band's minimum
+    * exceeds k. Distance is a pure function of the two code-point
+    * sequences, so any correct implementation is bit-identical;
+    * parity with the Spark expression is property-tested in
+    * TextOpsSpec (random strings incl. multi-byte code points,
+    * boundary thresholds). */
+  private[graft] def levenshteinOrNeg(a: Array[Int], b: Array[Int],
+      k: Int): Int = {
+    // orient so the DP rows run over the SHORTER string
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val n = s.length
+    val m = t.length
+    if (m - n > k) return -1
+    if (n == 0) return m // m ≤ k here
+    var prev = new Array[Int](n + 1)
+    var curr = new Array[Int](n + 1)
+    val inf = Int.MaxValue
+    var i = 0
+    while (i <= n) { prev(i) = if (i <= k) i else inf; i += 1 }
+    var j = 1
+    while (j <= m) {
+      val tj = t(j - 1)
+      val lo = math.max(1, j - k)
+      val hi = math.min(n, j + k)
+      curr(0) = if (j <= k) j else inf
+      if (lo > 1) curr(lo - 1) = inf
+      var rowMin = curr(0)
+      i = lo
+      while (i <= hi) {
+        val del = if (prev(i) == inf) inf else prev(i) + 1
+        val ins = if (curr(i - 1) == inf) inf else curr(i - 1) + 1
+        val sub =
+          if (prev(i - 1) == inf) inf
+          else prev(i - 1) + (if (s(i - 1) == tj) 0 else 1)
+        val v = math.min(del, math.min(ins, sub))
+        curr(i) = v
+        if (v < rowMin) rowMin = v
+        i += 1
+      }
+      if (hi < n) curr(hi + 1) = inf
+      if (rowMin > k) return -1
+      val tmp = prev; prev = curr; curr = tmp
+      j += 1
+    }
+    if (prev(n) <= k) prev(n) else -1
+  }
+
+  /** Count of common elements of two sorted-distinct long arrays —
+    * the integer [[graft.functions.HashExpressions.SortedIntersectCount]]
+    * computes. */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Bipartite grid-tile relation: a-side rows replicated over the
+    * b-side's group count and vice versa, so tile (qg, xg) of a block
+    * holds a-group qg and b-group xg — every (a, b) pair of the block
+    * lands in exactly one tile. Group counts are per-block and
+    * per-side (⌈n/√target⌉), from one narrow count over each side. */
+  private def bipartiteTileRel(aBase: DataFrame, bBase: DataFrame,
+      target: Long): DataFrame = {
+    val spark = aBase.sparkSession
+    def counts(df: DataFrame, as: String) = df.groupBy("bk")
+      .agg(count(lit(1)).as(as))
+    val factors = counts(aBase, "na").join(counts(bBase, "nb"), "bk")
+      .withColumn("ga", greatest(lit(1),
+        ceil(col("na") / sqrt(lit(target.toDouble)))).cast("int"))
+      .withColumn("gb", greatest(lit(1),
+        ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
+      .select("bk", "ga", "gb")
+    val nTiles = factors.agg(coalesce(
+      sum(col("ga").cast("long") * col("gb")), lit(0L))).head.getLong(0)
+    val nPart = math.min(4096L, math.max(nTiles,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+    val aT = aBase.join(broadcast(factors), Seq("bk"))
+      .withColumn("qg", pmod(hash(col("id")), col("ga")))
+      .withColumn("xg", explode(sequence(lit(0), col("gb") - 1)))
+      .withColumn("is_q", lit(true))
+      .drop("ga", "gb")
+    val bT = bBase.join(broadcast(factors), Seq("bk"))
+      .withColumn("xg", pmod(hash(col("id")), col("gb")))
+      .withColumn("qg", explode(sequence(lit(0), col("ga") - 1)))
+      .withColumn("is_q", lit(false))
+      .drop("ga", "gb")
+    aT.unionByName(bT).repartition(nPart, col("bk"), col("qg"), col("xg"))
+  }
+
+  /** Exact bounded-edit-distance pairs between two relations inside
+    * shared blocks — the kernel form of [[Dedup.editDistancePairs]]'s
+    * candidate resolution, for the regime where candidates dwarf the
+    * corpus (at sf10 the join shape's per-candidate payload attach
+    * shuffled ~1.4 TB and filled the disk; here text + shingle arrays
+    * shuffle once per tile role, ∝ N·√tiles, and the length band,
+    * Gravano q-gram prune, and banded DP all run inside the tile
+    * loop — a rejected candidate costs arithmetic only).
+    *
+    * `aRel`/`bRel`: (bk: String, id: Long, len: Long, text: String,
+    * sh: Array[Long] — pass null columns when prefilterGram = 0).
+    * `orderCheck` = true for the self form (emit id_a < id_b once);
+    * false for disjoint-id bipartite matching. Emits
+    * (doc_a, doc_b, dist ≤ maxDist), bit-identical to the join shape:
+    * same length filter, same intersect-count bound, and
+    * [[levenshteinOrNeg]] = Spark's `levenshtein(a, b, k)`. */
+  def bipartiteEditPairs(aRel: DataFrame, bRel: DataFrame, maxDist: Int,
+      prefilterGram: Int, orderCheck: Boolean,
+      targetPairsPerTask: Long = 20000000L): DataFrame = {
+    val spark = aRel.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame) = df
+      .filter(col("bk").isNotNull && col("text").isNotNull)
+      .select(col("bk"), col("id"), col("len").cast("long"),
+        col("text"), col("sh"))
+    val tiled = bipartiteTileRel(prep(aRel), prep(bRel), targetPairsPerTask)
+      .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
+        col("len"), col("text"), col("sh"))
+      .as[(String, Int, Int, Boolean, Long, Long, String, Array[Long])]
+    val bound = maxDist.toLong * prefilterGram + prefilterGram - 1
+    val kGram = maxDist.toLong * prefilterGram
+    tiled.mapPartitions { it =>
+      val tiles = mutable.HashMap.empty[(String, Int, Int),
+        (mutable.ArrayBuffer[(Long, Long, Array[Int], Array[Long])],
+         mutable.ArrayBuffer[(Long, Long, Array[Int], Array[Long])])]
+      it.foreach { case (bk, qg, xg, isQ, id, len, text, sh) =>
+        val t = tiles.getOrElseUpdate((bk, qg, xg),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        val cps = text.codePoints().toArray
+        (if (isQ) t._1 else t._2) += ((id, len, cps, sh))
+      }
+      tiles.valuesIterator.flatMap { case (qs, xs) =>
+        qs.iterator.flatMap { case (qid, qlen, qcp, qsh) =>
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var k = 0
+          while (k < xs.length) {
+            val (xid, xlen, xcp, xsh) = xs(k)
+            if ((!orderCheck || xid > qid) &&
+                math.abs(qlen - xlen) <= maxDist) {
+              val pruned = prefilterGram > 0 &&
+                math.max(qlen, xlen) > bound && {
+                  val mx = math.max(qsh.length, xsh.length).toLong
+                  sortedIntersect(qsh, xsh) < mx - kGram
+                }
+              if (!pruned) {
+                val d = levenshteinOrNeg(qcp, xcp, maxDist)
+                if (d >= 0) out += ((qid, xid, d.toLong))
+              }
+            }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("doc_a", "doc_b", "dist")
+  }
+
   /** Exact within-block cosine-threshold pairs.
     * `rel`: (id: Long, bk: String, emb: Array[Double], nrm: Double).
     * Emits (vec_a, vec_b, cosine) with vec_a < vec_b and

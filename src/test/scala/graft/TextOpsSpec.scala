@@ -242,6 +242,112 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaTiles.toSet == viaJoin)
   }
 
+  test("levenshteinOrNeg: bit-parity with Spark's threshold levenshtein") {
+    val rnd = new scala.util.Random(42)
+    // alphabets as CODE POINT seqs — mutation must never split a
+    // surrogate pair (parquet-sourced strings are UTF8String-decoded
+    // and cannot contain lone surrogates, so the operator never sees
+    // one; a char-level mutation here would test an unreachable input
+    // whose lone-surrogate encoding Spark and String.codePoints
+    // legitimately disagree on)
+    val alphabets = Seq("ab", "abcde", "aé漢🚀x")
+      .map(_.codePoints().toArray.toSeq)
+    val cases = (0 until 300).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      def cp() = alpha(rnd.nextInt(alpha.length))
+      def str(n: Int) = new String((0 until n).map(_ => cp()).toArray, 0, n)
+      val a = str(rnd.nextInt(30))
+      // half the cases: b is a mutated a (distances near the threshold)
+      val b = if (i % 2 == 0) str(rnd.nextInt(30))
+        else {
+          val pts = a.codePoints().toArray
+            .map(c => if (rnd.nextInt(5) == 0) cp() else c)
+          new String(pts, 0, pts.length)
+        }
+      (a, b, rnd.nextInt(12))
+    }
+    // the functions API takes the threshold as a literal Int — group by k
+    cases.groupBy(_._3).foreach { case (k, group) =>
+      val viaSpark = group.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"), k)).as[Int].collect()
+      group.zip(viaSpark).foreach { case ((a, b, _), expected) =>
+        val got = graft.operators.TiledKernels.levenshteinOrNeg(
+          a.codePoints().toArray, b.codePoints().toArray, k)
+        assert(got == expected, s"a='$a' b='$b' k=$k: got $got, spark $expected")
+      }
+    }
+  }
+
+  test("editDistancePairs: join and tiled agree (incl. gram prune, multi-tile)") {
+    val rnd = new scala.util.Random(7)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 60L).map { i =>
+      val txt =
+        if (i % 3 == 0) base
+        else if (i % 3 == 1) base.replace("quick", "quicker" + (i % 5))
+        else (0 until 60).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (i, "en", s"s${i % 2}", txt)
+    }.toDF("doc_id", "lang", "source", "text")
+    for (gram <- Seq(0, 2)) {
+      val viaJoin = Dedup.editDistancePairs(docs, Seq("lang", "source"),
+        maxDist = 15, prefilterGram = gram, strategy = "join")
+        .as[(Long, Long, Long)].collect().toSet
+      val viaTiled = Dedup.editDistancePairs(docs, Seq("lang", "source"),
+        maxDist = 15, prefilterGram = gram, strategy = "tiled")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaJoin == viaTiled && viaJoin.nonEmpty, s"gram=$gram")
+      assert(viaJoin.forall { case (a, b, d) => a < b && d <= 15 })
+    }
+    // multi-tile coverage: tiny target forces ga/gb ≥ 2 per block
+    val aRel = docs.filter(col("doc_id") % 2 === 0)
+    val bRel = docs.filter(col("doc_id") % 2 =!= 0)
+    val viaOp = Dedup.incrementalEditDistancePairs(aRel, bRel,
+      Seq("lang", "source"), maxDist = 15, strategy = "join")
+      .filter(col("vs_corpus")).select("doc_a", "doc_b", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    def tileSide(df: org.apache.spark.sql.DataFrame, probe: Boolean) = {
+      val w = 16
+      val b = df.select(col("doc_id").as("id"),
+        length(col("text")).as("len"), col("text"),
+        lit(null).cast("array<long>").as("sh"),
+        col("lang"), col("source"))
+      val bk =
+        if (probe) b.withColumn("bkt", explode(array(
+          floor(col("len") / w) - 1, floor(col("len") / w),
+          floor(col("len") / w) + 1)))
+        else b.withColumn("bkt", floor(col("len") / w))
+      bk.select(to_json(struct(col("lang"), col("source"), col("bkt")))
+        .as("bk"), col("id"), col("len"), col("text"), col("sh"))
+    }
+    val viaTiny = graft.operators.TiledKernels.bipartiteEditPairs(
+      tileSide(aRel, probe = true), tileSide(bRel, probe = false),
+      maxDist = 15, prefilterGram = 0, orderCheck = false,
+      targetPairsPerTask = 9L)
+      .as[(Long, Long, Long)].collect()
+    assert(viaTiny.length == viaTiny.toSet.size) // exactly-once
+    assert(viaTiny.toSet == viaOp)
+  }
+
+  test("incrementalEditDistancePairs: join and tiled agree") {
+    val docs = (0L until 42L).map { i =>
+      val txt =
+        if (i % 4 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+        else if (i % 4 == 1) "alpha beta gamma delta epsilon zeta eta iota"
+        else s"totally unrelated text number $i padded ${"x" * (i % 9).toInt}"
+      (i, "en", "web", txt)
+    }.toDF("doc_id", "lang", "source", "text")
+    val nw = docs.filter(col("doc_id") % 5 === 0)
+    val cp = docs.filter(col("doc_id") % 5 =!= 0)
+    def run(strategy: String): Set[(Long, Long, Long, Boolean)] =
+      Dedup.incrementalEditDistancePairs(nw, cp, Seq("lang", "source"),
+        maxDist = 20, prefilterGram = 3, strategy = strategy)
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+    val j = run("join")
+    assert(j.nonEmpty && j.exists(_._4) && j.exists(!_._4))
+    assert(run("tiled") == j)
+    assert(run("auto") == j)
+  }
+
   test("predictedLang: deterministic argmax with tie-break") {
     val df = Seq("the a join join", "spark batch column stuff", "xyzzy")
       .toDF("text")
