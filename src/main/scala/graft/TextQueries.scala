@@ -213,10 +213,10 @@ object TextQueries {
   private def q33(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // quantizer sized to the corpus (cells ∝ N): identical Centroids16
-    // at every oracle-checked scale; the 160-cell table keeps
-    // candidates-per-query constant at 10× data (see forCorpusSize)
+    // at every oracle-checked scale; Centroids160 through the sf1
+    // band; artifact-or-fit beyond (see IvfCentroids.forCorpus)
     Similarity.ivfTopKWithCentroids(emb,
-      IvfCentroids.forCorpusSize(emb.count()), nProbe = 2, k = 3)
+      IvfCentroids.forCorpus(emb), nProbe = 2, k = 3)
   }
 
   /** Corpus term frequency: top-10 terms per language (explode +

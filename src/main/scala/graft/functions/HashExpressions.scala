@@ -267,6 +267,107 @@ object HashExpressions {
     * oracle's `list_reduce`, but one tight loop instead of
     * nPlanes×dim interpreted lambda calls (the dominant cost of the
     * LSH signature stage). */
+  /** Top-`nProbe` nearest IVF cells for an embedding against a FIXED
+    * centroid table — the cell-assignment step of
+    * [[graft.operators.Similarity.buildIvfIndex]] as ONE row-local
+    * expression instead of a crossJoin row explosion: the join shape
+    * materializes N×K distance ROWS (~200 ns each of pure row
+    * machinery) just to aggregate them straight back to N, which is
+    * the whole build cost once K scales with N (sf10 measured 64 s of
+    * which the 64-dim dots themselves are ~2 s). Here each row runs K
+    * sequential-fold dots in a tight loop and keeps the nProbe best —
+    * no exchange, no aggregate, no intermediate rows.
+    *
+    * Bit-parity with the join+agg formulation (and so with the q33
+    * DuckDB oracle): dist = −dot(e, c) + dot(c, c)/2 with the same
+    * sequential double folds as [[DotProduct]] (min-length loop;
+    * c·c/2 is an exact halving), and the selection order is
+    * java.lang.Double.compare on dist then cell ascending — exactly
+    * the struct ordering `min(struct(dist, cell))` /
+    * `array_sort(collect_list(struct(dist, cell)))` use (Min/array_sort
+    * inputs are not join/agg KEYS, so NormalizeFloatingNumbers never
+    * rewrites −0.0/NaN under them; −0.0 is unreachable here anyway
+    * since c·c ≥ 0). Output: array<struct<dist: double, cell: int>>,
+    * ascending, length min(nProbe, K).
+    *
+    * CodegenFallback is deliberate (same rationale as
+    * [[LshProjections]]: a build-once/read-many intermediate that
+    * must not be inlined per consumer). */
+  case class NearestCells(child: Expression,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("dist", DoubleType, nullable = false),
+      StructField("cell", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "nearest_cells"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    @transient private lazy val cellIds = centroids.map(_._1).toArray
+    @transient private lazy val cents = centroids.map(_._2.toArray).toArray
+    // c·c/2 per centroid, the same sequential fold the join computes
+    // per row (the value is row-independent, so hoisting it is exact)
+    @transient private lazy val halfCc = cents.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc / 2
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      val ne = e.numElements()
+      val keep = math.min(math.max(nProbe, 1), cents.length)
+      val bestD = new Array[Double](keep)
+      val bestC = new Array[Int](keep)
+      var filled = 0
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        val n = math.min(ne, c.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          acc += x * c(i)
+          i += 1
+        }
+        val d = -acc + halfCc(k)
+        val cell = cellIds(k)
+        // insertion into the sorted keep-list under (dist, cell) asc
+        if (filled < keep ||
+            java.lang.Double.compare(d, bestD(filled - 1)) < 0 ||
+            (java.lang.Double.compare(d, bestD(filled - 1)) == 0 &&
+              cell < bestC(filled - 1))) {
+          var p = math.min(filled, keep - 1)
+          while (p > 0 && {
+            val cmp = java.lang.Double.compare(d, bestD(p - 1))
+            cmp < 0 || (cmp == 0 && cell < bestC(p - 1))
+          }) {
+            bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+          }
+          bestD(p) = d; bestC(p) = cell
+          if (filled < keep) filled += 1
+        }
+        k += 1
+      }
+      val rows = new Array[Any](filled)
+      var j = 0
+      while (j < filled) {
+        rows(j) = org.apache.spark.sql.catalyst.InternalRow(bestD(j), bestC(j))
+        j += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCells =
+      copy(child = c)
+  }
+
   case class LshProjections(child: Expression, nPlanes: Int)
       extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
     override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
@@ -939,6 +1040,10 @@ object HashExpressions {
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
   def lshProjections(c: Column, nPlanes: Int): Column =
     ColumnBridge.column(LshProjections(ColumnBridge.expression(c), nPlanes))
+  def nearestCells(c: Column, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(c),
+      centroids, nProbe))
   def termFreqs(c: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(c), terms))
   def tokenHashSet(c: Column): Column =

@@ -141,12 +141,24 @@ object Similarity {
     * 100 TB you cannot fit on the full set anyway). The sample is
     * cached only for the duration of the (eager, iterative) fit and
     * unpersisted before returning — no leaked storage. */
-  def fitQuantizer(embeddings: DataFrame, nCentroids: Int): Seq[(Int, Seq[Double])] = {
+  def fitQuantizer(embeddings: DataFrame, nCentroids: Int,
+      maxSample: Long = 0L): Seq[(Int, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // maxSample > 0 caps the training-set SIZE (the k-means cost is
+    // sample × k per iteration — at 100 TB a fixed fraction would make
+    // the fit dwarf the search; ~64 samples/centroid is plenty for a
+    // coarse quantizer). 0 keeps the legacy fixed 25% fraction that
+    // the pinned tables were trained with.
+    val fraction =
+      if (maxSample <= 0L) 0.25
+      else {
+        val n = math.max(embeddings.count(), 1L)
+        math.min(0.25, maxSample.toDouble / n.toDouble)
+      }
     val sample = embeddings
       .select(array_to_vector(col("embedding")).as("features"))
-      .sample(withReplacement = false, 0.25, seed = 42L)
+      .sample(withReplacement = false, fraction, seed = 42L)
       .cache()
     try {
       val model = new KMeans()
@@ -184,45 +196,26 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int,
       pin: DataFrame => Unit = _ => ()): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cdf = centroids.toDF("cell", "centroid")
-    val dists = Parallelism.widen(embeddings)
-      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-      .crossJoin(broadcast(cdf))
-      .withColumn("dist",
-        -dot(col("embedding"), col("centroid")) +
-          dot(col("centroid"), col("centroid")) / 2)
-    // nProbe == 1 needs only the argmin cell: a hash aggregate over
-    // min(struct(dist, cell)) — lexicographic struct min IS the
-    // (dist, cell) ordering — with map-side partial combine. The window
-    // form below must locally sort all N×nCentroids distance rows to
-    // feed its partial WindowGroupLimit; at 200 k vecs × 512 centroids
-    // that sort was 5× the cost of the distance arithmetic itself.
-    val ranked = (if (nProbe <= 1)
-      dists
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cell"))).as("m"),
-          first("embedding").as("embedding"), first("nrm").as("nrm"))
-        .select(col("vec_id"), col("m.cell").as("cell"), lit(1).as("pr"),
-          col("embedding"), col("nrm"))
-    else
-      // top-nProbe per vector as a hash aggregate too: collect the
-      // ≤nCentroids (dist, cell) structs per vec_id (map-side partial
-      // combine), sort that SMALL in-memory array, keep nProbe, and
-      // re-explode with the 1-based probe rank. A row_number window
-      // here must locally sort all N×nCentroids distance rows; the
-      // per-group array sort touches nCentroids elements per vector —
-      // the same STRESS lesson as the nProbe==1 argmin and PQ encoding.
-      dists
-        .groupBy("vec_id")
-        .agg(slice(array_sort(collect_list(struct(col("dist"), col("cell")))),
-            1, nProbe).as("top"),
-          first("embedding").as("embedding"), first("nrm").as("nrm"))
-        .select(col("vec_id"), posexplode(col("top")).as(Seq("p0", "dc")),
-          col("embedding"), col("nrm"))
-        .select(col("vec_id"), col("dc.cell").as("cell"),
-          (col("p0") + 1).cast("int").as("pr"), col("embedding"), col("nrm")))
+    // Assignment is ONE row-local expression (K sequential-fold dots,
+    // keep the nProbe best — [[graft.functions.HashExpressions
+    // .NearestCells]], bit-identical to the former
+    // crossJoin(broadcast(centroids)) + min(struct(dist, cell)) /
+    // array_sort(collect_list) aggregation): the join shape
+    // materialized N×K distance ROWS only to aggregate them straight
+    // back to N, ~200 ns of row machinery per row against ~60 ns for
+    // the 64-dim dot itself — the dominant build cost once the cell
+    // count scales with N (sf10: 64 s of which arithmetic is ~2 s).
+    // No exchange at all: assignment is now a narrow map.
+    val ranked = Parallelism.widen(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"),
+        graft.functions.HashExpressions.nearestCells(
+          col("embedding"), centroids, math.max(nProbe, 1)).as("cells"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("cells")).as(Seq("p0", "dc")))
+      .select(col("vec_id"), col("dc.cell").as("cell"),
+        (col("p0") + 1).cast("int").as("pr"),
+        col("embedding"), col("nrm"))
       .cache()
     pin(ranked)
     ranked.count() // eager build (see above)

@@ -12,22 +12,46 @@ package graft.tools
   * distribute centroids as data).
   *
   * Usage: sbt "runMain graft.tools.FitQuantizer /root/testdata/sf0.01 [k]"
+  *
+  * With a third argument the centroids are written as a parquet
+  * ARTIFACT instead of source literals — the shape
+  * [[graft.operators.IvfCentroids.forCorpus]] loads for corpora past
+  * the pinned tables:
+  *   sbt "runMain graft.tools.FitQuantizer /tmp/sf10 1600 /tmp/ivf"
   */
 object FitQuantizer {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val k = if (args.length > 1) args(1).toInt else 16
+    val artifactDir = if (args.length > 2) Some(args(2)) else None
     val spark = graft.GraftSession.create("fit-quantizer")
     spark.sparkContext.setLogLevel("WARN")
-    val cents = graft.operators.Similarity
-      .fitQuantizer(graft.Tables.embeddings(spark, dir), nCentroids = k)
-    println(s"  val Centroids$k: Seq[(Int, Seq[Double])] = Seq(")
-    cents.foreach { case (i, c) =>
-      // full-precision doubles: Double.toString round-trips exactly and
-      // DuckDB parses the same decimal string to the same IEEE double
-      println(s"    $i -> Seq(${c.map(v => s"${v}d").mkString(", ")}),")
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cents = artifactDir match {
+      case Some(_) =>
+        // artifact tier: size-capped sample (the forCorpus fallback's
+        // exact fit, just precomputed)
+        graft.operators.Similarity.fitQuantizer(emb, nCentroids = k,
+          maxSample = math.max(64L * k, 65536L))
+      case None =>
+        graft.operators.Similarity.fitQuantizer(emb, nCentroids = k)
     }
-    println("  )")
+    artifactDir match {
+      case Some(d) =>
+        import spark.implicits._
+        cents.toDF("cell", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/centroids_k$k.parquet")
+        println(s"wrote $d/centroids_k$k.parquet (${cents.length} cells)")
+      case None =>
+        println(s"  val Centroids$k: Seq[(Int, Seq[Double])] = Seq(")
+        cents.foreach { case (i, c) =>
+          // full-precision doubles: Double.toString round-trips exactly
+          // and DuckDB parses the same decimal string to the same IEEE
+          // double
+          println(s"    $i -> Seq(${c.map(v => s"${v}d").mkString(", ")}),")
+        }
+        println("  )")
+    }
     spark.stop()
   }
 }

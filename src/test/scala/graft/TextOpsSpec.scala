@@ -348,6 +348,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(run("auto") == j)
   }
 
+  test("nearestCells: bit-parity with the crossJoin + struct-agg assignment") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val cents = (0 until 12).map(i => (i, Seq.fill(dim)(rnd.nextGaussian())))
+    val vecs = (0L until 400L).map { i =>
+      (i, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    for (nProbe <- Seq(1, 2, 3)) {
+      // the former formulation, verbatim: broadcast crossJoin distance
+      // rows -> per-vector sorted struct list -> top-nProbe
+      val cdf = cents.toDF("cell", "centroid")
+      val ref = vecs
+        .crossJoin(broadcast(cdf))
+        .withColumn("dist",
+          -Similarity.dot(col("embedding"), col("centroid")) +
+            Similarity.dot(col("centroid"), col("centroid")) / 2)
+        .groupBy("vec_id")
+        .agg(slice(array_sort(collect_list(struct(col("dist"), col("cell")))),
+          1, nProbe).as("top"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("p0", "dc")))
+        .select(col("vec_id"), col("p0"), col("dc.dist").as("dist"),
+          col("dc.cell").as("cell"))
+        .as[(Long, Int, Double, Int)].collect().toSet
+      val got = vecs
+        .select(col("vec_id"), posexplode(
+          graft.functions.HashExpressions.nearestCells(
+            col("embedding"), cents, nProbe)).as(Seq("p0", "dc")))
+        .select(col("vec_id"), col("p0"), col("dc.dist").as("dist"),
+          col("dc.cell").as("cell"))
+        .as[(Long, Int, Double, Int)].collect().toSet
+      assert(got == ref, s"nProbe=$nProbe")
+    }
+  }
+
   test("predictedLang: deterministic argmax with tie-break") {
     val df = Seq("the a join join", "spark batch column stuff", "xyzzy")
       .toDF("text")
