@@ -280,6 +280,114 @@ object TiledKernels {
     if (prev(n) <= k) prev(n) else -1
   }
 
+  /** Pattern-side state of Myers' bit-parallel Levenshtein (Myers
+    * 1999, "A fast bit-vector algorithm for approximate string
+    * matching based on dynamic programming"; multi-word form per Hyyrö
+    * 2003): the per-character match masks of one pattern, built ONCE
+    * and reused against every text the tile pairs it with — the
+    * pattern preprocessing is O(m) while each comparison is
+    * O(⌈m/64⌉·n) word ops, ~10× less work than the banded cell DP at
+    * q72's ~480-char/k=90 regime (measured 402 s → see STRESS).
+    * Distance is exact (bit-vectors simulate the full DP column), so
+    * parity with [[levenshteinOrNeg]] / Spark's `levenshtein(a, b, k)`
+    * is mathematical, and property-tested anyway.
+    *
+    * The alphabet map is a linear-probe open-addressing table (code
+    * point → mask row) — a boxed HashMap lookup per text character
+    * would cost more than the block update it feeds. */
+  private[graft] final class MyersPattern(pattern: Array[Int]) {
+    val m: Int = pattern.length
+    val nBlocks: Int = math.max(1, (m + 63) >>> 6)
+    // open-addressing code-point table, power-of-two size ≥ 2m
+    private val tableBits: Int = {
+      var b = 3
+      while ((1 << b) < 2 * math.max(m, 1)) b += 1
+      b
+    }
+    private val tableSize = 1 << tableBits
+    private val mask = tableSize - 1
+    private val keys = new Array[Int](tableSize)
+    private val slotOf = new Array[Int](tableSize)
+    private val used = new Array[Boolean](tableSize)
+    private var nSlots = 0
+    private val masksBuf = new mutable.ArrayBuffer[Array[Long]]()
+    locally {
+      var i = 0
+      while (i < m) {
+        val c = pattern(i)
+        var h = (c * 0x9E3779B9) >>> (32 - tableBits)
+        while (used(h & mask) && keys(h & mask) != c) h += 1
+        val slot = h & mask
+        val row =
+          if (!used(slot)) {
+            used(slot) = true; keys(slot) = c; slotOf(slot) = nSlots
+            masksBuf += new Array[Long](nBlocks); nSlots += 1
+            masksBuf(nSlots - 1)
+          } else masksBuf(slotOf(slot))
+        row(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+    }
+    private val masks = masksBuf.toArray
+    private val zero = new Array[Long](nBlocks)
+    @inline private def eqRow(c: Int): Array[Long] = {
+      var h = (c * 0x9E3779B9) >>> (32 - tableBits)
+      while (used(h & mask) && keys(h & mask) != c) h += 1
+      if (used(h & mask)) masks(slotOf(h & mask)) else zero
+    }
+
+    private val pv = new Array[Long](nBlocks)
+    private val mv = new Array[Long](nBlocks)
+
+    /** Exact Levenshtein(pattern, text), or −1 if it exceeds `k`. */
+    def distanceOrNeg(text: Array[Int], k: Int): Int = {
+      val n = text.length
+      if (math.abs(m - n) > k) return -1
+      if (m == 0) return n // n ≤ k here
+      if (n == 0) return m
+      java.util.Arrays.fill(pv, -1L)
+      java.util.Arrays.fill(mv, 0L)
+      val lastBits = m - ((nBlocks - 1) << 6) // bits used in last block
+      val highBit = 1L << (lastBits - 1)
+      var score = m
+      var j = 0
+      while (j < n) {
+        val eq = eqRow(text(j))
+        // the DISTANCE variant's top boundary is D(0, j) = j: a +1
+        // horizontal delta enters block 0 every column (the search
+        // variant's 0 would compute min over pattern positions)
+        var hin = 1
+        var b = 0
+        while (b < nBlocks) {
+          val pvb = pv(b); val mvb = mv(b)
+          val eq0 = eq(b)
+          // Xv must see the UNadjusted Eq; the hin<0 bit feeds Xh only
+          val xv = eq0 | mvb
+          val eqb = if (hin < 0) eq0 | 1L else eq0
+          val xh = (((eqb & pvb) + pvb) ^ pvb) | eqb
+          var ph = mvb | ~(xh | pvb)
+          var mh = pvb & xh
+          // horizontal delta leaving this block (its top bit)
+          val top = if (b == nBlocks - 1) highBit else java.lang.Long.MIN_VALUE
+          val hout = (if ((ph & top) != 0L) 1 else 0) -
+            (if ((mh & top) != 0L) 1 else 0)
+          ph <<= 1; mh <<= 1
+          if (hin < 0) mh |= 1L else if (hin > 0) ph |= 1L
+          pv(b) = mh | ~(xv | ph)
+          mv(b) = ph & xv
+          hin = hout
+          b += 1
+        }
+        score += hin
+        // score falls at most 1 per remaining char: bail once even a
+        // perfect suffix cannot reach k
+        if (score - (n - j - 1) > k) return -1
+        j += 1
+      }
+      if (score <= k) score else -1
+    }
+  }
+
   /** Count of common elements of two sorted-distinct long arrays —
     * the integer [[graft.functions.HashExpressions.SortedIntersectCount]]
     * computes. */
@@ -370,6 +478,11 @@ object TiledKernels {
       }
       tiles.valuesIterator.flatMap { case (qs, xs) =>
         qs.iterator.flatMap { case (qid, qlen, qcp, qsh) =>
+          // pattern masks build once per (query, tile) and amortize
+          // over every text in the tile — the whole point of the
+          // bit-parallel form (exact distance, so same result as
+          // [[levenshteinOrNeg]] / Spark's levenshtein(a, b, k))
+          val pat = new MyersPattern(qcp)
           val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
           var k = 0
           while (k < xs.length) {
@@ -382,7 +495,7 @@ object TiledKernels {
                   sortedIntersect(qsh, xsh) < mx - kGram
                 }
               if (!pruned) {
-                val d = levenshteinOrNeg(qcp, xcp, maxDist)
+                val d = pat.distanceOrNeg(xcp, maxDist)
                 if (d >= 0) out += ((qid, xid, d.toLong))
               }
             }

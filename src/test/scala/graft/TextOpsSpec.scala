@@ -266,14 +266,32 @@ class TextOpsSpec extends AnyFunSuite {
         }
       (a, b, rnd.nextInt(12))
     }
+    // multi-word Myers coverage: long strings (2–5 blocks of 64),
+    // thresholds from tight to loose
+    val longCases = (0 until 120).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      def cp() = alpha(rnd.nextInt(alpha.length))
+      val n = 70 + rnd.nextInt(260)
+      val aPts = Array.fill(n)(cp())
+      val bPts = if (i % 2 == 0) Array.fill(70 + rnd.nextInt(260))(cp())
+        else aPts.map(c => if (rnd.nextInt(8) == 0) cp() else c)
+      (new String(aPts, 0, aPts.length), new String(bPts, 0, bPts.length),
+        Seq(3, 20, 64, 65, 128, 300)(rnd.nextInt(6)))
+    }
     // the functions API takes the threshold as a literal Int — group by k
-    cases.groupBy(_._3).foreach { case (k, group) =>
+    (cases ++ longCases).groupBy(_._3).foreach { case (k, group) =>
       val viaSpark = group.map { case (a, b, _) => (a, b) }.toDF("a", "b")
         .select(levenshtein(col("a"), col("b"), k)).as[Int].collect()
       group.zip(viaSpark).foreach { case ((a, b, _), expected) =>
         val got = graft.operators.TiledKernels.levenshteinOrNeg(
           a.codePoints().toArray, b.codePoints().toArray, k)
         assert(got == expected, s"a='$a' b='$b' k=$k: got $got, spark $expected")
+        // the kernel's actual scorer: bit-parallel Myers, pattern masks
+        // built once per query — must equal the DP and Spark exactly
+        val myers = new graft.operators.TiledKernels.MyersPattern(
+          a.codePoints().toArray).distanceOrNeg(b.codePoints().toArray, k)
+        assert(myers == expected,
+          s"myers a='$a' b='$b' k=$k: got $myers, spark $expected")
       }
     }
   }
