@@ -161,9 +161,15 @@ object Similarity {
       .sample(withReplacement = false, fraction, seed = 42L)
       .cache()
     try {
-      val model = new KMeans()
+      val km = new KMeans()
         .setK(nCentroids).setSeed(42L).setMaxIter(5)
-        .fit(sample)
+      // capped tier: k-means|| init costs several extra passes at
+      // k ≥ 10³ (it dominated a k=1600 fit); random init + the same 5
+      // Lloyd iterations is plenty for a COARSE quantizer, whose job
+      // is balanced cells, not optimal distortion. The legacy path
+      // keeps the default init the pinned tables were trained with.
+      if (maxSample > 0L) km.setInitMode("random")
+      val model = km.fit(sample)
       model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
     } finally sample.unpersist()
