@@ -50,9 +50,14 @@ object Dedup {
     * caller controls when it is unpersisted. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit): DataFrame = {
+    val bandRel = minHashBandRel(docs, pin)
     // Carry-the-arrays band join with IN-JOIN verification — re-proven
-    // twice now (STRESS.md r7 negative result, and an sf10 post-mortem
-    // of the opposite shape). The tempting "slim id join → distinct
+    // THREE times now (STRESS.md r7 negative result, an sf10
+    // post-mortem of the opposite shape, and an r9 re-test of a
+    // dispatch-guarded slim variant that measured 3.3 s vs carry's
+    // 2.7 s at sf0.1 — the attach shape loses on STAGE COUNT at small
+    // scale and on bytes at large scale; there is no regime where it
+    // wins). The tempting "slim id join → distinct
     // candidates → attach arrays" staging bounds the BAND JOIN's bytes
     // but shuffles ~3.6 KB of shingle hashes per CANDIDATE in the
     // attach joins — and candidate volume is Σ bucket², which a few
@@ -67,7 +72,6 @@ object Dedup {
     // join-output skew), and its shuffle-hash build avoids sort-merge
     // SORTING the wide rows (measured 243 s / 14 GB spilled without
     // it at sf10).
-    val bandRel = minHashBandRel(docs, pin)
     val a = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = bandRel.select(col("band_idx"), col("band_hash"),
@@ -140,7 +144,8 @@ object Dedup {
     // actually touches contribute join work; the increment is never
     // paired against corpus-corpus. saltedBlockJoin sizes its salts
     // from n_a·n_b, so a small increment meeting a giant corpus
-    // bucket still splits that bucket's pair stream.
+    // bucket still splits that bucket's pair stream (and its maxR
+    // escape keeps the gate-scale plan the plain r7 join).
     val newBands = minHashBandRel(newDocs, pin)
     val a = newBands.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
@@ -290,7 +295,9 @@ object Dedup {
           val avgDf = s.getDouble(0) / math.max(s.getDouble(1), 1.0)
           if (avgDf <= 2.0) "prefix" else "tiled"
         }
-      case s => s
+      case s @ ("allpairs" | "prefix" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown ngramJaccardPairs strategy '$other' (auto|allpairs|prefix|tiled)")
     }
     if (chosen == "tiled") {
       // Tiled kernel, not a row join: in the salted-join shape every
@@ -402,13 +409,20 @@ object Dedup {
     * results on every path. */
   def embeddingNearDupPairs(embeddings: DataFrame, blockCol: String,
       threshold: Double, strategy: String = "auto"): DataFrame = {
+    // "join-plain": the auto count just proved Σ n_b² ≤ 1e7 < the salt
+    // target, so no block can need splitting — go straight to the
+    // plain block join and skip saltedBlockJoin's own pre-pass (a
+    // second identical count job). Forced "join" keeps the salted
+    // form: a caller forcing it at scale still gets skew protection.
     val chosen = strategy match {
       case "auto" =>
         val cands = embeddings.groupBy(col(blockCol))
           .agg(count(lit(1)).as("nb"))
           .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
-        if (cands <= 1e7.toLong) "join" else "tiled"
-      case s => s
+        if (cands <= 1e7.toLong) "join-plain" else "tiled"
+      case s @ ("join" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown embeddingNearDupPairs strategy '$other' (auto|join|tiled)")
     }
     if (chosen == "tiled") {
       val rel = embeddings.select(
@@ -425,7 +439,8 @@ object Dedup {
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = base.select(col("vec_id").as("vec_b"), col("blk"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    Parallelism.saltedBlockJoin(a, b, Seq("blk"), "vec_a")
+    (if (chosen == "join-plain") a.join(b, Seq("blk"))
+     else Parallelism.saltedBlockJoin(a, b, Seq("blk"), "vec_a"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
@@ -615,7 +630,11 @@ object Dedup {
         if (editBandCandidates(docs, docs, blockCols, w) <= 1e7.toLong)
           "join"
         else "tiled"
-      case s => s
+      // explicit match: a typo ("tile") must fail fast, not silently
+      // select the join path that fills disks at scale
+      case s @ ("join" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown editDistancePairs strategy '$other' (auto|join|tiled)")
     }
     if (chosen == "tiled")
       return TiledKernels.bipartiteEditPairs(
@@ -761,7 +780,9 @@ object Dedup {
         if (editBandCandidates(newDocs, corpus, blockCols, w) <= 1e7.toLong)
           "join"
         else "tiled"
-      case s => s
+      case s @ ("join" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown incrementalEditDistancePairs strategy '$other' (auto|join|tiled)")
     }
     val vsCorpus = (if (chosen == "tiled") {
       TiledKernels.bipartiteEditPairs(

@@ -64,13 +64,39 @@ object Parallelism {
     // self-join; an increment-vs-corpus join would undersize its salts
     // from the small increment side alone). Inner join of the two
     // count frames: a block absent from either side produces no pairs.
-    val na = a.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("na"))
-    val nb = b.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
-    val factors = na.join(nb, blockCols)
+    // One union-tagged groupBy, not two groupBys + a join: the per-side
+    // counts land in the same shuffle (count-if on the side flag), so
+    // the whole factors frame costs one exchange — at gate scale the
+    // old three-stage shape was 0.59 s of the 2.0 s q71 incremental
+    // path, pure fixed job latency. A block absent from either side
+    // produces no pairs (na=0 or nb=0 ⇒ filtered, as the inner join
+    // of the two count frames did before).
+    val slimA = a.select(blockCols.map(col): _*).withColumn("side", lit(1))
+    val slimB = b.select(blockCols.map(col): _*).withColumn("side", lit(0))
+    val factors = slimA.unionByName(slimB)
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(when(col("side") === 1, 1)).as("na"),
+        count(when(col("side") === 0, 1)).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("r",
         greatest(lit(1L), ceil(col("na") * col("nb") / targetPairsPerTask))
           .cast("int"))
       .select(blockCols.map(col) :+ col("r"): _*)
+    // Scalar pre-pass: when NO block exceeds targetPairsPerTask (the
+    // gate-scale regime), every r_b is 1 and the salted plan is the
+    // plain block join plus pure overhead — a factor broadcast, a salt
+    // explode, and a wider join key. Skip it: join(blockCols, salt=0)
+    // partitions identically to join(blockCols), so the plans are
+    // equivalent, minus the machinery. The pre-pass itself is the same
+    // narrow count the factors subtree ran in-plan (trivial at scale,
+    // where some r > 1 brings the salted plan back anyway); it shaved
+    // the fixed ~0.3-0.5 s the r8 scale rewrites had added to each
+    // gate-scale caller (q32 0.63 s, q71 2.93 s in the r8 driver run).
+    val maxR = factors.agg(coalesce(max(col("r")), lit(1))).head.getInt(0)
+    if (maxR <= 1) {
+      val bH = if (shuffleHashBuild) b.hint("shuffle_hash") else b
+      return a.join(bH, blockCols)
+    }
     val aS = a.join(broadcast(factors), blockCols)
       .withColumn("salt", pmod(hash(col(saltKeyA)), col("r")))
       .drop("r")

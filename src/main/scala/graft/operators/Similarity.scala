@@ -79,7 +79,9 @@ object Similarity {
           .agg(count(lit(1)).as("nb"))
           .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
         if (cands <= 2e8.toLong) "join" else "tiled"
-      case s => s
+      case s @ ("join" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown blockedNearestNeighbor strategy '$other' (auto|join|tiled)")
     }
     if (chosen == "tiled") {
       val rel = embeddings.select(
@@ -150,11 +152,17 @@ object Similarity {
     // the fit dwarf the search; ~64 samples/centroid is plenty for a
     // coarse quantizer). 0 keeps the legacy fixed 25% fraction that
     // the pinned tables were trained with.
+    // capped tier: the size cap itself bounds the fit cost, so take the
+    // full target even when it exceeds 25% of N (a 0.25 clamp here
+    // silently undercut the ~64-samples/centroid target just above the
+    // tier boundary, e.g. n=100k k=800 trained on ~25k not 51.2k); the
+    // 0.25 fraction survives only on the legacy maxSample<=0 path that
+    // the pinned tables were trained with.
     val fraction =
       if (maxSample <= 0L) 0.25
       else {
         val n = math.max(embeddings.count(), 1L)
-        math.min(0.25, maxSample.toDouble / n.toDouble)
+        math.min(1.0, maxSample.toDouble / n.toDouble)
       }
     val sample = embeddings
       .select(array_to_vector(col("embedding")).as("features"))

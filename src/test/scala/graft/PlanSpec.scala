@@ -221,4 +221,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("sorted_intersect_count"), plan.take(4000))
     assert(plan.contains("levenshtein"), plan.take(4000))
   }
+
+  test("tiled kernels (q82–q85): hash exchange on the tile key, no sort under the kernel") {
+    // The kernels' no-sort property is the point of the shape: tiles
+    // are distributed by an UnsafeRow HASH exchange and decoded by a
+    // typed mapPartitions — a mapGroups/groupBy formulation would
+    // instead SORT every tile's multi-KB payload rows (the exact cost
+    // the kernels exist to avoid; q20's sort-merge over wide shingle
+    // rows measured 233 s at sf10). A Sort or a range exchange
+    // appearing under these plans is a regression.
+    for (q <- Seq("q82_ngram_tiled", "q83_nn_tiled", "q84_cosine_tiled",
+        "q85_edit_tiled")) {
+      val plan = physical(q)
+      assert(plan.contains("MapPartitions"), s"$q: kernel node missing\n" + plan.take(3000))
+      assert(plan.contains("Exchange hashpartitioning"), s"$q\n" + plan.take(3000))
+      // the tree prints top-down, so everything after the LAST
+      // MapPartitions is the kernel's input subtree (tile exchange +
+      // payload scan) — the segment that must never sort the wide
+      // rows. Downstream slim-row sorts (q83's max_by SortAggregate
+      // over 24-byte partials) are fine and not what the kernels buy.
+      val under = plan.substring(plan.lastIndexOf("MapPartitions"))
+      assert(!under.contains("Sort "), s"$q: SortExec under the kernel\n" + under.take(3000))
+      assert(!under.contains("SortMergeJoin"), s"$q\n" + under.take(3000))
+      assert(!under.contains("Exchange rangepartitioning"), s"$q\n" + under.take(3000))
+    }
+  }
+
+  test("q21/q71 carry shape: in-join verification, wide rows never sort") {
+    // The carry shape (r7-proven, r9 re-proven vs a slim variant) runs
+    // at every scale: the jaccard verify sits IN the band join — the
+    // hs arrays flow through it (sorted_jaccard on join outputs), no
+    // per-candidate attach join — and the wide rows must hash-join,
+    // never sort-merge (sorting them measured 243 s / 14 GB spilled
+    // at sf10). At gate scale saltedBlockJoin's maxR escape keeps the
+    // join plain; the salted variant of the same shape is pinned by
+    // ParallelismSpec.
+    for (q <- Seq("q21_minhash_lsh", "q71_incr_neardup")) {
+      val plan = physical(q)
+      assert(plan.contains("sorted_jaccard"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: wide rows must hash-join, not sort\n" + plan.take(3000))
+    }
+  }
 }
