@@ -278,8 +278,11 @@ object Dedup {
         val allPairsCands = docs
           .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
           .agg(sum(col("nb") * col("nb"))).head.getLong(0)
-        if (allPairsCands <= 2e8.toLong) "allpairs"
-        else {
+        if (allPairsCands <= 2e8.toLong) {
+          Parallelism.logDispatch("ngramJaccardPairs",
+            s"cands=$allPairsCands -> allpairs")
+          "allpairs"
+        } else {
           // decision pass 2 (4096-doc sample): average within-sample
           // gram df. A bounded universe is dense even in a small
           // sample (avg df ≫ 1 ⇒ df scales ∝ N ⇒ prefix degenerates);
@@ -293,7 +296,10 @@ object Dedup {
               approx_count_distinct(col("g")).cast("double").as("uni"))
             .head
           val avgDf = s.getDouble(0) / math.max(s.getDouble(1), 1.0)
-          if (avgDf <= 2.0) "prefix" else "tiled"
+          val pick = if (avgDf <= 2.0) "prefix" else "tiled"
+          Parallelism.logDispatch("ngramJaccardPairs",
+            f"cands=$allPairsCands avgDf=$avgDf%.2f -> $pick")
+          pick
         }
       case s @ ("allpairs" | "prefix" | "tiled") => s
       case other => throw new IllegalArgumentException(
@@ -419,7 +425,10 @@ object Dedup {
         val cands = embeddings.groupBy(col(blockCol))
           .agg(count(lit(1)).as("nb"))
           .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
-        if (cands <= 1e7.toLong) "join-plain" else "tiled"
+        val pick = if (cands <= 1e7.toLong) "join-plain" else "tiled"
+        Parallelism.logDispatch("embeddingNearDupPairs",
+          s"cands=$cands -> $pick")
+        pick
       case s @ ("join" | "tiled") => s
       case other => throw new IllegalArgumentException(
         s"unknown embeddingNearDupPairs strategy '$other' (auto|join|tiled)")
@@ -627,9 +636,10 @@ object Dedup {
     val w = maxDist + 1
     val chosen = strategy match {
       case "auto" =>
-        if (editBandCandidates(docs, docs, blockCols, w) <= 1e7.toLong)
-          "join"
-        else "tiled"
+        val cands = editBandCandidates(docs, docs, blockCols, w)
+        val pick = if (cands <= 1e7.toLong) "join" else "tiled"
+        Parallelism.logDispatch("editDistancePairs", s"cands=$cands -> $pick")
+        pick
       // explicit match: a typo ("tile") must fail fast, not silently
       // select the join path that fills disks at scale
       case s @ ("join" | "tiled") => s
@@ -777,9 +787,13 @@ object Dedup {
       case "auto" =>
         // one strategy for both halves: the vs-corpus candidate count
         // dominates (|increment|·|block| vs |increment|²/blocks)
-        if (editBandCandidates(newDocs, corpus, blockCols, w) <= 1e7.toLong)
-          "join"
-        else "tiled"
+        {
+          val cands = editBandCandidates(newDocs, corpus, blockCols, w)
+          val pick = if (cands <= 1e7.toLong) "join" else "tiled"
+          Parallelism.logDispatch("incrementalEditDistancePairs",
+            s"cands=$cands -> $pick")
+          pick
+        }
       case s @ ("join" | "tiled") => s
       case other => throw new IllegalArgumentException(
         s"unknown incrementalEditDistancePairs strategy '$other' (auto|join|tiled)")

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * to arrive under-split) and skipped when it would hurt (100 TB of
   * well-split files). */
 object Parallelism {
+  /** One-line stderr record of a runtime plan decision (strategy
+    * dispatch, salt factors, quantizer tier): scale campaigns grep
+    * these `[graft.dispatch]` lines so the knob values a run actually
+    * chose land in STRESS.md as evidence, not reconstruction. */
+  def logDispatch(op: String, detail: String): Unit =
+    System.err.println(s"[graft.dispatch] $op: $detail")
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
@@ -92,7 +99,13 @@ object Parallelism {
     // where some r > 1 brings the salted plan back anyway); it shaved
     // the fixed ~0.3-0.5 s the r8 scale rewrites had added to each
     // gate-scale caller (q32 0.63 s, q71 2.93 s in the r8 driver run).
-    val maxR = factors.agg(coalesce(max(col("r")), lit(1))).head.getInt(0)
+    val stats = factors.agg(coalesce(max(col("r")), lit(1)),
+      count(when(col("r") > 1, 1)), count(lit(1))).head
+    val (maxR, nSplit, nBlocks) =
+      (stats.getInt(0), stats.getLong(1), stats.getLong(2))
+    logDispatch("saltedBlockJoin",
+      s"blocks=$nBlocks split=$nSplit maxR=$maxR key=${blockCols.mkString(",")}" +
+        (if (maxR <= 1) " -> plain join (escape)" else " -> salted"))
     if (maxR <= 1) {
       val bH = if (shuffleHashBuild) b.hint("shuffle_hash") else b
       return a.join(bH, blockCols)

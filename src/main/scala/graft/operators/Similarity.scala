@@ -78,7 +78,10 @@ object Similarity {
         val cands = embeddings.groupBy(col(blockCol))
           .agg(count(lit(1)).as("nb"))
           .agg(coalesce(sum(col("nb") * col("nb")), lit(0L))).head.getLong(0)
-        if (cands <= 2e8.toLong) "join" else "tiled"
+        val pick = if (cands <= 2e8.toLong) "join" else "tiled"
+        Parallelism.logDispatch("blockedNearestNeighbor",
+          s"cands=$cands -> $pick")
+        pick
       case s @ ("join" | "tiled") => s
       case other => throw new IllegalArgumentException(
         s"unknown blockedNearestNeighbor strategy '$other' (auto|join|tiled)")
@@ -423,9 +426,13 @@ object Similarity {
   }
 
   def lshTopKAuto(embeddings: DataFrame, dim: Int, nBands: Int,
-      k: Int, probeBits: Int = 0): DataFrame =
-    lshTopK(embeddings, dim, autoPlanes(embeddings.count(), nBands),
-      nBands, k, probeBits)
+      k: Int, probeBits: Int = 0): DataFrame = {
+    val n = embeddings.count()
+    val planes = autoPlanes(n, nBands)
+    Parallelism.logDispatch("lshTopKAuto",
+      s"n=$n nBands=$nBands -> nPlanes=$planes (${planes / nBands} bits/band)")
+    lshTopK(embeddings, dim, planes, nBands, k, probeBits)
+  }
 
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,
       k: Int, probeBits: Int = 0): DataFrame = {
