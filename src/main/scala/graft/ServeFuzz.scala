@@ -115,7 +115,11 @@ object ServeFuzz {
       val qt = qt0.copy(measure = measure)
       val unit = TimeBuckets.Units(rng.nextInt(TimeBuckets.Units.size))
       val zone = zones(rng.nextInt(zones.size))
-      val form = Seq("peruser", "agg", "topn")(rng.nextInt(3))
+      // "table" = the CSV-export route (`/api/table`, S12): pivoted
+      // per-user series with minute→hour (/60) scaling — unpivoted
+      // back to rows for the oracle compare, measure renamed to a
+      // *Minutes column so the /60 branch genuinely engages
+      val form = Seq("peruser", "agg", "topn", "table")(rng.nextInt(4))
       val (lo, hi) = UsageQueries.timeBounds(fact.withColumnRenamed("hourMs", "time"), cluster)
       // range endpoints: uniform in-bounds, occasionally pinned around
       // a DST edge (±10 days), occasionally out-of-bounds on purpose
@@ -148,6 +152,20 @@ object ServeFuzz {
           case "topn" =>
             UsageQueries.topNWithOther(factT, cluster, qt, unit, zone, topN)
               .select(col("who"), col("tick"), col("value").cast("long"))
+          case "table" =>
+            val isMin = measure == "elapsedMs"
+            val (factM, qtT) =
+              if (isMin)
+                (factT.withColumnRenamed("elapsedMs", "elapsedMinutes"),
+                  qt.copy(measure = "elapsedMinutes"))
+              else (factT, qt)
+            val piv = UsageQueries.exportTable(factM, cluster, users, qtT,
+              unit, zone, startMs, endMs)
+            val uv = users.map(u => struct(lit(u).as("user"),
+              col(s"`$u`").cast("double").as("value")))
+            piv.select(col("tick"), explode(array(uv: _*)).as("uv"))
+              .select(col("tick"), col("uv.user").as("user"),
+                col("uv.value").as("value"))
         }
         result.write.mode("overwrite").parquet(s"$outDir/$name")
         oracles(name) = oracleSql(factPath, cluster, qt, unit, zone,
@@ -289,6 +307,25 @@ object ServeFuzz {
            |       a.tick AS tick, CAST(SUM(a.v) AS BIGINT) AS value
            |FROM agg a JOIN ranked r ON a."user" = r."user"
            |GROUP BY 1, 2""".stripMargin
+      case "table" =>
+        // CSV route: per-user grid with the /60 hour scaling. The
+        // Spark side renames elapsedMs → elapsedMinutes so the /60
+        // branch engages; the oracle reads the PHYSICAL parquet column
+        // and mirrors exactly that condition. Both engines divide the
+        // identical BIGINT sum by the same double → bit-identical.
+        val physMeasure = qt.measure
+        val divisor = if (qt.measure == "elapsedMs") "60.0" else "1.0"
+        s"""$base,
+           |agg AS (SELECT "user", $b AS tick,
+           |               CAST(SUM($physMeasure) AS BIGINT) AS v
+           |        FROM f WHERE "user" IN ($userList) GROUP BY 1, 2),
+           |grid AS (SELECT u."user", s.tick
+           |         FROM (VALUES ${users.map(u => s"(${sqlStr(u)})").mkString(", ")}) u("user")
+           |         CROSS JOIN spine s)
+           |SELECT g."user" AS "user", g.tick AS tick,
+           |       CAST(COALESCE(a.v, 0) AS DOUBLE) / $divisor AS value
+           |FROM grid g LEFT JOIN agg a
+           |  ON g."user" = a."user" AND g.tick = a.tick""".stripMargin
     }
   }
 }

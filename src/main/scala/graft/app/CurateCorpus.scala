@@ -42,12 +42,22 @@ object CurateCorpus {
     * quality score (joins the quality stage); `maxDocsPerSource` caps
     * each source's contribution after sampling (highest-token-count
     * docs win, [[Corpus.perSourceCap]]). */
+  /** `fastGrams` switches the decontamination stage's gram hashing to
+    * the native xxhash64 kernel ([[graft.functions.HashExpressions
+    * .TokenNGramXxHashes]] — 3.5× the oracle-exact polyhash, parity
+    * pinned in HashExprSpec). Collision risk is one-sided and benign
+    * here: a 64-bit gram collision can only ADD a phantom bloom/confirm
+    * match, i.e. drop a clean document as "contaminated" (expected
+    * phantom rate ≪ 1 doc per 10⁹ at web scale); it can never leak a
+    * genuinely contaminated document through. OFF by default — the
+    * polyhash path remains the oracle-checked gate shape. */
   def run(docs: DataFrame, probes: DataFrame, outDir: String,
       sampleKeepOf: Map[String, Long] = Map.empty,
       sampleDefaultKeep: Long = 20L, sampleMod: Long = 20L,
       chunkTokens: Int = 64, chunkStride: Int = 48,
       minLmScore: Option[Long] = None,
-      maxDocsPerSource: Option[Int] = None)(
+      maxDocsPerSource: Option[Int] = None,
+      fastGrams: Boolean = false)(
       implicit spark: SparkSession): StageCounts = {
     // Each stage output is pinned and materialized by its count —
     // without the persist, every downstream stage (and the final
@@ -96,7 +106,7 @@ object CurateCorpus {
       // run's cache lifecycle via the pin hook
       val contaminated = Corpus
         .contaminationCheckBloom(near, probes, n = 5, minMatches = 1,
-          pin = pinned += _)
+          fastGrams = fastGrams, pin = pinned += _)
         .filter(col("contaminated")).select("doc_id")
       val (clean, nClean) = stage(near.join(contaminated, Seq("doc_id"), "left_anti"))
 
@@ -148,7 +158,10 @@ object CurateCorpus {
     val probes =
       if (args.length > 2) spark.read.parquet(args(2))
       else Seq.empty[String].toDF("text")
-    val counts = run(docs, probes, args(1))
+    // production knob (see run()'s scaladoc): phantom-dup-only risk,
+    // decontamination gram hashing on the 3.5× xxhash64 kernel
+    val fast = sys.env.get("SPARK_GRAFT_FAST_GRAMS").contains("1")
+    val counts = run(docs, probes, args(1), fastGrams = fast)
     println(s"[curate] $counts")
     spark.stop()
   }

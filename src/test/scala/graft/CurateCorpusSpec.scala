@@ -54,6 +54,27 @@ class CurateCorpusSpec extends AnyFunSuite {
     assert(c == c2)
   }
 
+  test("fastGrams: xxhash64 decontamination gives the identical survivor set") {
+    // parity at fixture scale — the 64-bit kernel's phantom-match risk
+    // is ~2⁻⁶⁴ per gram pair, so on any fixture the stage counts must
+    // be bit-identical to the oracle-exact polyhash path
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val probes = docs.filter(col("doc_id") < 3)
+    val outS = java.nio.file.Files.createTempDirectory("curate_slow").toString
+    val outF = java.nio.file.Files.createTempDirectory("curate_fast").toString
+    val slow = CurateCorpus.run(docs, probes, outS,
+      sampleKeepOf = Map("en" -> 10L), sampleDefaultKeep = 16L,
+      sampleMod = 20L, chunkTokens = 32, chunkStride = 24)
+    val fast = CurateCorpus.run(docs, probes, outF,
+      sampleKeepOf = Map("en" -> 10L), sampleDefaultKeep = 16L,
+      sampleMod = 20L, chunkTokens = 32, chunkStride = 24,
+      fastGrams = true)
+    assert(slow == fast)
+    val a = spark.read.parquet(outS).select("doc_id", "chunk_idx", "chunk_text")
+    val b = spark.read.parquet(outF).select("doc_id", "chunk_idx", "chunk_text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("governance knobs: LM floor and per-source cap only shrink stages") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val probes = docs.filter(col("doc_id") < 0) // empty probe set
