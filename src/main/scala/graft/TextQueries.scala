@@ -117,6 +117,25 @@ object TextQueries {
   private def q81(s: SparkSession, d: String): DataFrame =
     Dedup.lshDupGroups(Tables.documents(s, d), 0.6)
 
+  /** Forced-tiled twin of q21 ([[Dedup.minHashLshPairs]] "tiled":
+    * grid-tile jaccard kernel over band buckets — the shape `auto`
+    * picks when a duplicate family blows up a bucket past the pair
+    * target (the salted shuffle-hash build OOM'd at sf10skew); at
+    * gate scale auto picks "carry", so without this twin the skew
+    * path would run un-oracle-checked). */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(Tables.documents(s, d), 0.6, _ => (), "tiled")
+
+  /** Forced-tiled twin of q71 (same rationale as q86, for
+    * [[TiledKernels.bipartiteJaccardPairs]]'s increment-probe form). */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpusIdx = Dedup.minHashBandRel(docs.filter(col("doc_id") < 450))
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") >= 450), corpusIdx, 0.5,
+      strategy = "tiled")
+  }
+
   private def q22(s: SparkSession, d: String): DataFrame =
     Dedup.simHashSignatures(Tables.documents(s, d))
 
@@ -356,6 +375,8 @@ object TextQueries {
     "q83_nn_tiled"       -> (q83 _),
     "q84_cosine_tiled"   -> (q84 _),
     "q21_minhash_lsh"    -> (q21 _),
+    "q86_minhash_tiled"  -> (q86 _),
+    "q87_incr_tiled"     -> (q87 _),
     "q22_simhash"        -> (q22 _),
     "q23_ann_bruteforce" -> (q23 _),
     "q24_blocked_nn"     -> (q24 _),
@@ -518,7 +539,13 @@ object TextQueries {
       s"list_transform(range(1, length($sExpr)+1), ci -> CAST(unicode(substr($sExpr,ci,1)) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007)"
 
-  val oracles: Map[String, String] = Map(
+  /** Strategy twins share their original's oracle verbatim — the SQL
+    * describes the RESULT, which every strategy path must reproduce. */
+  lazy val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q86_minhash_tiled" -> oraclesBase("q21_minhash_lsh"),
+    "q87_incr_tiled" -> oraclesBase("q71_incr_neardup"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q44_hybrid_dedup" ->
       s"""WITH $toksCte, base AS (
          |  SELECT vec_id, embedding,

@@ -49,35 +49,65 @@ object Dedup {
   /** As above, with the internal signature cache handed to `pin` so the
     * caller controls when it is unpersisted. */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
-      pin: DataFrame => Unit): DataFrame = {
+      pin: DataFrame => Unit): DataFrame =
+    minHashLshPairs(docs, threshold, pin, "auto")
+
+  /** Strategy variant. `"carry"` — arrays carried through the band
+    * join with IN-JOIN verification, re-proven three times as the
+    * right join SHAPE (STRESS.md r7 negative result, the r8 sf10
+    * post-mortem of the attach shape whose per-candidate bytes filled
+    * the disk, and an r9 re-test of a dispatch-guarded slim variant:
+    * 3.3 s vs carry's 2.7 s at sf0.1 — attach loses on stage count at
+    * small scale and on bytes at large scale). `"tiled"` — the same
+    * verify arithmetic inside [[TiledKernels.blockJaccardPairs]] grid
+    * tiles. `"auto"` picks carry while NO band bucket exceeds the
+    * per-task pair target (the gate/uniform regime: a plain hash join,
+    * no salt machinery) and tiled above it.
+    *
+    * Why tiled, not salted-carry, above the bound (sf10skew
+    * post-mortem, round 9): a salted shuffle-hash join splits only the
+    * PROBE stream — every salted task still BUILDS the whole bucket's
+    * b side as an unspillable hash relation, so task memory grows with
+    * the largest bucket. The gen_skew 37.5k-member family made that
+    * ~140 MB × 32 concurrent tasks and q21/q71 died on
+    * UNABLE_TO_ACQUIRE_MEMORY; sort-merge would survive but sorts the
+    * multi-KB arrays (243 s / 14 GB spilled, r8). Tile memory is
+    * bounded by construction (~2·√target rows per tile) regardless of
+    * bucket size, and the pair predicate + jaccard fold are
+    * bit-identical. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double,
+      pin: DataFrame => Unit, strategy: String): DataFrame = {
     val bandRel = minHashBandRel(docs, pin)
-    // Carry-the-arrays band join with IN-JOIN verification — re-proven
-    // THREE times now (STRESS.md r7 negative result, an sf10
-    // post-mortem of the opposite shape, and an r9 re-test of a
-    // dispatch-guarded slim variant that measured 3.3 s vs carry's
-    // 2.7 s at sf0.1 — the attach shape loses on STAGE COUNT at small
-    // scale and on bytes at large scale; there is no regime where it
-    // wins). The tempting "slim id join → distinct
-    // candidates → attach arrays" staging bounds the BAND JOIN's bytes
-    // but shuffles ~3.6 KB of shingle hashes per CANDIDATE in the
-    // attach joins — and candidate volume is Σ bucket², which a few
-    // boilerplate-heavy band buckets make quadratic (sf10: 16 buckets
-    // of ~10⁴ docs → 1.35×10⁸ candidates → ~500 GB of attach shuffle;
-    // the run died on disk). Carrying the arrays through the band join
-    // keeps shuffled bytes ∝ N·bands (linear, whatever the skew):
-    // pairs are verified as the join STREAMS them — a wide pair exists
-    // only inside the jaccard filter's pipeline, never on disk — and
-    // only survivors reach the distinct. saltedBlockJoin splits the
-    // giant buckets' pair streams across tasks (AQE can't see
-    // join-output skew), and its shuffle-hash build avoids sort-merge
-    // SORTING the wide rows (measured 243 s / 14 GB spilled without
-    // it at sf10).
+    val chosen = strategy match {
+      case "auto" =>
+        val mx = bandRel.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(max(col("n") * col("n")), lit(0L))).head.getLong(0)
+        val pick = if (mx <= 2e7.toLong) "carry" else "tiled"
+        Parallelism.logDispatch("minHashLshPairs",
+          s"maxBucketPairs=$mx -> $pick")
+        pick
+      case s @ ("carry" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown minHashLshPairs strategy '$other' (auto|carry|tiled)")
+    }
+    if (chosen == "tiled") {
+      val rel = bandRel.select(
+        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        col("doc_id").as("id"), col("hs").as("sh"))
+      return TiledKernels.blockJaccardPairs(rel, threshold)
+        .select("doc_a", "doc_b", "jac")
+        .distinct()
+    }
+    // carry: plain hash band join (auto proved every bucket under the
+    // pair target, so saltedBlockJoin would degenerate to exactly this
+    // plus a redundant count — the r7 gate-scale shape); a forced
+    // "carry" above the bound inherits the OOM risk documented above.
     val a = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val b = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    Parallelism.saltedBlockJoin(a, b, Seq("band_idx", "band_hash"),
-        saltKeyA = "doc_a", shuffleHashBuild = true)
+    a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
@@ -133,30 +163,61 @@ object Dedup {
     * document; id order within new-new pairs follows
     * [[minHashLshPairs]] (doc_a < doc_b). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
-      threshold: Double, pin: DataFrame => Unit = _ => ()): DataFrame = {
-    // Carry-the-arrays band join, as in [[minHashLshPairs]] (see the
-    // shape post-mortem there: attaching arrays per CANDIDATE is
-    // quadratic bytes under bucket skew; carrying them through the
-    // join is ∝ rows·bands and verifies pairs as the join streams
-    // them). The b side unions the new batch's own index with the
-    // persisted corpus index — at scale the corpus side is a bucketed
-    // table on (band_idx, band_hash), and only buckets the increment
-    // actually touches contribute join work; the increment is never
-    // paired against corpus-corpus. saltedBlockJoin sizes its salts
-    // from n_a·n_b, so a small increment meeting a giant corpus
-    // bucket still splits that bucket's pair stream (and its maxR
-    // escape keeps the gate-scale plan the plain r7 join).
+      threshold: Double, pin: DataFrame => Unit = _ => (),
+      strategy: String = "auto"): DataFrame = {
+    // Strategy mirrors [[minHashLshPairs]] (same sf10skew OOM
+    // post-mortem): "carry" = arrays through a plain hash band join,
+    // verify in-join — the gate/uniform shape; "tiled" =
+    // [[TiledKernels.bipartiteJaccardPairs]] grid tiles with the
+    // increment as the probe side — bounded tile memory whatever the
+    // bucket skew; "auto" dispatches on the max per-bucket pair count
+    // from one union-tagged narrow count. The b side unions the new
+    // batch's own index with the persisted corpus index — at scale the
+    // corpus side is a bucketed table on (band_idx, band_hash), and
+    // only buckets the increment actually touches contribute join
+    // work; the increment is never paired against corpus-corpus (the
+    // bipartite kernel keeps that property: corpus rows are never
+    // probe-side).
     val newBands = minHashBandRel(newDocs, pin)
-    val a = newBands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = newBands.select(col("band_idx"), col("band_hash"),
+    val bUnion = newBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .withColumn("vs_corpus", lit(false))
       .unionByName(corpusBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .withColumn("vs_corpus", lit(true)))
-    Parallelism.saltedBlockJoin(a, b, Seq("band_idx", "band_hash"),
-        saltKeyA = "doc_a", shuffleHashBuild = true)
+    val chosen = strategy match {
+      case "auto" =>
+        val tagged = newBands.select(col("band_idx"), col("band_hash"))
+          .withColumn("isNew", lit(1))
+          .unionByName(corpusBands.select(col("band_idx"), col("band_hash"))
+            .withColumn("isNew", lit(0)))
+        val mx = tagged.groupBy("band_idx", "band_hash")
+          .agg(count(when(col("isNew") === 1, 1)).as("na"),
+            count(lit(1)).as("nb"))
+          .agg(coalesce(max(col("na") * col("nb")), lit(0L))).head.getLong(0)
+        val pick = if (mx <= 2e7.toLong) "carry" else "tiled"
+        Parallelism.logDispatch("incrementalNearDupPairs",
+          s"maxBucketPairs=$mx -> $pick")
+        pick
+      case s @ ("carry" | "tiled") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown incrementalNearDupPairs strategy '$other' (auto|carry|tiled)")
+    }
+    if (chosen == "tiled") {
+      val aRel = newBands.select(
+        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        col("doc_id").as("id"), col("hs").as("sh"))
+      val bRel = bUnion.select(
+        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        col("doc_b").as("id"), col("hs_b").as("sh"),
+        col("vs_corpus").as("vs"))
+      return TiledKernels.bipartiteJaccardPairs(aRel, bRel, threshold)
+        .select("doc_a", "doc_b", "jac", "vs_corpus")
+        .distinct()
+    }
+    val a = newBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    a.join(bUnion.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .filter(col("vs_corpus") || col("doc_a") < col("doc_b"))
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tiled evaluation kernels for dense blocked pair generators — the
@@ -505,6 +505,65 @@ object TiledKernels {
         }
       }
     }.toDF("doc_a", "doc_b", "dist")
+  }
+
+  /** Exact bipartite jaccard-threshold pairs inside shared blocks —
+    * the kernel form of [[Dedup.incrementalNearDupPairs]]'s band join
+    * for the regime where a duplicate family makes one band bucket
+    * huge. The salted shuffle-hash join's per-task BUILD side is the
+    * whole bucket's b side (salting splits only the probe stream), so
+    * task memory grows with the largest bucket — a 37.5k-member family
+    * at sf10skew put ~140 MB of unspillable hash relation in every
+    * salted task and the stage died on UNABLE_TO_ACQUIRE_MEMORY. Tile
+    * memory here is bounded by construction (2·√target rows per tile),
+    * independent of bucket size.
+    *
+    * `aRel`: (bk, id, sh); `bRel`: (bk, id, sh, vs: Boolean — true for
+    * corpus-side rows). Emits (doc_a = a-side id, doc_b, jac ≥
+    * threshold, vs_corpus) under the carry join's exact pair
+    * predicate: `vs OR doc_b > doc_a` (a-a pairs once in id order,
+    * a-corpus pairs always; b rows that are a-side duplicates carry
+    * vs = false). Same [[jaccardOrBelow]] fold as the join's
+    * SortedJaccard — bit-identical survivors. */
+  def bipartiteJaccardPairs(aRel: DataFrame, bRel: DataFrame,
+      threshold: Double,
+      targetPairsPerTask: Long = 20000000L): DataFrame = {
+    val spark = aRel.sparkSession
+    import spark.implicits._
+    def prep(df: DataFrame, vs: Option[Column]) = df
+      .filter(col("bk").isNotNull && col("sh").isNotNull)
+      .select(col("bk"), col("id"), col("sh"),
+        vs.getOrElse(col("vs")).as("vs"))
+    val tiled = bipartiteTileRel(
+      prep(aRel, Some(lit(false))), prep(bRel, None), targetPairsPerTask)
+      .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
+        col("sh"), col("vs"))
+      .as[(String, Int, Int, Boolean, Long, Array[Long], Boolean)]
+    tiled.mapPartitions { it =>
+      val tiles = mutable.HashMap.empty[(String, Int, Int),
+        (mutable.ArrayBuffer[(Long, Array[Long])],
+         mutable.ArrayBuffer[(Long, Array[Long], Boolean)])]
+      it.foreach { case (bk, qg, xg, isQ, id, sh, vs) =>
+        val t = tiles.getOrElseUpdate((bk, qg, xg),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        if (isQ) t._1 += ((id, sh)) else t._2 += ((id, sh, vs))
+      }
+      tiles.valuesIterator.flatMap { case (qs, xs) =>
+        qs.iterator.flatMap { case (qid, qsh) =>
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+          var k = 0
+          while (k < xs.length) {
+            val (xid, xsh, vs) = xs(k)
+            if (vs || xid > qid) {
+              val jac = jaccardOrBelow(qsh, xsh, threshold)
+              if (jac >= threshold) out += ((qid, xid, jac, vs))
+            }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("doc_a", "doc_b", "jac", "vs_corpus")
   }
 
   /** Exact within-block cosine-threshold pairs.

@@ -18,10 +18,12 @@ run_one() { # tag sfdir shuffle ivfdir runidx
   local tag=$1 dir=$2 shuffle=$3 ivf=$4 i=$5
   local log=$OUT/${tag}_run${i}.log
   echo "=== $tag run $i ($(date -u +%H:%M:%S)) loadavg $(cut -d' ' -f1 /proc/loadavg)"
-  SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_ONLY=$SUBSET \
-    SPARK_GRAFT_SHUFFLE=$shuffle \
-    ${ivf:+SPARK_GRAFT_IVF_DIR=$ivf} \
-    sbt -batch "runMain graft.Bench" >$log 2>&1
+  ( export SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_ONLY=$SUBSET \
+      SPARK_GRAFT_SHUFFLE=$shuffle
+    # bash resolves prefix assignments BEFORE expansion, so a
+    # conditionally-expanded VAR=val word would run as a command
+    [ -n "$ivf" ] && export SPARK_GRAFT_IVF_DIR=$ivf
+    sbt -batch "runMain graft.Bench" ) >$log 2>&1
   grep -F '{"metric"' $log | sed 's/^\[info\] //' > $OUT/${tag}_run${i}.json
   grep -F '[graft.dispatch]' $log | sort -u > $OUT/${tag}_run${i}.dispatch
   python3 - "$OUT/${tag}_run${i}.json" <<'EOF'
