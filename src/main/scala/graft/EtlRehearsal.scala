@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
 object EtlRehearsal {
   private val DayFmt = DateTimeFormatter.ofPattern("MMdd")
 
+  /** Ledger glob for the log tree: listFilesDs expands the DIRECTORY
+    * component driver-side (cluster/queue/year/day dirs) and lists the
+    * filename component on executors — a bare "*" would only see
+    * depth-1 entries under logsRoot (i.e. nothing). */
+  private val LogGlob = "*/daily/*/*/*/*.log"
+
   def main(args: Array[String]): Unit = {
     val work = if (args.nonEmpty) args(0) else "/tmp/etl_rehearsal"
     val jobsPerDay = if (args.length > 1) args(1).toInt else 120
@@ -130,7 +136,7 @@ object EtlRehearsal {
 
     // persist the input ledger (distributed listing of the log tree)
     def snapshotLedger(): Unit =
-      FileLedger.listFilesDs(spark, logsRoot, "*")
+      FileLedger.listFilesDs(spark, logsRoot, LogGlob)
         .toDF().write.mode("overwrite").parquet(ledgerDir)
     snapshotLedger()
 
@@ -167,7 +173,7 @@ object EtlRehearsal {
     val ledger = spark.read.parquet(ledgerDir).as[FileLedger.FileState]
     // O(changed) collect — the diff is join-based and cluster-side
     val changed = FileLedger
-      .diffDs(FileLedger.listFilesDs(spark, logsRoot, "*"), ledger)
+      .diffDs(FileLedger.listFilesDs(spark, logsRoot, LogGlob), ledger)
       .select("path", "status").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     require(changed.map(_._2).forall(_ == "changed") &&

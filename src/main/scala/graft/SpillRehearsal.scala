@@ -66,7 +66,7 @@ object SpillRehearsal {
     val subset = Seq("q19_exact_dedup", "q20_ngram_jaccard",
       "q21_minhash_lsh", "q22_simhash", "q24_blocked_nn",
       "q32_embed_neardup", "q44_hybrid_dedup", "q48_cc_clusters",
-      "q67_semantic_dedup", "q71_incr_neardup", "q72_fuzzy_editdist",
+      "q67_semdedup", "q71_incr_neardup", "q72_fuzzy_editdist",
       "q81_lsh_groups", "q82_ngram_tiled", "q85_edit_tiled")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     System.err.println(s"[spill] heap=${heapMb}MB memory.fraction=$frac sf=$sfDir")

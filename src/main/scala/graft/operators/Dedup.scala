@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Conservative bytes-per-row estimate for the minhash band relation
+    * (the ~3.8 KB distinct-shingle hash array dominates; ids/hashes
+    * are noise next to it) — input to [[Parallelism.hashBuildFits]]
+    * when the carry join's unspillable hash build is sized. */
+  private val SigRowBytes = 4096L
+
   /** Exact duplicate grouping. Groups by a 256-bit content hash (cheap
     * shuffle key vs shuffling full texts at 100 TB), keeps min(doc_id)
     * as the canonical representative, joins group info back to every
@@ -80,12 +86,18 @@ object Dedup {
     val bandRel = minHashBandRel(docs, pin)
     val chosen = strategy match {
       case "auto" =>
-        val mx = bandRel.groupBy("band_idx", "band_hash")
+        val st = bandRel.groupBy("band_idx", "band_hash")
           .agg(count(lit(1)).as("n"))
-          .agg(coalesce(max(col("n") * col("n")), lit(0L))).head.getLong(0)
-        val pick = if (mx <= 2e7.toLong) "carry" else "tiled"
+          .agg(coalesce(max(col("n") * col("n")), lit(0L)),
+            coalesce(sum(col("n")), lit(0L))).head
+        val (mx, total) = (st.getLong(0), st.getLong(1))
+        // carry needs BOTH: pair volume under the per-task target AND
+        // the unspillable per-partition hash build to fit the
+        // execution pool (SigRowBytes ≈ the ~3.8 KB shingle array)
+        val fits = Parallelism.hashBuildFits(total, SigRowBytes, docs.sparkSession)
+        val pick = if (mx <= 2e7.toLong && fits) "carry" else "tiled"
         Parallelism.logDispatch("minHashLshPairs",
-          s"maxBucketPairs=$mx -> $pick")
+          s"maxBucketPairs=$mx buildRows=$total buildFits=$fits -> $pick")
         pick
       case s @ ("carry" | "tiled") => s
       case other => throw new IllegalArgumentException(
@@ -191,13 +203,17 @@ object Dedup {
           .withColumn("isNew", lit(1))
           .unionByName(corpusBands.select(col("band_idx"), col("band_hash"))
             .withColumn("isNew", lit(0)))
-        val mx = tagged.groupBy("band_idx", "band_hash")
+        val st = tagged.groupBy("band_idx", "band_hash")
           .agg(count(when(col("isNew") === 1, 1)).as("na"),
             count(lit(1)).as("nb"))
-          .agg(coalesce(max(col("na") * col("nb")), lit(0L))).head.getLong(0)
-        val pick = if (mx <= 2e7.toLong) "carry" else "tiled"
+          .agg(coalesce(max(col("na") * col("nb")), lit(0L)),
+            coalesce(sum(col("nb")), lit(0L))).head
+        val (mx, total) = (st.getLong(0), st.getLong(1))
+        val fits = Parallelism.hashBuildFits(total, SigRowBytes,
+          newDocs.sparkSession)
+        val pick = if (mx <= 2e7.toLong && fits) "carry" else "tiled"
         Parallelism.logDispatch("incrementalNearDupPairs",
-          s"maxBucketPairs=$mx -> $pick")
+          s"maxBucketPairs=$mx buildRows=$total buildFits=$fits -> $pick")
         pick
       case s @ ("carry" | "tiled") => s
       case other => throw new IllegalArgumentException(

@@ -28,6 +28,33 @@ object Parallelism {
   def logDispatch(op: String, detail: String): Unit =
     System.err.println(s"[graft.dispatch] $op: $detail")
 
+  /** Whether a shuffled-hash join with `totalBuildRows` wide build
+    * rows provably fits the executor's execution pool. A task's build
+    * is its whole shuffle PARTITION (every bucket hashed there, ≈
+    * total/numShufflePartitions), one build per concurrent task slot,
+    * and ShuffledHashJoin's build cannot spill — picking it when this
+    * is false is choosing an OOM. The spill rehearsal measured exactly
+    * that (2 GB heap × 0.2 fraction → "not enough memory to build hash
+    * map" on the same corpus that runs fine at the default heap).
+    * Sizing: executor memory from `spark.executor.memory` (driver heap
+    * in local mode), pool = memory.fraction share, at most half the
+    * pool for builds (probe side and everything else share it). */
+  def hashBuildFits(totalBuildRows: Long, bytesPerRow: Long,
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val execMem = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    val fraction =
+      spark.conf.get("spark.memory.fraction", "0.6").toDouble
+    val slots = spark.conf.getOption("spark.executor.cores")
+      .map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
+    val pool = (execMem * fraction).toLong
+    (totalBuildRows.toDouble / parts) * bytesPerRow * slots <= pool / 2.0
+  }
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

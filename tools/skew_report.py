@@ -20,11 +20,14 @@ def min_per_query(paths):
     out = {}
     for p in paths:
         try:
-            qs = json.load(open(p))["queries"]
+            d = json.load(open(p))
         except Exception:
             continue
-        for q, v in qs.items():
-            if v >= 0:
+        failed = set(d.get("failed", []))
+        for q, v in d["queries"].items():
+            # a FAILED query's recorded duration is its abort time, not
+            # a measurement — never let it win the min
+            if v >= 0 and q not in failed:
                 out[q] = min(out.get(q, float("inf")), v)
     return out
 
