@@ -89,11 +89,17 @@ object Parallelism {
     * build: when the sides carry wide payload arrays (minhash shingle
     * sets, ~3.6 KB/row), sort-merge must SORT gigabytes of payload per
     * side (measured 243 s / 14 GB spilled on the sf10 band join) while
-    * a hash build only buckets them. Leave it off when a block×salt
-    * partition's build side may not fit executor memory. */
+    * a hash build only buckets them. A hash build CANNOT SPILL, so
+    * pass `buildRowBytes` (estimated b-row payload bytes) and the hint
+    * is dropped automatically when [[hashBuildFits]] proves the
+    * per-partition builds cannot fit the execution pool — sort-merge
+    * spills and survives where the hash build would OOM (the round-9
+    * spill-rehearsal failure mode). `buildRowBytes = 0` skips the
+    * check (caller vouches the build side is slim). */
   def saltedBlockJoin(a: DataFrame, b: DataFrame, blockCols: Seq[String],
       saltKeyA: String, targetPairsPerTask: Long = 20000000L,
-      shuffleHashBuild: Boolean = false): DataFrame = {
+      shuffleHashBuild: Boolean = false,
+      buildRowBytes: Long = 0L): DataFrame = {
     // r_b from the block's true pair volume n_a·n_b (== n² for a
     // self-join; an increment-vs-corpus join would undersize its salts
     // from the small increment side alone). Inner join of the two
@@ -107,7 +113,7 @@ object Parallelism {
     // of the two count frames did before).
     val slimA = a.select(blockCols.map(col): _*).withColumn("side", lit(1))
     val slimB = b.select(blockCols.map(col): _*).withColumn("side", lit(0))
-    val factors = slimA.unionByName(slimB)
+    val blockCounts = slimA.unionByName(slimB)
       .groupBy(blockCols.map(col): _*)
       .agg(count(when(col("side") === 1, 1)).as("na"),
         count(when(col("side") === 0, 1)).as("nb"))
@@ -115,7 +121,7 @@ object Parallelism {
       .withColumn("r",
         greatest(lit(1L), ceil(col("na") * col("nb") / targetPairsPerTask))
           .cast("int"))
-      .select(blockCols.map(col) :+ col("r"): _*)
+    val factors = blockCounts.select(blockCols.map(col) :+ col("r"): _*)
     // Scalar pre-pass: when NO block exceeds targetPairsPerTask (the
     // gate-scale regime), every r_b is 1 and the salted plan is the
     // plain block join plus pure overhead — a factor broadcast, a salt
@@ -126,15 +132,24 @@ object Parallelism {
     // where some r > 1 brings the salted plan back anyway); it shaved
     // the fixed ~0.3-0.5 s the r8 scale rewrites had added to each
     // gate-scale caller (q32 0.63 s, q71 2.93 s in the r8 driver run).
-    val stats = factors.agg(coalesce(max(col("r")), lit(1)),
-      count(when(col("r") > 1, 1)), count(lit(1))).head
-    val (maxR, nSplit, nBlocks) =
-      (stats.getInt(0), stats.getLong(1), stats.getLong(2))
+    val stats = blockCounts.agg(coalesce(max(col("r")), lit(1)),
+      count(when(col("r") > 1, 1)), count(lit(1)),
+      // post-salt build volume: the b side replicates r_b-fold, and a
+      // shuffled-hash build holds its whole partition
+      coalesce(sum(col("nb") * col("r")), lit(0L))).head
+    val (maxR, nSplit, nBlocks, buildRows) =
+      (stats.getInt(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val spark = a.sparkSession
+    val hashHint = shuffleHashBuild &&
+      (buildRowBytes <= 0L || hashBuildFits(buildRows, buildRowBytes, spark))
     logDispatch("saltedBlockJoin",
       s"blocks=$nBlocks split=$nSplit maxR=$maxR key=${blockCols.mkString(",")}" +
+        (if (shuffleHashBuild && !hashHint)
+          s" hashBuild=dropped(buildRows=$buildRows won't fit; sort-merge spills)"
+        else "") +
         (if (maxR <= 1) " -> plain join (escape)" else " -> salted"))
     if (maxR <= 1) {
-      val bH = if (shuffleHashBuild) b.hint("shuffle_hash") else b
+      val bH = if (hashHint) b.hint("shuffle_hash") else b
       return a.join(bH, blockCols)
     }
     val aS = a.join(broadcast(factors), blockCols)
@@ -143,7 +158,7 @@ object Parallelism {
     val bS0 = b.join(broadcast(factors), blockCols)
       .withColumn("salt", explode(sequence(lit(0), col("r") - 1)))
       .drop("r")
-    val bS = if (shuffleHashBuild) bS0.hint("shuffle_hash") else bS0
+    val bS = if (hashHint) bS0.hint("shuffle_hash") else bS0
     aS.join(bS, blockCols :+ "salt").drop("salt")
   }
 }

@@ -460,7 +460,10 @@ object Similarity {
       col("nrm").as("n_b"))
     val scored = Parallelism.saltedBlockJoin(probe, index,
         Seq("band_idx", "band_hash"), saltKeyA = "query_id",
-        shuffleHashBuild = true)
+        shuffleHashBuild = true,
+        // 64-float embedding + norm + ids ≈ 0.6 KB; the fit guard
+        // drops the unspillable hash build under tight pools
+        buildRowBytes = 1024L)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))

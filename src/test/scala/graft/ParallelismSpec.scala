@@ -65,6 +65,13 @@ class ParallelismSpec extends AnyFunSuite {
     assert(canon(joined) == canon(a.join(b, Seq("blk"))))
   }
 
+  test("hashBuildFits: slim builds fit, impossible builds do not") {
+    // pure arithmetic over session confs — pins the direction of the
+    // guard that drops the unspillable shuffle-hash hint
+    assert(Parallelism.hashBuildFits(1000L, 1024L, spark))
+    assert(!Parallelism.hashBuildFits(Long.MaxValue / 4096, 4096L, spark))
+  }
+
   test("block absent from one side produces no pairs and no salt factor") {
     val aOnly = Seq(("lonely", 1), ("hot", 2)).toDF("blk", "ida")
     val bOnly = Seq(("hot", 3)).toDF("blk", "idb")
