@@ -104,8 +104,11 @@ object Dedup {
         s"unknown minHashLshPairs strategy '$other' (auto|carry|tiled)")
     }
     if (chosen == "tiled") {
+      // concat_ws, not to_json: band_idx/band_hash are never-null
+      // numerics, so the cheap string key is just as unique and the
+      // tile rel's groupBy/exchange hash it ~3× per row
       val rel = bandRel.select(
-        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        concat_ws("#", col("band_idx"), col("band_hash")).as("bk"),
         col("doc_id").as("id"), col("hs").as("sh"))
       return TiledKernels.blockJaccardPairs(rel, threshold)
         .select("doc_a", "doc_b", "jac")
@@ -221,10 +224,10 @@ object Dedup {
     }
     if (chosen == "tiled") {
       val aRel = newBands.select(
-        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        concat_ws("#", col("band_idx"), col("band_hash")).as("bk"),
         col("doc_id").as("id"), col("hs").as("sh"))
       val bRel = bUnion.select(
-        to_json(struct(col("band_idx"), col("band_hash"))).as("bk"),
+        concat_ws("#", col("band_idx"), col("band_hash")).as("bk"),
         col("doc_b").as("id"), col("hs_b").as("sh"),
         col("vs_corpus").as("vs"))
       return TiledKernels.bipartiteJaccardPairs(aRel, bRel, threshold)

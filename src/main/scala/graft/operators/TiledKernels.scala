@@ -106,28 +106,53 @@ object TiledKernels {
     if (uni == 0) 0.0 else inter.toDouble / uni.toDouble
   }
 
+  /** Partitions for a tile exchange of `replicatedRows` total rows:
+    * ~2·√target rows per partition — the same payload volume as one
+    * full tile, so the kernel's buffer-the-partition memory bound is
+    * unchanged whatever the tile-size distribution. Sizing by TILE
+    * COUNT is wrong at the small end: a band-bucketed gate-scale rel
+    * has ~1M singleton buckets = ~1M near-empty tiles, and one tile
+    * per partition hit the 4096 cap — 4096 near-empty tasks whose
+    * scheduling overhead alone was ~3× the whole carry join (q87:
+    * 7.1 s vs q71 2.6 s at sf0.1). Rows-per-partition sizing gives the
+    * same ~pairs/target partitions in the dense regime (R ≈ Σ 2·n_b·g_b
+    * ≈ 2·pairs/√target) and collapses the sparse regime to the
+    * parallelism floor. */
+  private def tilePartitions(spark: org.apache.spark.sql.SparkSession,
+      replicatedRows: Long, target: Long): Int = {
+    val rowsPerPart = math.max(1L, (2.0 * math.sqrt(target.toDouble)).toLong)
+    math.min(4096L, math.max(
+      (replicatedRows + rowsPerPart - 1) / rowsPerPart,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+  }
+
   /** Grid-tile relation over `base` (columns: bk, id, payload...):
     * adds qg/xg/is_q and repartitions on the tile key. g_b per block
-    * from one narrow count (payload projection pruned); the row count
-    * action also sizes the exchange to ~one tile per partition,
-    * clamped to [defaultParallelism, 4096]. */
+    * from one narrow count (payload projection pruned); `factors` is
+    * tiny (one row per block) and cached, so the stats action and the
+    * two broadcast joins evaluate the count subtree once instead of
+    * three times. */
   private def tileRel(base: DataFrame, target: Long): DataFrame = {
     val spark = base.sparkSession
+    // nb < 2 ⇒ no ordered pair can form in the block; dropping those
+    // blocks HERE (the factors join is inner) keeps singleton band
+    // buckets — the vast majority of a gate-scale LSH bucketing — out
+    // of the payload exchange entirely.
     val factors = base.select("bk").groupBy("bk")
       .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= 2)
       .withColumn("g", greatest(lit(1),
         ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
-      .select("bk", "g")
+      .select("bk", "nb", "g")
+      .cache()
     val stats = factors.agg(
-      coalesce(sum(col("g").cast("long") * col("g")), lit(0L))).head
-    val nTiles = stats.getLong(0)
-    val nPart = math.min(4096L,
-      math.max(nTiles, spark.sparkContext.defaultParallelism.toLong)).toInt
+      coalesce(sum(col("nb") * lit(2L) * col("g")), lit(0L))).head
+    val nPart = tilePartitions(spark, stats.getLong(0), target)
     // One scan, one generate: role index k ∈ [0, 2g) encodes the g
     // query roles (k < g: tile (grp, k)) then the g index roles
     // (tile (k−g, grp)) — a two-branch union would evaluate the
     // payload projection (shingle hashing, casts) twice per row.
-    base.join(broadcast(factors), Seq("bk"))
+    base.join(broadcast(factors.drop("nb")), Seq("bk"))
       .withColumn("grp", pmod(hash(col("id")), col("g")))
       .withColumn("k", explode(sequence(lit(0), lit(2) * col("g") - 1)))
       .withColumn("is_q", col("k") < col("g"))
@@ -406,28 +431,43 @@ object TiledKernels {
     * b-side's group count and vice versa, so tile (qg, xg) of a block
     * holds a-group qg and b-group xg — every (a, b) pair of the block
     * lands in exactly one tile. Group counts are per-block and
-    * per-side (⌈n/√target⌉), from one narrow count over each side. */
+    * per-side (⌈n/√target⌉), from one narrow count over each side.
+    *
+    * `bKeep`: optional per-block prune — extra aggregates over the
+    * b side's count pass plus a predicate over them; blocks failing it
+    * never enter the payload exchange. The caller must prove a failing
+    * block emits nothing (e.g. the jaccard kernel's pair predicate
+    * `vs || xid > qid` emits nothing from a block whose only b row is
+    * the a row itself). */
   private def bipartiteTileRel(aBase: DataFrame, bBase: DataFrame,
-      target: Long): DataFrame = {
+      target: Long,
+      bKeep: Option[(Seq[Column], Column)] = None): DataFrame = {
     val spark = aBase.sparkSession
-    def counts(df: DataFrame, as: String) = df.groupBy("bk")
-      .agg(count(lit(1)).as(as))
-    val factors = counts(aBase, "na").join(counts(bBase, "nb"), "bk")
+    def counts(df: DataFrame, as: String, extra: Seq[Column] = Nil) =
+      df.groupBy("bk").agg(count(lit(1)).as(as), extra: _*)
+    val bCounts = bKeep match {
+      case Some((aggs, p)) =>
+        counts(bBase, "nb", aggs).filter(p).select("bk", "nb")
+      case None => counts(bBase, "nb")
+    }
+    val factors = counts(aBase, "na").join(bCounts, "bk")
       .withColumn("ga", greatest(lit(1),
         ceil(col("na") / sqrt(lit(target.toDouble)))).cast("int"))
       .withColumn("gb", greatest(lit(1),
         ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
-      .select("bk", "ga", "gb")
-    val nTiles = factors.agg(coalesce(
-      sum(col("ga").cast("long") * col("gb")), lit(0L))).head.getLong(0)
-    val nPart = math.min(4096L, math.max(nTiles,
-      spark.sparkContext.defaultParallelism.toLong)).toInt
-    val aT = aBase.join(broadcast(factors), Seq("bk"))
+      .select("bk", "na", "nb", "ga", "gb")
+      .cache()
+    val replicated = factors.agg(coalesce(
+      sum(col("na") * col("gb").cast("long") +
+        col("nb") * col("ga").cast("long")), lit(0L))).head.getLong(0)
+    val nPart = tilePartitions(spark, replicated, target)
+    val slim = factors.drop("na", "nb")
+    val aT = aBase.join(broadcast(slim), Seq("bk"))
       .withColumn("qg", pmod(hash(col("id")), col("ga")))
       .withColumn("xg", explode(sequence(lit(0), col("gb") - 1)))
       .withColumn("is_q", lit(true))
       .drop("ga", "gb")
-    val bT = bBase.join(broadcast(factors), Seq("bk"))
+    val bT = bBase.join(broadcast(slim), Seq("bk"))
       .withColumn("xg", pmod(hash(col("id")), col("gb")))
       .withColumn("qg", explode(sequence(lit(0), col("ga") - 1)))
       .withColumn("is_q", lit(false))
@@ -523,7 +563,9 @@ object TiledKernels {
     * threshold, vs_corpus) under the carry join's exact pair
     * predicate: `vs OR doc_b > doc_a` (a-a pairs once in id order,
     * a-corpus pairs always; b rows that are a-side duplicates carry
-    * vs = false). Same [[jaccardOrBelow]] fold as the join's
+    * vs = false). `bRel` MUST contain every `aRel` row with
+    * vs = false (the incremental union shape) — the block prune below
+    * relies on it. Same [[jaccardOrBelow]] fold as the join's
     * SortedJaccard — bit-identical survivors. */
   def bipartiteJaccardPairs(aRel: DataFrame, bRel: DataFrame,
       threshold: Double,
@@ -534,8 +576,18 @@ object TiledKernels {
       .filter(col("bk").isNotNull && col("sh").isNotNull)
       .select(col("bk"), col("id"), col("sh"),
         vs.getOrElse(col("vs")).as("vs"))
+    // Block prune: the pair predicate is `vs || xid > qid`, so a block
+    // whose b side is a single non-corpus row can only offer the a row
+    // itself (every a row also appears b-side with vs = false) — no
+    // pair can pass. Keeping only blocks with a corpus row or ≥ 2
+    // increment rows drops the vast majority of a gate-scale LSH
+    // bucketing (singleton buckets) before the payload exchange.
     val tiled = bipartiteTileRel(
-      prep(aRel, Some(lit(false))), prep(bRel, None), targetPairsPerTask)
+      prep(aRel, Some(lit(false))), prep(bRel, None), targetPairsPerTask,
+      bKeep = Some((
+        Seq(max(col("vs")).as("hasC"),
+          sum(when(col("vs"), 0).otherwise(1)).as("nNew")),
+        col("hasC") || col("nNew") >= 2)))
       .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
         col("sh"), col("vs"))
       .as[(String, Int, Int, Boolean, Long, Array[Long], Boolean)]

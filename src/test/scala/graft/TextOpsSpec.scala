@@ -242,6 +242,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaTiles.toSet == viaJoin)
   }
 
+  test("tile exchange sizing: singleton buckets pruned, partitions at the floor") {
+    // The sparse regime: a band-bucketed rel at gate scale is mostly
+    // singleton buckets. One-task-per-tile sizing made the kernel run
+    // thousands of near-empty tasks (q87: 7.1 s vs the 2.6 s carry
+    // join at sf0.1, pure scheduling overhead); sizing is now by
+    // replicated rows per partition, with nb < 2 buckets never
+    // entering the exchange. Pin both properties.
+    val rel = ((0L until 5000L).map(i => (i, s"solo$i", "common text here")) ++
+      Seq((9001L, "dup", "the quick brown fox jumps over the lazy dog"),
+        (9002L, "dup", "the quick brown fox jumps over the lazy dog")))
+      .toDF("id", "bk", "text")
+      .select(col("id"), col("bk"),
+        graft.functions.HashExpressions.shingleHashes(col("text"), 3).as("sh"))
+    val out = graft.operators.TiledKernels.blockJaccardPairs(rel, 0.5)
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(out.as[(Long, Long, Double)].collect().toSet ==
+      Set((9001L, 9002L, 1.0)))
+    // bipartite: b-side blocks with no corpus row and < 2 increment
+    // rows are pruned — pairs through corpus rows and through 2-new
+    // blocks must both survive
+    val aRel = Seq((101L, "n2"), (102L, "n2"), (103L, "c1")) ++
+      (0L until 3000L).map(i => (1000L + i, s"a$i"))
+    val bNew = aRel.map { case (id, bk) => (id, bk, false) }
+    val bCorpus = Seq((900L, "c1", true))
+    val toRel = (rows: Seq[(Long, String, Boolean)]) => rows
+      .toDF("id", "bk", "vs")
+      .select(col("id"), col("bk"), col("vs"),
+        graft.functions.HashExpressions.shingleHashes(
+          lit("the quick brown fox jumps over the lazy dog"), 3).as("sh"))
+    val pairs = graft.operators.TiledKernels.bipartiteJaccardPairs(
+      toRel(aRel.map { case (id, bk) => (id, bk, false) }).drop("vs"),
+      toRel(bNew ++ bCorpus), 0.5)
+      .select("doc_a", "doc_b", "vs_corpus")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(pairs == Set((101L, 102L, false), (103L, 900L, true)))
+  }
+
   test("levenshteinOrNeg: bit-parity with Spark's threshold levenshtein") {
     val rnd = new scala.util.Random(42)
     // alphabets as CODE POINT seqs — mutation must never split a
