@@ -79,7 +79,13 @@ object EtlRehearsal {
       for (j <- 0 until jobsPerDay) {
         val jid = s"job_${di}_$j" // LineParsing JobIdRx: job_\d+_\d+
         val user = s"u${j % 17}"
-        val submit = dayMs + (j * 977L) % 82800000L
+        // spread submits across ~22 h of the day (977017 ms stride mod
+        // 79 000 000 ≈ 21.9 h) so proration exercises every hour
+        // bucket, while submit + the 2 h job lifetime stays inside the
+        // day — usage partitions by each prorated hour's DATE, and a
+        // job leaking into D+1 would rewrite a partition outside the
+        // forced window and break the incremental re-run asserts
+        val submit = dayMs + (j * 977017L) % 79000000L
         sb.append(s"""Job JOBID="$jid" JOBNAME="gen" USER="$user" SUBMIT_TIME="$submit" .""").append('\n')
         val nAtt = 4 + j % 7
         for (a <- 0 until nAtt) {

@@ -68,6 +68,10 @@ object SpillRehearsal {
       "q32_embed_neardup", "q44_hybrid_dedup", "q48_cc_clusters",
       "q67_semdedup", "q71_incr_neardup", "q72_fuzzy_editdist",
       "q81_lsh_groups", "q82_ngram_tiled", "q85_edit_tiled")
+    // completion contract: a renamed/removed registry entry must fail
+    // the harness loudly, not silently shrink its coverage
+    val missing = subset.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries in spill subset: $missing")
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     System.err.println(s"[spill] heap=${heapMb}MB memory.fraction=$frac sf=$sfDir")
 

@@ -110,7 +110,7 @@ object Dedup {
       val rel = bandRel.select(
         concat_ws("#", col("band_idx"), col("band_hash")).as("bk"),
         col("doc_id").as("id"), col("hs").as("sh"))
-      return TiledKernels.blockJaccardPairs(rel, threshold)
+      return TiledKernels.blockJaccardPairs(rel, threshold, pin = pin)
         .select("doc_a", "doc_b", "jac")
         .distinct()
     }
@@ -230,7 +230,8 @@ object Dedup {
         concat_ws("#", col("band_idx"), col("band_hash")).as("bk"),
         col("doc_b").as("id"), col("hs_b").as("sh"),
         col("vs_corpus").as("vs"))
-      return TiledKernels.bipartiteJaccardPairs(aRel, bRel, threshold)
+      return TiledKernels.bipartiteJaccardPairs(aRel, bRel, threshold,
+          pin = pin)
         .select("doc_a", "doc_b", "jac", "vs_corpus")
         .distinct()
     }

@@ -36,19 +36,31 @@ object Parallelism {
     * is false is choosing an OOM. The spill rehearsal measured exactly
     * that (2 GB heap × 0.2 fraction → "not enough memory to build hash
     * map" on the same corpus that runs fine at the default heap).
-    * Sizing: executor memory from `spark.executor.memory` (driver heap
-    * in local mode), pool = memory.fraction share, at most half the
-    * pool for builds (probe side and everything else share it). */
+    * Sizing: in local mode the executor IS the driver JVM, so the
+    * pool comes from the actual heap (`Runtime.maxMemory`) —
+    * `spark.executor.memory` is ignored there by Spark itself, and
+    * trusting an inherited conf value against a smaller -Xmx would
+    * green-light the exact OOM this guard exists to prevent. On a
+    * cluster the conf is authoritative; slots per executor come from
+    * `spark.executor.cores`, falling back to `defaultParallelism`
+    * (cluster-wide cores — an overestimate, which only errs toward
+    * dropping the unspillable build, never toward keeping it).
+    * Pool = memory.fraction share, at most half for builds (probe
+    * side and everything else share it). */
   def hashBuildFits(totalBuildRows: Long, bytesPerRow: Long,
       spark: org.apache.spark.sql.SparkSession): Boolean = {
-    val execMem = spark.conf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-      .getOrElse(Runtime.getRuntime.maxMemory())
+    val isLocal = spark.sparkContext.master.startsWith("local")
+    val execMem =
+      if (isLocal) Runtime.getRuntime.maxMemory()
+      else spark.conf.getOption("spark.executor.memory")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Runtime.getRuntime.maxMemory())
     val fraction =
       spark.conf.get("spark.memory.fraction", "0.6").toDouble
-    val slots = spark.conf.getOption("spark.executor.cores")
-      .map(_.toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    val slots =
+      if (isLocal) spark.sparkContext.defaultParallelism
+      else spark.conf.getOption("spark.executor.cores").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
     val parts = math.max(
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
     val pool = (execMem * fraction).toLong

@@ -117,11 +117,21 @@ object TiledKernels {
     * 7.1 s vs q71 2.6 s at sf0.1). Rows-per-partition sizing gives the
     * same ~pairs/target partitions in the dense regime (R ≈ Σ 2·n_b·g_b
     * ≈ 2·pairs/√target) and collapses the sparse regime to the
-    * parallelism floor. */
+    * parallelism floor.
+    *
+    * The cap is a scheduler-sanity bound only, set high enough that the
+    * memory bound is what gives first: the kernel buffers its whole
+    * partition, so capping at C partitions means rows-per-task grows
+    * past 2·√target once R > C·2·√target — at C = 2²⁰ and the 2×10⁷
+    * default that is ~1.9×10¹⁰ replicated payload rows (~70 TB of
+    * shingle arrays in ONE pair stage), beyond any single job this
+    * engine should accept. A low cap here (the old 4096) would
+    * silently void the bounded-memory guarantee the OOM-avoidance
+    * dispatch relies on. */
   private def tilePartitions(spark: org.apache.spark.sql.SparkSession,
       replicatedRows: Long, target: Long): Int = {
     val rowsPerPart = math.max(1L, (2.0 * math.sqrt(target.toDouble)).toLong)
-    math.min(4096L, math.max(
+    math.min(1L << 20, math.max(
       (replicatedRows + rowsPerPart - 1) / rowsPerPart,
       spark.sparkContext.defaultParallelism.toLong)).toInt
   }
@@ -132,7 +142,8 @@ object TiledKernels {
     * tiny (one row per block) and cached, so the stats action and the
     * two broadcast joins evaluate the count subtree once instead of
     * three times. */
-  private def tileRel(base: DataFrame, target: Long): DataFrame = {
+  private def tileRel(base: DataFrame, target: Long,
+      pin: DataFrame => Unit): DataFrame = {
     val spark = base.sparkSession
     // nb < 2 ⇒ no ordered pair can form in the block; dropping those
     // blocks HERE (the factors join is inner) keeps singleton band
@@ -145,6 +156,7 @@ object TiledKernels {
         ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
       .select("bk", "nb", "g")
       .cache()
+    pin(factors)
     val stats = factors.agg(
       coalesce(sum(col("nb") * lit(2L) * col("g")), lit(0L))).head
     val nPart = tilePartitions(spark, stats.getLong(0), target)
@@ -168,13 +180,14 @@ object TiledKernels {
     * Emits (doc_a, doc_b, jac) with doc_a < doc_b and jac ≥ threshold,
     * each qualifying pair exactly once. */
   def blockJaccardPairs(rel: DataFrame, threshold: Double,
-      targetPairsPerTask: Long = 20000000L): DataFrame = {
+      targetPairsPerTask: Long = 20000000L,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(
       rel.filter(col("bk").isNotNull && col("sh").isNotNull)
         .select(col("bk"), col("id"), col("sh")),
-      targetPairsPerTask)
+      targetPairsPerTask, pin)
       .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"), col("sh"))
       .as[(String, Int, Int, Boolean, Long, Array[Long])]
     tiled.mapPartitions { it =>
@@ -211,14 +224,15 @@ object TiledKernels {
     * struct(cosine, -neighbor_id)) — the in-loop comparator below is
     * that same ordering, so partial-then-final equals global. */
   def blockTop1Partials(rel: DataFrame,
-      targetPairsPerTask: Long = 50000000L): DataFrame = {
+      targetPairsPerTask: Long = 50000000L,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(
       rel.filter(col("bk").isNotNull && col("emb").isNotNull &&
           col("nrm").isNotNull)
         .select(col("bk"), col("id"), col("emb"), col("nrm")),
-      targetPairsPerTask)
+      targetPairsPerTask, pin)
       .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
         col("emb"), col("nrm"))
       .as[(String, Int, Int, Boolean, Long, Array[Double], Double)]
@@ -440,7 +454,7 @@ object TiledKernels {
     * `vs || xid > qid` emits nothing from a block whose only b row is
     * the a row itself). */
   private def bipartiteTileRel(aBase: DataFrame, bBase: DataFrame,
-      target: Long,
+      target: Long, pin: DataFrame => Unit,
       bKeep: Option[(Seq[Column], Column)] = None): DataFrame = {
     val spark = aBase.sparkSession
     def counts(df: DataFrame, as: String, extra: Seq[Column] = Nil) =
@@ -457,6 +471,7 @@ object TiledKernels {
         ceil(col("nb") / sqrt(lit(target.toDouble)))).cast("int"))
       .select("bk", "na", "nb", "ga", "gb")
       .cache()
+    pin(factors)
     val replicated = factors.agg(coalesce(
       sum(col("na") * col("gb").cast("long") +
         col("nb") * col("ga").cast("long")), lit(0L))).head.getLong(0)
@@ -493,14 +508,16 @@ object TiledKernels {
     * [[levenshteinOrNeg]] = Spark's `levenshtein(a, b, k)`. */
   def bipartiteEditPairs(aRel: DataFrame, bRel: DataFrame, maxDist: Int,
       prefilterGram: Int, orderCheck: Boolean,
-      targetPairsPerTask: Long = 20000000L): DataFrame = {
+      targetPairsPerTask: Long = 20000000L,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = aRel.sparkSession
     import spark.implicits._
     def prep(df: DataFrame) = df
       .filter(col("bk").isNotNull && col("text").isNotNull)
       .select(col("bk"), col("id"), col("len").cast("long"),
         col("text"), col("sh"))
-    val tiled = bipartiteTileRel(prep(aRel), prep(bRel), targetPairsPerTask)
+    val tiled = bipartiteTileRel(prep(aRel), prep(bRel),
+      targetPairsPerTask, pin)
       .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
         col("len"), col("text"), col("sh"))
       .as[(String, Int, Int, Boolean, Long, Long, String, Array[Long])]
@@ -569,7 +586,8 @@ object TiledKernels {
     * SortedJaccard — bit-identical survivors. */
   def bipartiteJaccardPairs(aRel: DataFrame, bRel: DataFrame,
       threshold: Double,
-      targetPairsPerTask: Long = 20000000L): DataFrame = {
+      targetPairsPerTask: Long = 20000000L,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = aRel.sparkSession
     import spark.implicits._
     def prep(df: DataFrame, vs: Option[Column]) = df
@@ -583,7 +601,7 @@ object TiledKernels {
     // increment rows drops the vast majority of a gate-scale LSH
     // bucketing (singleton buckets) before the payload exchange.
     val tiled = bipartiteTileRel(
-      prep(aRel, Some(lit(false))), prep(bRel, None), targetPairsPerTask,
+      prep(aRel, Some(lit(false))), prep(bRel, None), targetPairsPerTask, pin,
       bKeep = Some((
         Seq(max(col("vs")).as("hasC"),
           sum(when(col("vs"), 0).otherwise(1)).as("nNew")),
@@ -624,14 +642,15 @@ object TiledKernels {
     * cosine ≥ threshold under Spark's compare (NaN passes any
     * threshold, as it does in the Column filter). */
   def blockCosinePairs(rel: DataFrame, threshold: Double,
-      targetPairsPerTask: Long = 50000000L): DataFrame = {
+      targetPairsPerTask: Long = 50000000L,
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(
       rel.filter(col("bk").isNotNull && col("emb").isNotNull &&
           col("nrm").isNotNull)
         .select(col("bk"), col("id"), col("emb"), col("nrm")),
-      targetPairsPerTask)
+      targetPairsPerTask, pin)
       .select(col("bk"), col("qg"), col("xg"), col("is_q"), col("id"),
         col("emb"), col("nrm"))
       .as[(String, Int, Int, Boolean, Long, Array[Double], Double)]
