@@ -337,7 +337,8 @@ object Dedup {
     *    when approximate candidates are acceptable.
     */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
-      n: Int, threshold: Double, strategy: String = "auto"): DataFrame = {
+      n: Int, threshold: Double, strategy: String = "auto",
+      pin: DataFrame => Unit = _ => ()): DataFrame = {
     // intersect on hashed shingles (integer arrays), same rationale and
     // oracle-mirroring as minHashLshPairs; widen() because the shingle
     // hashing runs in the projection BEFORE the join exchange — on a
@@ -405,7 +406,7 @@ object Dedup {
         .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
         .select(col("doc_id").as("id"),
           to_json(struct(blockCols.map(col): _*)).as("bk"), col("sh"))
-      return TiledKernels.blockJaccardPairs(rel, threshold)
+      return TiledKernels.blockJaccardPairs(rel, threshold, pin = pin)
         .join(sh.select((col("doc_id").as("doc_a") +:
           blockCols.map(col)): _*), "doc_a")
         .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
@@ -446,7 +447,17 @@ object Dedup {
     // OUTPUT pairs — no exact pair enumerator is sub-quadratic in
     // that family; run exactDupGroups first and collapse clusters
     // (connectedComponents) when families are big.
-    val g = sh.select(
+    //
+    // Cache lifecycle (same idiom as minHashBandRel): the signature
+    // rel feeds the df pass, the rank join, AND both verify-attach
+    // sides — uncached, the shingle-hash pipeline would run 4×; the
+    // ranked prefix table likewise feeds both exploded join sides.
+    // Eager materialization (count) because a join's two input stages
+    // schedule concurrently and would both miss a lazy cache.
+    val shC = sh.cache()
+    pin(shC)
+    shC.count()
+    val g = shC.select(
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("sh")).as("sz") :+ explode(col("sh")).as("g"): _*)
     val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
@@ -454,15 +465,22 @@ object Dedup {
       .groupBy((col("doc_id") +: blockCols.map(col)) :+ col("sz"): _*)
       .agg(array_sort(collect_list(struct(col("df"), col("g"))))
         .as("ordered"))
-      .withColumn("pfx",
-        expr(s"transform(slice(ordered, 1, greatest(1, " +
-          s"cast(sz - ceil($threshold * sz) + 2 as int))), x -> x.g)"))
-    val pa = ranked.select(
-      (col("doc_id").as("doc_a") +: blockCols.map(col)) :+
-        col("sz").as("sz_a") :+ explode(col("pfx")).as("g"): _*)
-    val pb = ranked.select(
-      (col("doc_id").as("doc_b") +: blockCols.map(col)) :+
-        col("sz").as("sz_b") :+ explode(col("pfx")).as("g"): _*)
+      // prefix length only — the prefix GRAMS are extracted at explode
+      // time below (explode the sliced struct array, then a native
+      // GetStructField), which avoids a per-element transform lambda
+      // in the plan entirely
+      .withColumn("pfxn", expr(
+        s"greatest(1, cast(sz - ceil($threshold * sz) + 2 as int))"))
+      .cache()
+    pin(ranked)
+    ranked.count()
+    def prefixSide(idAs: String, szAs: String) = ranked.select(
+      (col("doc_id").as(idAs) +: blockCols.map(col)) :+
+        col("sz").as(szAs) :+
+        explode(expr("slice(ordered, 1, pfxn)")).as("pe"): _*)
+      .withColumn("g", col("pe.g")).drop("pe")
+    val pa = prefixSide("doc_a", "sz_a")
+    val pb = prefixSide("doc_b", "sz_b")
     val cands = pa.join(pb, blockCols :+ "g")
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") * lit(threshold) <= col("sz_b") + lit(1) &&
@@ -470,8 +488,8 @@ object Dedup {
       .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)): _*)
       .distinct()
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
