@@ -12,7 +12,7 @@ set -u
 cd /root/repo
 OUT=/tmp/scalebench
 mkdir -p $OUT
-SUBSET="q19,q20,q21,q22,q23,q24,q25,q32,q33,q44,q48,q67,q71,q72,q81,q82,q83,q84,q85"
+SUBSET="q19,q20,q21,q22,q23,q24,q25,q32,q33,q44,q48,q67,q71,q72,q81,q82,q83,q84,q85,q86,q87"
 
 run_one() { # tag sfdir shuffle ivfdir runidx
   local tag=$1 dir=$2 shuffle=$3 ivf=$4 i=$5
