@@ -60,6 +60,9 @@ object Bench {
       // would otherwise leak blocks into the next query's measurement —
       // by q35 of a 66-query run the accumulated pressure inflated
       // unrelated queries up to 9×. Each query is timed on its own plan.
+      // releaseAll additionally drops the registry's strong refs so the
+      // DataFrame handles themselves don't accumulate across 87 queries.
+      graft.operators.OperatorCaches.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       (name, dt, err.isDefined)
     }

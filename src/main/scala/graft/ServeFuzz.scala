@@ -176,6 +176,10 @@ object ServeFuzz {
           failures += 1
           println(s"CASE $name FAILED TO RUN: ${e.getMessage}")
       }
+      // long-lived session hygiene: free any operator-internal caches a
+      // case created (the pinned fuzz facts are cached separately and
+      // survive — releaseAll only touches registry-registered frames)
+      graft.operators.OperatorCaches.releaseAll()
     }
 
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
@@ -309,12 +313,14 @@ object ServeFuzz {
            |GROUP BY 1, 2""".stripMargin
       case "table" =>
         // CSV route: per-user grid with the /60 hour scaling. The
-        // Spark side renames elapsedMs → elapsedMinutes so the /60
-        // branch engages; the oracle reads the PHYSICAL parquet column
-        // and mirrors exactly that condition. Both engines divide the
+        // divisor is derived from the REFERENCE semantics, not the
+        // implementation: server/app.rb:152 divides EVERY cell by 60.0
+        // unconditionally (counters included — QUIRK 11), so the oracle
+        // applies the unconditional /60 and would catch a regression to
+        // measure-conditional scaling. Both engines divide the
         // identical BIGINT sum by the same double → bit-identical.
         val physMeasure = qt.measure
-        val divisor = if (qt.measure == "elapsedMs") "60.0" else "1.0"
+        val divisor = "60.0"
         s"""$base,
            |agg AS (SELECT "user", $b AS tick,
            |               CAST(SUM($physMeasure) AS BIGINT) AS v

@@ -124,7 +124,8 @@ object TextQueries {
     * gate scale auto picks "carry", so without this twin the skew
     * path would run un-oracle-checked). */
   private def q86(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashLshPairs(Tables.documents(s, d), 0.6, _ => (), "tiled")
+    Dedup.minHashLshPairs(Tables.documents(s, d), 0.6,
+      graft.operators.OperatorCaches.register, "tiled")
 
   /** Forced-tiled twin of q71 (same rationale as q86, for
     * [[TiledKernels.bipartiteJaccardPairs]]'s increment-probe form). */

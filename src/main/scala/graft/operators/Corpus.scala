@@ -292,7 +292,7 @@ object Corpus {
     * n_matched, contaminated. */
   def contaminationCheckBloom(docs: DataFrame, probes: DataFrame, n: Int,
       minMatches: Int, fpp: Double = 0.01,
-      pin: DataFrame => Unit = _ => (),
+      pin: DataFrame => Unit = OperatorCaches.register,
       fastGrams: Boolean = false): DataFrame = {
     def grams(c: Column) = gramHashesOf(c, n, fastGrams)
     val probeG = probes
@@ -754,10 +754,15 @@ object Corpus {
       .bruteForceTopK(embeddings.filter(col("vec_id") < nQueries), embeddings, k)
       .select("query_id", "neighbor_id")
       .cache()
+    OperatorCaches.register(exact)
     exact.count()
+    // count once for all config branches: feeds each lshTopK's
+    // zero-job bounded-escape decision (pairBound = n²)
+    val nVecs = embeddings.count()
     configs.map { case (nPlanes, nBands, probeBits) =>
       val approx = Similarity
-        .lshTopK(embeddings, dim, nPlanes, nBands, k, probeBits)
+        .lshTopK(embeddings, dim, nPlanes, nBands, k, probeBits,
+          nRows = nVecs)
         .filter(col("query_id") < nQueries)
         .select(col("query_id"), col("neighbor_id"), lit(true).as("found"))
       val label = s"${nPlanes}p${nBands}b" +

@@ -50,7 +50,7 @@ object Dedup {
     * unpersist after materializing (CurateCorpus does exactly this per
     * run; Bench clears the whole CacheManager between queries). */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame =
-    minHashLshPairs(docs, threshold, _ => ())
+    minHashLshPairs(docs, threshold, OperatorCaches.register)
 
   /** As above, with the internal signature cache handed to `pin` so the
     * caller controls when it is unpersisted. */
@@ -116,13 +116,26 @@ object Dedup {
     }
     // carry: plain hash band join (auto proved every bucket under the
     // pair target, so saltedBlockJoin would degenerate to exactly this
-    // plus a redundant count — the r7 gate-scale shape); a forced
-    // "carry" above the bound inherits the OOM risk documented above.
+    // plus a redundant count — the r7 gate-scale shape). A FORCED
+    // "carry" skipped auto's fit check, so re-run it here: the
+    // unspillable hash build is dropped (sort-merge spills and
+    // survives) when it provably cannot fit — forcing the join SHAPE
+    // must not force the OOM. The count is a narrow scan over the
+    // cached signature rel — trivial.
+    val carryFits = strategy != "carry" || {
+      val total = bandRel.count()
+      val fits = Parallelism.hashBuildFits(total, SigRowBytes, docs.sparkSession)
+      if (!fits) Parallelism.logDispatch("minHashLshPairs",
+        s"forced carry: buildRows=$total won't fit — " +
+          "shuffle_hash hint dropped (sort-merge spills)")
+      fits
+    }
     val a = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = bandRel.select(col("band_idx"), col("band_hash"),
+    val b0 = bandRel.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
+    val b = if (carryFits) b0.hint("shuffle_hash") else b0
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
@@ -152,7 +165,7 @@ object Dedup {
     * input stages are scheduled concurrently and would both miss a
     * lazy cache (same race as Similarity's IVF index build). */
   def minHashBandRel(docs: DataFrame,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val sigs = Parallelism.widen(docs)
       .select(col("doc_id"),
         HashExpressions.shingleHashes(col("text"), 5).as("hs"))
@@ -178,7 +191,7 @@ object Dedup {
     * document; id order within new-new pairs follows
     * [[minHashLshPairs]] (doc_a < doc_b). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
-      threshold: Double, pin: DataFrame => Unit = _ => (),
+      threshold: Double, pin: DataFrame => Unit = OperatorCaches.register,
       strategy: String = "auto"): DataFrame = {
     // Strategy mirrors [[minHashLshPairs]] (same sf10skew OOM
     // post-mortem): "carry" = arrays through a plain hash band join,
@@ -235,9 +248,23 @@ object Dedup {
         .select("doc_a", "doc_b", "jac", "vs_corpus")
         .distinct()
     }
+    // Forced-carry fit guard as in [[minHashLshPairs]]: the b side here
+    // is the increment's bands plus the whole corpus index, so a forced
+    // carry on a skewed corpus is exactly the unspillable-build OOM the
+    // auto path refuses — drop the hint when the build can't fit.
+    val carryFits = strategy != "carry" || {
+      val total = bUnion.count()
+      val fits = Parallelism.hashBuildFits(total, SigRowBytes,
+        newDocs.sparkSession)
+      if (!fits) Parallelism.logDispatch("incrementalNearDupPairs",
+        s"forced carry: buildRows=$total won't fit — " +
+          "shuffle_hash hint dropped (sort-merge spills)")
+      fits
+    }
     val a = newBands.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    a.join(bUnion.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
+    val bH = if (carryFits) bUnion.hint("shuffle_hash") else bUnion
+    a.join(bH, Seq("band_idx", "band_hash"))
       .filter(col("vs_corpus") || col("doc_a") < col("doc_b"))
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
@@ -280,7 +307,7 @@ object Dedup {
     * document, singletons included (cluster_size 1).
     */
   def lshDupGroups(docs: DataFrame, threshold: Double,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val bandRel = minHashBandRel(docs, pin)
     val reps = bandRel.groupBy("band_idx", "band_hash")
       .agg(min("doc_id").as("rep"))
@@ -338,7 +365,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       n: Int, threshold: Double, strategy: String = "auto",
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     // intersect on hashed shingles (integer arrays), same rationale and
     // oracle-mirroring as minHashLshPairs; widen() because the shingle
     // hashing runs in the projection BEFORE the join exchange — on a
@@ -952,7 +979,7 @@ object Dedup {
     * makes the kept set deterministic and engine-independent. */
   def semanticDedup(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])], tau: Double,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val idx = Similarity.buildIvfIndex(embeddings, centroids, 1, pin)
     val asg = idx.select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
     val a = asg.select(col("cell"), col("vec_id"),

@@ -64,7 +64,33 @@ object Parallelism {
     val parts = math.max(
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt, 1)
     val pool = (execMem * fraction).toLong
-    (totalBuildRows.toDouble / parts) * bytesPerRow * slots <= pool / 2.0
+    // AQE partition coalescing merges small shuffle partitions up to
+    // the advisory size, so a task's build partition can be far LARGER
+    // than totalBytes/parts — modeling only the configured partition
+    // count green-lights builds that OOM under tight pools (the exact
+    // failure this guard exists for). Per-partition build bytes is
+    // therefore bounded below by the advisory size whenever coalescing
+    // is on, and above by the total (one partition can't exceed it).
+    val aqeCoalesce =
+      spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    val advisory =
+      if (!aqeCoalesce) 0.0
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")).toDouble
+    // Coalescing also REDUCES the number of concurrent builds (fewer,
+    // larger partitions), so the executor-wide pressure is the smaller
+    // of slots-many per-partition builds and the whole build side held
+    // at once — min(totalBytes, perPart·slots). At gate scale this
+    // degenerates to totalBytes (identical accept decisions as the
+    // pre-AQE model); under tight pools the advisory term now refuses
+    // builds whose coalesced partitions would not fit.
+    val totalBytes = totalBuildRows.toDouble * bytesPerRow
+    val perPartBytes =
+      math.min(totalBytes, math.max(totalBytes / parts, advisory))
+    math.min(totalBytes, perPartBytes * slots) <= pool / 2.0
   }
 
   def widen(df: DataFrame): DataFrame = {
@@ -107,11 +133,43 @@ object Parallelism {
     * per-partition builds cannot fit the execution pool — sort-merge
     * spills and survives where the hash build would OOM (the round-9
     * spill-rehearsal failure mode). `buildRowBytes = 0` skips the
-    * check (caller vouches the build side is slim). */
+    * check (caller vouches the build side is slim).
+    *
+    * `pairBound` / `buildRowsBound`: caller-PROVEN upper bounds on (1)
+    * any single block's na·nb pair volume and (2) the total b-side row
+    * count. When `0 < pairBound ≤ targetPairsPerTask`, no block can
+    * need splitting under ANY data distribution, so the plain-join
+    * escape is taken WITHOUT the eager stats job — the measured q41
+    * lesson: the pre-pass costs ~0.25 s of fixed job + planning
+    * latency per call at gate scale, and an operator invoked three
+    * times per query paid it three times for a decision its caller
+    * could prove from the corpus row count alone (e.g. banded LSH:
+    * each vector contributes ≤ 1 row per bucket per side, so bucket
+    * pairs ≤ N² — true even under multi-probe expansion, because a
+    * vector's probe variants land in distinct buckets). Bounds that
+    * don't prove the escape (or left at -1) fall through to the
+    * measured pre-pass, whose cost is amortized at the scales where
+    * it matters. Escape correctness is unconditional:
+    * join(blockCols) ≡ join(blockCols, salt=0) for any r ≥ 1. */
   def saltedBlockJoin(a: DataFrame, b: DataFrame, blockCols: Seq[String],
       saltKeyA: String, targetPairsPerTask: Long = 20000000L,
       shuffleHashBuild: Boolean = false,
-      buildRowBytes: Long = 0L): DataFrame = {
+      buildRowBytes: Long = 0L,
+      pairBound: Long = -1L,
+      buildRowsBound: Long = -1L): DataFrame = {
+    if (pairBound > 0L && pairBound <= targetPairsPerTask) {
+      val spark = a.sparkSession
+      val hashHint = shuffleHashBuild && (buildRowBytes <= 0L ||
+        (buildRowsBound > 0L &&
+          hashBuildFits(buildRowsBound, buildRowBytes, spark)))
+      logDispatch("saltedBlockJoin",
+        s"pairBound=$pairBound <= target key=${blockCols.mkString(",")}" +
+          (if (shuffleHashBuild && !hashHint)
+            " hashBuild=dropped(bound unproven or won't fit)" else "") +
+          " -> plain join (bounded escape, no stats job)")
+      val bH = if (hashHint) b.hint("shuffle_hash") else b
+      return a.join(bH, blockCols)
+    }
     // r_b from the block's true pair volume n_a·n_b (== n² for a
     // self-join; an increment-vs-corpus join would undersize its salts
     // from the small increment side alone). Inner join of the two

@@ -136,7 +136,7 @@ object Similarity {
     * SQL-oracle-expressible (rows-only driver check).
     */
   def ivfTopK(embeddings: DataFrame, nCentroids: Int, nProbe: Int, k: Int,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val centroids = fitQuantizer(embeddings, nCentroids)
     ivfTopKWithCentroids(embeddings, centroids, nProbe, k, pin)
   }
@@ -196,7 +196,7 @@ object Similarity {
     * (the q33 oracle). */
   def ivfTopKWithCentroids(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int, k: Int,
-      pin: DataFrame => Unit = _ => ()): DataFrame =
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
     ivfSearch(buildIvfIndex(embeddings, centroids, nProbe, pin), nProbe, k)
 
   /** The IVF index: every vector ranked against the broadcast
@@ -212,7 +212,7 @@ object Similarity {
     * let the session free it). */
   def buildIvfIndex(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     // Assignment is ONE row-local expression (K sequential-fold dots,
     // keep the nProbe best — [[graft.functions.HashExpressions
     // .NearestCells]], bit-identical to the former
@@ -251,7 +251,7 @@ object Similarity {
     * [[Dedup.incrementalNearDupPairs]] over the minhash band index. */
   def appendIvfIndex(index: DataFrame, newVecs: DataFrame,
       centroids: Seq[(Int, Seq[Double])], nProbe: Int,
-      pin: DataFrame => Unit = _ => ()): DataFrame =
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
     index.unionByName(buildIvfIndex(newVecs, centroids, nProbe, pin))
 
   /** Search a prebuilt IVF index ([[buildIvfIndex]]): candidates are
@@ -349,7 +349,16 @@ object Similarity {
     * the shared input of the slim candidate generator and the
     * carry-the-vectors [[lshTopK]] join (callers that don't select
     * `embedding` get it pruned at the scan). */
-  private def lshBandRel(embeddings: DataFrame, nPlanes: Int,
+  /** Pre-explode signature relation (vec_id, embedding, bnds) — the
+    * expensive part of the band pipeline (nPlanes dot-product folds per
+    * row). Kept separate from the explode so [[lshTopK]] can CACHE it:
+    * the salted-join dispatch pre-pass runs an eager count over the
+    * band keys before the join plan executes, and without the cache
+    * that count re-evaluated this whole projection pipeline once per
+    * call on top of the join's own evaluation (the measured q41
+    * 1.59→2.48 s regression of round 9 — three lshTopK configs, one
+    * multi-probe-expanded, each paying the subtree twice). */
+  private def lshSigRel(embeddings: DataFrame, nPlanes: Int,
       nBands: Int): DataFrame = {
     import graft.functions.TextFunctions.LshA
     require(nPlanes % nBands == 0, "nPlanes must be divisible by nBands")
@@ -368,9 +377,14 @@ object Similarity {
     }
     withProjs
       .withColumn("bnds", array(bands: _*))
+      .select(col("vec_id"), col("embedding"), col("bnds"))
+  }
+
+  private def lshBandRel(embeddings: DataFrame, nPlanes: Int,
+      nBands: Int): DataFrame =
+    lshSigRel(embeddings, nPlanes, nBands)
       .select(col("vec_id"), col("embedding"),
         posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
-  }
 
   /** Query-side band rows for multi-probe: the true hash plus its
     * 1-bit-flip neighbors on the first `probeBits` positions. */
@@ -431,11 +445,21 @@ object Similarity {
     val planes = autoPlanes(n, nBands)
     Parallelism.logDispatch("lshTopKAuto",
       s"n=$n nBands=$nBands -> nPlanes=$planes (${planes / nBands} bits/band)")
-    lshTopK(embeddings, dim, planes, nBands, k, probeBits)
+    lshTopK(embeddings, dim, planes, nBands, k, probeBits, nRows = n)
   }
 
+  /** `nRows`: the corpus row count, if the caller already knows it —
+    * feeds the zero-job bounded escape of the salted band join (any
+    * band bucket's pair volume is ≤ nRows² because each vector
+    * contributes at most one row per bucket per side, multi-probe
+    * included: a vector's probe variants land in DISTINCT buckets).
+    * Left at -1, one count() is paid per call — cheap next to the
+    * search, but an N-times caller (q41 runs three configs) should
+    * count once and pass it down. */
   def lshTopK(embeddings: DataFrame, dim: Int, nPlanes: Int, nBands: Int,
-      k: Int, probeBits: Int = 0): DataFrame = {
+      k: Int, probeBits: Int = 0,
+      pin: DataFrame => Unit = OperatorCaches.register,
+      nRows: Long = -1L): DataFrame = {
     // Carry-the-vectors band join (the minHashLshPairs shape): the old
     // "slim candidate pairs → distinct → join embeddings back twice"
     // staging shuffled ~300 B of vector per CANDIDATE — clustered
@@ -448,8 +472,23 @@ object Similarity {
     val rowsPerBand = nPlanes / nBands
     require(probeBits >= 0 && probeBits <= rowsPerBand,
       s"probeBits must be 0..$rowsPerBand")
-    val rel = lshBandRel(embeddings, nPlanes, nBands)
+    // Signature rel cached (lifecycle as in Dedup.minHashBandRel):
+    // saltedBlockJoin's eager dispatch stats AND both join sides read
+    // it, so the projection pipeline runs once per call instead of
+    // three times — norms ride along pre-explode so they are computed
+    // once per vector, not once per band row. No separate count():
+    // the dispatch pre-pass's synchronous .head is the first action
+    // and fully populates the cache BEFORE the join stages are
+    // scheduled, so the concurrent-stages cache-miss race that forces
+    // minHashBandRel's eager count cannot occur here — and q41 calls
+    // this three times, so a redundant materialization job per call is
+    // measurable fixed latency at gate scale.
+    val sigs = lshSigRel(embeddings, nPlanes, nBands)
       .withColumn("nrm", l2Norm(col("embedding")))
+      .cache()
+    pin(sigs)
+    val rel = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
     val probe = probeVariants(rel, probeBits,
       Seq("vec_id", "embedding", "nrm"))
       .select(col("band_idx"), col("band_hash"),
@@ -458,12 +497,21 @@ object Similarity {
     val index = rel.select(col("band_idx"), col("band_hash"),
       col("vec_id").as("neighbor_id"), col("embedding").as("e_b"),
       col("nrm").as("n_b"))
+    val n = if (nRows > 0L) nRows else embeddings.count()
+    // pairBound = n² (per-bucket, see nRows doc); saturate well before
+    // Long overflow — past the escape threshold the exact value is
+    // irrelevant, only "> target" matters
+    val pairBound =
+      if (n < 3037000499L) n * n else Long.MaxValue
     val scored = Parallelism.saltedBlockJoin(probe, index,
         Seq("band_idx", "band_hash"), saltKeyA = "query_id",
         shuffleHashBuild = true,
         // 64-float embedding + norm + ids ≈ 0.6 KB; the fit guard
         // drops the unspillable hash build under tight pools
-        buildRowBytes = 1024L)
+        buildRowBytes = 1024L,
+        pairBound = pairBound,
+        // total b-side rows = one row per vector per band
+        buildRowsBound = n * nBands)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))

@@ -181,7 +181,7 @@ object TiledKernels {
     * each qualifying pair exactly once. */
   def blockJaccardPairs(rel: DataFrame, threshold: Double,
       targetPairsPerTask: Long = 20000000L,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(
@@ -225,7 +225,7 @@ object TiledKernels {
     * that same ordering, so partial-then-final equals global. */
   def blockTop1Partials(rel: DataFrame,
       targetPairsPerTask: Long = 50000000L,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(
@@ -509,7 +509,7 @@ object TiledKernels {
   def bipartiteEditPairs(aRel: DataFrame, bRel: DataFrame, maxDist: Int,
       prefilterGram: Int, orderCheck: Boolean,
       targetPairsPerTask: Long = 20000000L,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val spark = aRel.sparkSession
     import spark.implicits._
     def prep(df: DataFrame) = df
@@ -587,7 +587,7 @@ object TiledKernels {
   def bipartiteJaccardPairs(aRel: DataFrame, bRel: DataFrame,
       threshold: Double,
       targetPairsPerTask: Long = 20000000L,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val spark = aRel.sparkSession
     import spark.implicits._
     def prep(df: DataFrame, vs: Option[Column]) = df
@@ -643,7 +643,7 @@ object TiledKernels {
     * threshold, as it does in the Column filter). */
   def blockCosinePairs(rel: DataFrame, threshold: Double,
       targetPairsPerTask: Long = 50000000L,
-      pin: DataFrame => Unit = _ => ()): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val spark = rel.sparkSession
     import spark.implicits._
     val tiled = tileRel(

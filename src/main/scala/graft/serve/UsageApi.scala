@@ -86,11 +86,12 @@ final class UsageApi(fact: DataFrame)(implicit spark: SparkSession) {
     })
 
   /** `/api/table` CSV lines (`app.rb:110-157`): header then one row per
-    * tick, minute measures scaled to hours. */
+    * tick, every cell divided by 60 — the reference scales
+    * unconditionally (`app.rb:152`), counters included (QUIRK 11). */
   def exportCsv(req: UsageRequest): Seq[String] = {
     val resp = usage(req)
     val qt = QueryType.All(req.queryType)
-    val scale = if (qt.measure.endsWith("Minutes")) 60.0 else 1.0
+    val scale = 60.0
     val header = ("time" +: resp.users.map(_.user)).mkString(",")
     val rows = resp.times.zipWithIndex.map { case (t, i) =>
       (t.toString +: resp.users.map(u => (u.data(i) / scale).toString))

@@ -125,14 +125,17 @@ object UsageQueries {
   }
 
   /** CSV export (`/api/table`, `server/app.rb:110-157`): one row per
-    * tick, one column per user, minute measures scaled to hours (/60,
-    * `app.rb:152`). Returns the pivoted DataFrame (tick + user cols). */
+    * tick, one column per user, EVERY cell divided by 60
+    * (`app.rb:152` — "convert minutes to hours" applies
+    * unconditionally, including counter measures like started/finished;
+    * QUIRK 11 preserves it for byte-parity with the reference route).
+    * Returns the pivoted DataFrame (tick + user cols). */
   def exportTable(fact: DataFrame, cluster: String, users: Seq[String],
       qt: QueryType, unit: String, zone: String,
       startMs: Long, endMs: Long)(implicit spark: SparkSession): DataFrame = {
     val series = perUserSeries(fact, cluster, users, qt, unit, zone,
       startMs, endMs)
-    val scale = if (qt.measure.endsWith("Minutes")) 60.0 else 1.0
+    val scale = 60.0
     series.withColumn("value", col("value") / scale)
       .groupBy("tick").pivot("user", users).agg(first("value"))
       .orderBy("tick")

@@ -41,7 +41,13 @@ object FitQuantizer {
         import spark.implicits._
         cents.toDF("cell", "centroid").coalesce(1)
           .write.mode("overwrite").parquet(s"$d/centroids_k$k.parquet")
-        println(s"wrote $d/centroids_k$k.parquet (${cents.length} cells)")
+        // corpus fingerprint sibling: lets forCorpus refuse this
+        // artifact once the corpus it was trained on changes
+        val fp = graft.operators.IvfCentroids.corpusFingerprint(emb)
+        Seq(fp).toDF("fp_count", "fp_hash").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/fingerprint_k$k.parquet")
+        println(s"wrote $d/centroids_k$k.parquet (${cents.length} cells, " +
+          s"fingerprint $fp)")
       case None =>
         println(s"  val Centroids$k: Seq[(Int, Seq[Double])] = Seq(")
         cents.foreach { case (i, c) =>

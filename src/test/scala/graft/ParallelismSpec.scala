@@ -72,6 +72,41 @@ class ParallelismSpec extends AnyFunSuite {
     assert(!Parallelism.hashBuildFits(Long.MaxValue / 4096, 4096L, spark))
   }
 
+  test("hashBuildFits: AQE coalescing bounds per-partition builds below") {
+    // With coalescing on, a task's build partition can reach the
+    // advisory size no matter how many shuffle partitions are
+    // configured — the configured-count divisor alone would green-light
+    // a build that OOMs after coalescing. Pin: an advisory set to the
+    // whole pool makes a build totalling just over pool/2 refuse, even
+    // with 4096 configured partitions (the pre-fix model accepted it:
+    // total/4096 × slots ≪ pool/2).
+    val pool = (Runtime.getRuntime.maxMemory() *
+      spark.conf.get("spark.memory.fraction", "0.6").toDouble).toLong
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldAdv = spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4096")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        pool.toString + "b")
+      val rows = (pool / 2 / 1024L) + 4096L
+      assert(!Parallelism.hashBuildFits(rows, 1024L, spark))
+      // same rows with coalescing off: configured partitions stand and
+      // the slim per-partition builds fit
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      assert(Parallelism.hashBuildFits(rows, 1024L, spark))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      oldAdv match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+  }
+
   test("block absent from one side produces no pairs and no salt factor") {
     val aOnly = Seq(("lonely", 1), ("hot", 2)).toDF("blk", "ida")
     val bOnly = Seq(("hot", 3)).toDF("blk", "idb")

@@ -209,6 +209,17 @@ class ServeSpec extends AnyFunSuite {
     assert(row.getDouble(row.fieldIndex("bob")) == 5.0 / 60.0)
   }
 
+  test("exportTable divides counter measures by 60 too (QUIRK 11, app.rb:152)") {
+    val qt = QueryType.All("totalStarted")
+    val table = UsageQueries.exportTable(
+      fact, "c1", Seq("alice", "bob"), qt, "DAYS", "UTC",
+      jan1, jan1 + 5 * D)
+    val row = table.filter(col("tick") === (jan1 + 2 * D)).head()
+    // reference /api/table scales EVERY cell — counters included
+    assert(row.getDouble(row.fieldIndex("alice")) == 1.0 / 60.0)
+    assert(row.getDouble(row.fieldIndex("bob")) == 2.0 / 60.0)
+  }
+
   test("UsageCube ops: filter/collapse/slice additive") {
     val cube = UsageCube(fact,
       Seq("user", "time", "cluster", "excess", "taskType", "status"),

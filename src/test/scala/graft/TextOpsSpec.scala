@@ -156,6 +156,36 @@ class TextOpsSpec extends AnyFunSuite {
     pinned.foreach(_.unpersist())
   }
 
+  test("quantizer artifact lifecycle: fingerprint staleness check") {
+    import graft.operators.IvfCentroids
+    val dir = java.nio.file.Files.createTempDirectory("ivf_art").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val k = 4
+    // write a (tiny, fake) artifact the way FitQuantizer does
+    val cents = (0 until k).map(i => (i, Seq.fill(3)(i.toDouble)))
+    cents.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids_k$k.parquet")
+    val fp = IvfCentroids.corpusFingerprint(emb)
+    // fingerprint is deterministic and content-sensitive
+    assert(fp == IvfCentroids.corpusFingerprint(emb))
+    val fpOther = IvfCentroids.corpusFingerprint(emb.limit(10))
+    assert(fp != fpOther)
+    // no fingerprint sibling yet → legacy artifact, accepted
+    assert(IvfCentroids.loadArtifact(spark, dir, k, fp).map(_.toSet)
+      .contains(cents.toSet))
+    // matching fingerprint → artifact used
+    Seq(fp).toDF("fp_count", "fp_hash").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/fingerprint_k$k.parquet")
+    assert(IvfCentroids.loadArtifact(spark, dir, k, fp).map(_.toSet)
+      .contains(cents.toSet))
+    // regenerated corpus (different fingerprint) → stale, refused →
+    // forCorpus would fall through to a logged refit
+    assert(IvfCentroids.loadArtifact(spark, dir, k, fpOther).isEmpty)
+    // wrong k still refused independent of fingerprints
+    assert(IvfCentroids.loadArtifact(spark, dir, k + 1, fp).isEmpty)
+    emb.unpersist()
+  }
+
   test("SQL-mode registration: graft functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Seq(("abcdefgh", "abcdefgx")).toDF("a", "b").createOrReplaceTempView("t")
