@@ -45,6 +45,27 @@ object Probe {
         .orderBy("len_bucket").show(30)
       spark.stop(); return
     }
+    if (args.length > 2 && args(1) == "decontam") {
+      // stage-isolated fast-grams A/B: contaminationCheckBloom with the
+      // polyhash oracle kernel vs the xxhash64 production kernel, same
+      // docs + probes, alternating within one JVM (run 0 = warm-up per
+      // side). Quantifies the KERNEL's app-level stage cost and the
+      // survivor delta (P=1e9+7 phantom matches) at stress scale.
+      val probes = spark.read.parquet(args(2))
+      for (rep <- 0 to 2; fast <- Seq(false, true)) {
+        operators.OperatorCaches.releaseAll()
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val contaminated = operators.Corpus
+          .contaminationCheckBloom(docs, probes, n = 5, minMatches = 1,
+            fastGrams = fast)
+          .filter(col("contaminated")).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        if (rep > 0)
+          println(f"decontam fast=$fast rep=$rep: $s%.2f s, contaminated=$contaminated")
+      }
+      spark.stop(); return
+    }
     println("token-length histogram (short docs):")
     docs.select(size(split(col("text"), "\\s+")).as("ntok"))
       .groupBy(when(col("ntok") < 5, col("ntok")).otherwise(lit(5)).as("ntok_bucket"))

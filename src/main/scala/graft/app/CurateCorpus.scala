@@ -44,13 +44,23 @@ object CurateCorpus {
     * docs win, [[Corpus.perSourceCap]]). */
   /** `fastGrams` switches the decontamination stage's gram hashing to
     * the native xxhash64 kernel ([[graft.functions.HashExpressions
-    * .TokenNGramXxHashes]] — 3.5× the oracle-exact polyhash, parity
-    * pinned in HashExprSpec). Collision risk is one-sided and benign
-    * here: a 64-bit gram collision can only ADD a phantom bloom/confirm
-    * match, i.e. drop a clean document as "contaminated" (expected
-    * phantom rate ≪ 1 doc per 10⁹ at web scale); it can never leak a
-    * genuinely contaminated document through. OFF by default — the
-    * polyhash path remains the oracle-checked gate shape. */
+    * .TokenNGramXxHashes]] — 3.5× the oracle-exact polyhash on the
+    * hashing kernel, parity pinned in HashExprSpec at gate scale).
+    *
+    * Collision asymmetry, measured at 500 k docs / 2 k probes
+    * (STRESS.md round 10): in EITHER family a gram-hash collision can
+    * only ADD a phantom match (drop a clean doc as "contaminated"),
+    * never leak a contaminated doc through — but the RATES differ by
+    * ~2³⁴. The polyhash's oracle-SQL-expressible modulus (P = 1e9+7,
+    * ~2³⁰ space) enters the birthday regime around 10⁵ probe grams:
+    * with minMatches = 1 it phantom-flagged 1 786 clean docs (44 % of
+    * its flags) where the 2⁶⁴ xxhash64 space flagged zero phantoms
+    * (fast survivor set was a strict SUPERSET, confirmed by set
+    * algebra: slow-only survivors = 0). At production scale the fast
+    * path is therefore both faster AND more accurate; the polyhash
+    * stays the default only because it is the DuckDB-mirrorable gate
+    * shape (the small modulus is exactly what keeps the oracle SQL's
+    * `(h*31+c) % P` inside BIGINT). */
   def run(docs: DataFrame, probes: DataFrame, outDir: String,
       sampleKeepOf: Map[String, Long] = Map.empty,
       sampleDefaultKeep: Long = 20L, sampleMod: Long = 20L,
@@ -158,9 +168,14 @@ object CurateCorpus {
     val probes =
       if (args.length > 2) spark.read.parquet(args(2))
       else Seq.empty[String].toDF("text")
-    // production knob (see run()'s scaladoc): phantom-dup-only risk,
-    // decontamination gram hashing on the 3.5× xxhash64 kernel
-    val fast = sys.env.get("SPARK_GRAFT_FAST_GRAMS").contains("1")
+    // Default ON for the production app (see run()'s scaladoc + the
+    // STRESS.md round-10 measurement): at production scale the
+    // xxhash64 grams are both faster and phantom-free, while the
+    // polyhash family's 2³⁰ modulus phantom-flags clean docs past
+    // ~10⁵ probe grams. SPARK_GRAFT_FAST_GRAMS=0 forces the
+    // oracle-family hashing (the gate shape, bit-identical to the
+    // DuckDB-mirrorable path) for parity debugging.
+    val fast = !sys.env.get("SPARK_GRAFT_FAST_GRAMS").contains("0")
     val counts = run(docs, probes, args(1), fastGrams = fast)
     println(s"[curate] $counts")
     spark.stop()

@@ -652,8 +652,12 @@ object HashExpressions {
     * than the polyhash oracle, so operators keep the exact path as
     * default and offer this behind `fastGrams`; span-dedup /
     * decontamination OUTPUT is identical on collision-free inputs
-    * (CorpusSpec pins parity). Works on the raw UTF8String — no
-    * String materialization at all. */
+    * (CorpusSpec pins parity at gate scale). Beyond ~10⁵ grams the
+    * polyhash's 2³⁰ modulus hits the birthday regime and phantom-
+    * matches where this 2⁶⁴ family does not — measured at 500 k docs
+    * in STRESS.md round 10 (the fast path's survivor set was a strict
+    * superset; the delta was 100 % polyhash phantoms). Works on the
+    * raw UTF8String — no String materialization at all. */
   case class TokenNGramXxHashes(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(StringType)
