@@ -52,6 +52,17 @@ class UsageApiSpec extends AnyFunSuite {
     assert(resp.cluster == "c1")
   }
 
+  test("counter query types flow through usage() (long sums, app.rb numbers)") {
+    // started/finished sum to LONG — the response extraction must be
+    // numeric-type-agnostic (getDouble on a long sum throws; caught by
+    // the round-10 latency harness running all 23 types)
+    val api = new UsageApi(fact)
+    val resp = api.usage(UsageRequest("c1", Seq("alice", "bob"),
+      Seq("carol"), "totalStarted", "DAYS", "UTC", jan1, jan1 + 6 * D))
+    assert(resp.users(0).data.sum > 0.0) // alice started jobs
+    assert(resp.usersAggregated.sum > 0.0) // carol's counted too
+  }
+
   test("memo cache returns identical object; invalidate clears") {
     val api = new UsageApi(fact)
     val req = UsageRequest("c1", Seq("alice"), Nil, "minutesTotal",
