@@ -143,21 +143,22 @@ object StreamSoak {
       } finally q.stop()
     }
 
+    // Vocabulary must be LARGE (64k hashed words): a tiny shared
+    // vocab makes every doc-pair's token jaccard ~0.5 and the soak
+    // quadratic by data design (the STRESS.md token-jaccard
+    // degeneracy). With 64k words, unrelated docs share ~0 tokens;
+    // the id-overlap twins (identical text by construction) provide
+    // the guaranteed matches.
+    def synthDocs(from: Long, until: Long) = spark.range(from, until)
+      .withColumn("doc_id", col("id"))
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(0), lit(79)),
+          i => concat(lit("w"),
+            pmod(xxhash64(col("id") * 131 + i * 7, i), lit(65536L))))))
+      .select("doc_id", "text")
+
     // ---------------- near-dup soak -------------------------------- //
     if (only.isEmpty || "neardup_soak".contains(only)) {
-      // Vocabulary must be LARGE (64k hashed words): a tiny shared
-      // vocab makes every doc-pair's token jaccard ~0.5 and the soak
-      // quadratic by data design (the STRESS.md token-jaccard
-      // degeneracy). With 64k words, unrelated docs share ~0 tokens;
-      // the id-overlap twins (identical text by construction) provide
-      // the guaranteed matches.
-      def synthDocs(from: Long, until: Long) = spark.range(from, until)
-        .withColumn("doc_id", col("id"))
-        .withColumn("text",
-          concat_ws(" ", transform(sequence(lit(0), lit(79)),
-            i => concat(lit("w"),
-              pmod(xxhash64(col("id") * 131 + i * 7, i), lit(65536L))))))
-        .select("doc_id", "text")
       val corpus = synthDocs(0, nDocs)
       val idx = graft.streaming.StreamingNearDup.indexSignatures(corpus)
         .cache()
@@ -193,6 +194,175 @@ object StreamSoak {
           s"self-matches missing: $out < $nStream") // each doc matches its corpus twin
       } finally q.stop()
       idx.unpersist()
+    }
+
+    // ---------------- skewed soaks (Zipfian dup families) ---------- //
+    // The batch scale campaign proved skew — not volume — is where
+    // dedup plans die (STRESS.md: the sf10skew shuffle-hash OOM). The
+    // uniform soaks above never exercise that: synthDocs makes every
+    // band bucket ~unit-sized. These stages re-run the streaming dedup
+    // surface against the campaign's corpus shape (gen_skew.py
+    // semantics, in-Scala): near-duplicate FAMILIES with Zipf sizes
+    // size_k = C/k^1.1, the largest ~25% of the skewed mass, members
+    // mutating ~5% of their family template's tokens (above the 0.5
+    // jaccard threshold: P(5-gram shingle shared) ≈ 0.95^10 ≈ 0.60).
+    if (only.isEmpty || "skew_neardup_soak".contains(only) ||
+        "skew_dedup_soak".contains(only)) {
+
+      def zipfSizes(total: Long, s: Double): Seq[Long] = {
+        val c = total / 4.0 // largest family ~ a quarter of skewed mass
+        val out = scala.collection.mutable.ListBuffer.empty[Long]
+        var k = 1; var acc = 0L
+        while (acc < total) {
+          val remaining = total - acc
+          val sz = math.min(math.max(3L, (c / math.pow(k, s)).toLong),
+            remaining)
+          out += sz; acc += sz; k += 1
+        }
+        out.toSeq
+      }
+
+      /** (fam, member) rows for one generation of every family.
+        * memberBase offsets member ids so a later generation (the
+        * streaming increment) never reuses a corpus member id. */
+      def familyMembers(sizes: Seq[Long], scale: Double,
+          memberBase: Long): DataFrame =
+        sizes.zipWithIndex
+          .map { case (sz, fam) =>
+            (fam.toLong, math.max(3L, (sz * scale).toLong)) }
+          .toDF("fam", "sz")
+          .select(col("fam"),
+            explode(sequence(lit(memberBase),
+              lit(memberBase) + col("sz") - 1)).as("member"))
+
+      /** Member text: 80 tokens from the family template (64k hashed
+        * vocab keyed by fam — families are mutually dissimilar), each
+        * position mutated to a member-unique token with p=5%. */
+      def familyText(fam: org.apache.spark.sql.Column,
+          member: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(sequence(lit(0), lit(79)), p => {
+          val tpl = concat(lit("w"),
+            pmod(xxhash64(fam * 1315423911L + p * 7, p), lit(65536L)))
+          val mut = concat(lit("q"),
+            pmod(xxhash64(fam, member, p), lit(16777216L)))
+          when(pmod(xxhash64(fam, member, p, lit(42)), lit(100)) < 5, mut)
+            .otherwise(tpl)
+        }))
+
+      val frac = 0.15
+      val target = (nDocs * frac).toLong
+      val sizes = zipfSizes(target, 1.1)
+
+      if (only.isEmpty || "skew_neardup_soak".contains(only)) {
+        // corpus: uniform prefix + one generation of every family
+        val uniform = synthDocs(0, nDocs - target)
+        val famDocs = familyMembers(sizes, 1.0, 0L)
+          .withColumn("doc_id",
+            lit(nDocs - target) +
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("fam", "member")) - 1)
+          .select(col("doc_id"), familyText(col("fam"), col("member")).as("text"))
+        val corpus = uniform.unionByName(famDocs)
+        val idx = graft.streaming.StreamingNearDup.indexSignatures(corpus)
+          .cache()
+        idx.count()
+
+        // increment: a NEW generation of the same families, scaled to
+        // 10% — family 1 keeps its 25% mass share in the increment, so
+        // the stream-static band join sees the campaign's worst bucket
+        val incFam = familyMembers(sizes, 0.1, 1000000L)
+          .withColumn("doc_id",
+            lit(10000000L) +
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("fam", "member")))
+          .select(col("doc_id"), familyText(col("fam"), col("member")).as("text"))
+        val nInc = incFam.count()
+        val in = Files.createTempDirectory("soak_sknd_in")
+        val ckpt = Files.createTempDirectory("soak_sknd_ck")
+        incFam.write.parquet(in.toString + "/b1")
+        val stream = spark.readStream.schema(corpus.schema)
+          .option("path", in.toString + "/*").format("parquet").load()
+        // noop sink + observe(): the match volume here is Zipf-head
+        // sized (~10⁶ rows/batch) — a memory sink would hold it all on
+        // the driver; CollectMetrics counts it in-plan instead
+        val matches = graft.streaming.StreamingNearDup
+          .nearDupAgainstIndex(stream, idx, threshold = 0.5)
+          .observe("skew_nd", count(lit(1)).as("n"))
+        val q = matches.writeStream.outputMode("append")
+          .format("noop")
+          .option("checkpointLocation", ckpt.toString).start()
+        try {
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val s = (System.nanoTime() - t0) / 1e9
+          val out = q.recentProgress.flatMap(p =>
+            Option(p.observedMetrics.get("skew_nd")).map(_.getLong(0))).sum
+          val nStateOps = Option(q.lastProgress)
+            .map(_.stateOperators.length).getOrElse(-1)
+          emit("skew_neardup_soak",
+            "corpus_docs" -> nDocs, "families" -> sizes.length,
+            "largest_family" -> sizes.head, "stream_docs" -> nInc,
+            "sec" -> f"$s%.2f", "docs_per_sec" -> (nInc / s).toLong,
+            "matches" -> out, "state_operators" -> nStateOps)
+          require(nStateOps == 0,
+            s"skewed near-dup stream grew a state store: $nStateOps")
+          // every increment member has a full corpus generation of its
+          // family; family 1 alone guarantees ≥ its increment size
+          require(out >= nInc,
+            s"family matches missing: $out < $nInc")
+        } finally q.stop()
+        idx.unpersist()
+      }
+
+      if (only.isEmpty || "skew_dedup_soak".contains(only)) {
+        // exact-dedup stream where ONE content hash carries 25% of the
+        // mass (the Zipfian head as ingest sees it: a boilerplate page
+        // re-crawled constantly). State must stay O(distinct-in-window)
+        // — the hot hash is ONE state row no matter its multiplicity.
+        val nStream = nDocs
+        val hot = (nStream / 4).toLong
+        val in = Files.createTempDirectory("soak_skdd_in")
+        val ckpt = Files.createTempDirectory("soak_skdd_ck")
+        val baseMs = 1700000000000L
+        val feed = spark.range(nStream)
+          .withColumn("doc_id", col("id"))
+          .withColumn("text",
+            when(col("id") < hot, lit("the boilerplate license page"))
+              .otherwise(concat(lit("unique doc "), col("id"))))
+          .withColumn("ts",
+            timestamp_millis(lit(baseMs) + col("id") * 3))
+          .select("doc_id", "text", "ts")
+        feed.write.parquet(in.toString + "/b1")
+        val stream = spark.readStream.schema(feed.schema)
+          .option("path", in.toString + "/*").format("parquet").load()
+        val survivors = graft.streaming.StreamingDedup
+          .dedupByContent(stream, "ts", latenessMs = 3600000L)
+          .observe("skew_dd", count(lit(1)).as("n"))
+        val q = survivors.writeStream.outputMode("append")
+          .format("noop")
+          .option("checkpointLocation", ckpt.toString).start()
+        try {
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val s = (System.nanoTime() - t0) / 1e9
+          val out = q.recentProgress.flatMap(p =>
+            Option(p.observedMetrics.get("skew_dd")).map(_.getLong(0))).sum
+          val state = stateRows(q)
+          val bytes = stateBytes(q)
+          val distinct = nStream - hot + 1
+          emit("skew_dedup_soak",
+            "stream_docs" -> nStream, "hot_copies" -> hot,
+            "distinct_hashes" -> distinct,
+            "sec" -> f"$s%.2f", "docs_per_sec" -> (nStream / s).toLong,
+            "survivors" -> out, "state_rows" -> state,
+            "state_bytes" -> bytes)
+          require(out == distinct,
+            s"survivors $out != distinct $distinct")
+          // the hot hash must be ONE row: state O(distinct), not O(rows)
+          require(state <= distinct + 1,
+            s"state rows $state exceed distinct hashes $distinct")
+        } finally q.stop()
+      }
     }
 
     // ---------------- ann soak ------------------------------------- //
