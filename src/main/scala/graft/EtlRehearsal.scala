@@ -112,14 +112,17 @@ object EtlRehearsal {
     // ---- full run + Avro export ------------------------------------- //
     val t0 = System.nanoTime()
     ProcessLogs.run(spark, cfg)
+    val runSec = (System.nanoTime() - t0) / 1e9
     val fact = spark.read.parquet(s"$outRoot/usage")
+    val tAv = System.nanoTime()
     ProcessLogs.exportUsageAvro(fact, avroRoot)
+    val avroSec = (System.nanoTime() - tAv) / 1e9
     val fullSec = (System.nanoTime() - t0) / 1e9
     val factRows = fact.count()
     val jobRows = spark.read.parquet(s"$outRoot/jobs").count()
     require(jobRows == clusters.size.toLong * days.size * jobsPerDay,
       s"expected ${clusters.size * days.size * jobsPerDay} jobs, got $jobRows")
-    println(f"""{"phase":"full_run","lines":$totalLines,"sec":$fullSec%.1f,"lines_per_sec":${(totalLines / fullSec).toLong},"jobs":$jobRows,"fact_rows":$factRows}""")
+    println(f"""{"phase":"full_run","lines":$totalLines,"sec":$fullSec%.1f,"run_sec":$runSec%.1f,"avro_export_sec":$avroSec%.1f,"lines_per_sec":${(totalLines / fullSec).toLong},"jobs":$jobRows,"fact_rows":$factRows}""")
 
     // snapshot per-partition latest mtime for jobs + usage
     def partitionMtimes(root: String): Map[String, Long] = {

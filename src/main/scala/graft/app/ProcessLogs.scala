@@ -37,7 +37,13 @@ object ProcessLogs {
       clusters: Seq[String],
       numDays: Int = 100,       // base.properties:17
       numDaysForced: Int = 5,   // base.properties:21
-      today: LocalDate = null)
+      today: LocalDate = null,
+      /** Output files per (cluster, date) dir for the jobs table —
+        * the write-parallelism ↔ small-files dial. 4 keeps a big
+        * day's write parallel while bounding file count at
+        * days × filesPerDay (vs days × shuffle-tasks without the
+        * pre-write repartition). */
+      filesPerDay: Int = 4)
 
   /** Day-partition glob for one cluster+date (all queues). */
   private def dayGlob(logsRoot: String, cluster: String, d: LocalDate): String =
@@ -101,11 +107,19 @@ object ProcessLogs {
       val confDirs = existingGlobs(
         spark, days.map(d => dayGlob(cfg.logsRoot, cluster, d)))
       if (confDirs.nonEmpty) {
-        confDirs
-          .map(g => ConfParsing.parseConfDir(g, cluster).toDF())
-          .reduce(_ unionAll _)
+        // ONE multi-path binaryFile load, not one load per day: each
+        // load() costs a driver analysis + listing + _spark_metadata
+        // probe (~0.15 s), and a window is O(100) days — the per-day
+        // form was ~2/3 of the 100-day rehearsal's conf-stage wall
+        ConfParsing.parseConfDirs(confDirs, cluster).toDF()
           .withColumn("date", to_date(regexp_extract(col("path"),
             "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
+          // trade the reference's map-only shape for a cheap date
+          // shuffle: pins files/day-dir at filesPerDay instead of
+          // read-tasks-touching-that-day (same small-files fix as the
+          // jobs write below)
+          .repartition(col("date"),
+            pmod(hash(col("path")), lit(cfg.filesPerDay)))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cluster", "date")
@@ -117,6 +131,14 @@ object ProcessLogs {
       jobs.toDF()
         .withColumn("date", to_date(timestamp_millis(
           coalesce(col("submitTime"), col("launchTime"), col("finishTime")))))
+        // pin files/day-dir: the assembly shuffle is keyed on jobId, so
+        // without this every task holds every day and the write emits
+        // tasks × days small files (measured 6 040 files for 142 MB in
+        // the 100-day rehearsal — the dominant remaining fixed cost).
+        // filesPerDay salts the repartition so a big day still writes
+        // in parallel.
+        .repartition(col("date"),
+          pmod(hash(col("jobId")), lit(cfg.filesPerDay)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster", "date")
@@ -133,27 +155,20 @@ object ProcessLogs {
     * under `<avroRoot>/<cluster>/<yyyy>/<MMdd>/`, the per-day output
     * dirs of `ComputeUsagePerHour.java:120-174` — so a LIVE
     * white-elephant server's loader ingests our output with no
-    * changes. One small write job per (cluster, day), mirroring the
-    * reference's own per-day job structure; the day count is bounded
-    * by the processing window (numDays), not data volume. The inverse
-    * (ingesting an existing deployment's history) is
+    * changes. One Spark job for the whole window
+    * ([[graft.sources.AvroKv.writeUsageFactByDay]]: shuffle on
+    * (cluster, date), one committed container per day group). The
+    * inverse (ingesting an existing deployment's history) is
     * [[graft.sources.AvroKv.readUsageFact]] on the same root. */
-  def exportUsageAvro(fact: DataFrame, avroRoot: String): Unit = {
-    val spark = fact.sparkSession
-    import spark.implicits._
-    val withDay = fact.withColumn("date",
-      to_date(timestamp_millis(col("time"))))
-    val days = withDay.select(col("cluster"), col("date"))
-      .distinct().as[(String, java.sql.Date)].collect()
-    days.foreach { case (cluster, date) =>
-      val d = date.toLocalDate
-      val dir = f"$avroRoot/$cluster/${d.getYear}%04d/${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
-      graft.sources.AvroKv.writeUsageFact(
-        withDay.filter(col("cluster") === cluster && col("date") === lit(date))
-          .drop("date"),
-        dir)
-    }
-  }
+  def exportUsageAvro(fact: DataFrame, avroRoot: String): Unit =
+    // ONE Spark job for all (cluster, day) containers — the old
+    // driver loop ran one full-fact-filter job per day (O(days × fact)
+    // scans + ~0.3 s job fixed cost each: the measured ~60 s of the
+    // 100-day rehearsal's 80 s wall, STRESS.md round 10)
+    graft.sources.AvroKv.writeUsageFactByDay(
+      fact.withColumn("date",
+        to_date(timestamp_millis(col("time")))),
+      avroRoot)
 
   /** J4: enrich merged jobs with their configuration (the latent join
     * the reference documents but never executes — README "Hadoop

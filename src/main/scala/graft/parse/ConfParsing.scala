@@ -53,11 +53,20 @@ object ConfParsing {
   /** Distributed conf ETL: directory of XML files → Dataset[JobConfRec].
     * Map-only (no shuffle) like the reference's `setNumReduceTasks(0)`. */
   def parseConfDir(dir: String, cluster: String)(
+      implicit spark: SparkSession): Dataset[JobConfRec] =
+    parseConfDirs(Seq(dir), cluster)
+
+  /** Multi-directory form — ONE load()/listing for a whole day window.
+    * A window is O(100) day dirs and each separate load() pays a
+    * driver analysis + listing + `_spark_metadata` probe; per-day
+    * loads made the conf stage O(days) driver fixed cost
+    * (STRESS.md round-10 ETL rehearsal). */
+  def parseConfDirs(dirs: Seq[String], cluster: String)(
       implicit spark: SparkSession): Dataset[JobConfRec] = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xml")
-      .load(dir)
+      .load(dirs: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) => parseConfXml(path, cluster, bytes) }

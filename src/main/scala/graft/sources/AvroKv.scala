@@ -352,40 +352,106 @@ object AvroKv {
         val value = new Schema.Parser().parse(valueJson)
         val fs = new Path(dir).getFileSystem(conf.value)
         writeCommitted(fs, dir, pid) { out =>
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](pair))
-        codecFor(codec).foreach(w.setCodec)
-        w.create(pair, out)
-        it.foreach { r =>
-          val k = new GenericData.Record(key)
-          k.put("user", r.getString(0))
-          k.put("time", r.getLong(1))
-          k.put("unit", new GenericData.EnumSymbol(
-            key.getField("unit").schema(), "HOURS"))
-          k.put("cluster", r.getString(2))
-          k.put("excess", r.getBoolean(3))
-          k.put("type", new GenericData.EnumSymbol(
-            key.getField("type").schema(), r.getString(4)))
-          k.put("status", new GenericData.EnumSymbol(
-            key.getField("status").schema(), r.getString(5)))
-          val v = new GenericData.Record(value)
-          v.put("started", r.getInt(6))
-          v.put("finished", r.getInt(7))
-          v.put("elapsedMinutes", r.getDouble(8))
-          v.put("cpuMinutes", if (r.isNullAt(9)) null
-            else java.lang.Double.valueOf(r.getDouble(9)))
-          // our fact carries spilledRecords as double (SUM over longs);
-          // the reference field is long — exact for counter sums
-          v.put("spilledRecords", if (r.isNullAt(10)) null
-            else java.lang.Long.valueOf(r.getDouble(10).toLong))
-          v.put("reduceShuffleBytes", if (r.isNullAt(11)) null
-            else java.lang.Long.valueOf(r.getLong(11)))
-          val rec = new GenericData.Record(pair)
-          rec.put("key", k)
-          rec.put("value", v)
-          w.append(rec)
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](pair))
+          codecFor(codec).foreach(w.setCodec)
+          w.create(pair, out)
+          it.foreach(r => w.append(usageRecord(pair, key, value, r, 0)))
+          w.close()
         }
-        w.close()
+      }
+    }
+  }
+
+  /** Encode one usage-fact row (the 12 [[writeUsageFact]] columns
+    * starting at `off`) as the reference's AttemptStatsKey/Value pair
+    * record. */
+  private def usageRecord(pair: Schema, key: Schema, value: Schema,
+      r: Row, off: Int): GenericRecord = {
+    val k = new GenericData.Record(key)
+    k.put("user", r.getString(off))
+    k.put("time", r.getLong(off + 1))
+    k.put("unit", new GenericData.EnumSymbol(
+      key.getField("unit").schema(), "HOURS"))
+    k.put("cluster", r.getString(off + 2))
+    k.put("excess", r.getBoolean(off + 3))
+    k.put("type", new GenericData.EnumSymbol(
+      key.getField("type").schema(), r.getString(off + 4)))
+    k.put("status", new GenericData.EnumSymbol(
+      key.getField("status").schema(), r.getString(off + 5)))
+    val v = new GenericData.Record(value)
+    v.put("started", r.getInt(off + 6))
+    v.put("finished", r.getInt(off + 7))
+    v.put("elapsedMinutes", r.getDouble(off + 8))
+    v.put("cpuMinutes", if (r.isNullAt(off + 9)) null
+      else java.lang.Double.valueOf(r.getDouble(off + 9)))
+    // our fact carries spilledRecords as double (SUM over longs);
+    // the reference field is long — exact for counter sums
+    v.put("spilledRecords", if (r.isNullAt(off + 10)) null
+      else java.lang.Long.valueOf(r.getDouble(off + 10).toLong))
+    v.put("reduceShuffleBytes", if (r.isNullAt(off + 11)) null
+      else java.lang.Long.valueOf(r.getLong(off + 11)))
+    val rec = new GenericData.Record(pair)
+    rec.put("key", k)
+    rec.put("value", v)
+    rec
+  }
+
+  /** Per-day reference-layout export in ONE Spark job: the fact (which
+    * must carry a DateType `date` column) is hash-repartitioned on
+    * (cluster, date) — every (cluster, day) lands WHOLLY in one task —
+    * and sorted within partitions, so each task stream-groups its rows
+    * and commits one `part-r-NNNNN.avro` container per (cluster, day)
+    * group into `<avroRoot>/<cluster>/<yyyy>/<MMdd>/` (the
+    * `ComputeUsagePerHour.java:120-174` layout).
+    *
+    * Why not a driver loop of [[writeUsageFact]] per day: that is one
+    * Spark job PER (cluster, day), each re-scanning the whole fact for
+    * its filter — O(days × fact) work and O(days) job fixed costs. The
+    * 100-day ETL rehearsal measured it as ~60 s of its 80 s wall
+    * (STRESS.md round 10); this form is one shuffle of the fact. Same
+    * speculation-safe tmp+rename commit per container. */
+  def writeUsageFactByDay(fact: DataFrame, avroRoot: String,
+      codec: String = "deflate"): Unit = {
+    import org.apache.spark.sql.functions.col
+    codecFor(codec) // validate driver-side, before any job launches
+    val spark = fact.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pairJson = usagePairSchemaJson
+    val keyJson = StatsKeySchemaJson
+    val valueJson = StatsValueSchemaJson
+    val cols = Seq("date", "user", "time", "cluster", "excess", "taskType",
+      "status", "started", "finished", "elapsedMinutes", "cpuMinutes",
+      "spilledRecords", "reduceShuffleBytes")
+    val prepared = fact.selectExpr(cols: _*)
+      .repartition(col("cluster"), col("date"))
+      .sortWithinPartitions("cluster", "date")
+    val root = avroRoot
+    prepared.rdd.foreachPartition { (it0: Iterator[Row]) =>
+      if (it0.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pair = new Schema.Parser().parse(pairJson)
+        val key = new Schema.Parser().parse(keyJson)
+        val value = new Schema.Parser().parse(valueJson)
+        val fs = new Path(root).getFileSystem(conf.value)
+        val it = it0.buffered
+        while (it.hasNext) {
+          val cluster = it.head.getString(3)
+          val date = it.head.getDate(0)
+          val d = date.toLocalDate
+          val dir = f"$root/$cluster/${d.getYear}%04d/${d.getMonthValue}%02d${d.getDayOfMonth}%02d"
+          fs.mkdirs(new Path(dir))
+          writeCommitted(fs, dir, pid) { out =>
+            val w = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](pair))
+            codecFor(codec).foreach(w.setCodec)
+            w.create(pair, out)
+            while (it.hasNext && it.head.getString(3) == cluster &&
+                it.head.getDate(0) == date)
+              w.append(usageRecord(pair, key, value, it.next(), 1))
+            w.close()
+          }
         }
       }
     }

@@ -57,10 +57,21 @@ object UsageEtl {
 
   /** Write the fact table partitioned like the reference's
     * `<cluster>/<yyyy>/<MMdd>` output layout. Dynamic partition
-    * overwrite = the reference's staged-output atomic rename (S7/T5). */
-  def writeFact(fact: DataFrame, path: String): Unit =
+    * overwrite = the reference's staged-output atomic rename (S7/T5).
+    *
+    * The repartition pins file count: without it every shuffle task
+    * holds rows of every day (the agg shuffle is keyed on the stats
+    * key, not the date) and the write emits tasks × days small files —
+    * measured 1 140 files for 15 MB in the 100-day rehearsal. One
+    * hash partition per (cluster, date, salt) → `filesPerDay` files
+    * per day dir; raise `filesPerDay` when one day's fact outgrows a
+    * single write task (the post-agg fact is key-cardinality-bounded,
+    * so 1 is right far past sf-rehearsal scale). */
+  def writeFact(fact: DataFrame, path: String, filesPerDay: Int = 1): Unit =
     fact
       .withColumn("date", to_date(timestamp_millis(col("time"))))
+      .repartition(col("cluster"), col("date"),
+        pmod(hash(col("user")), lit(filesPerDay)))
       .write
       .partitionBy("cluster", "date")
       .mode("overwrite")

@@ -197,6 +197,50 @@ class AvroKvSpec extends AnyFunSuite {
     assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
   }
 
+  test("exportUsageAvro: one job, many (cluster, day) containers — group boundaries exact") {
+    // writeUsageFactByDay stream-groups a sorted partition iterator
+    // into one container per (cluster, day); this pins the grouping
+    // against a fact that interleaves 2 clusters × 3 days with
+    // adjacent groups differing in only one of the two keys
+    val day = 86400000L
+    val fact = Seq(
+      ("u1", 3600000L, "alpha", false, "MAP", "SUCCESS", 1, 1, 10.0,
+        None: Option[Double], None: Option[Double], None: Option[Long]),
+      ("u2", 3600000L, "beta", false, "MAP", "SUCCESS", 1, 1, 11.0,
+        None, None, None),
+      ("u3", day + 3600000L, "alpha", false, "REDUCE", "FAILED", 1, 0, 12.0,
+        None, None, None),
+      ("u4", day + 7200000L, "alpha", true, "MAP", "KILLED", 2, 0, 13.0,
+        None, None, None),
+      ("u5", 2 * day + 3600000L, "beta", false, "MAP", "SUCCESS", 1, 1, 14.0,
+        None, None, None))
+      .toDF("user", "time", "cluster", "excess", "taskType", "status",
+        "started", "finished", "elapsedMinutes", "cpuMinutes",
+        "spilledRecords", "reduceShuffleBytes")
+    val root = tmpDir("byday")
+    graft.app.ProcessLogs.exportUsageAvro(fact, root)
+    val expectDirs = Set("alpha/1970/0101", "alpha/1970/0102",
+      "beta/1970/0101", "beta/1970/0103")
+    val got = expectDirs.filter(d =>
+      new java.io.File(s"$root/$d").isDirectory &&
+        new java.io.File(s"$root/$d").listFiles()
+          .exists(_.getName.matches("part-r-\\d{5}\\.avro")))
+    assert(got == expectDirs, s"missing day dirs: ${expectDirs -- got}")
+    // no stray day dirs, no uncommitted .tmp litter (local Hadoop FS
+    // also writes .crc checksum sidecars — those are expected)
+    val all = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filterNot(_.getFileName.toString.endsWith(".crc")).toList
+    assert(all.forall(_.getFileName.toString.matches("part-r-\\d{5}\\.avro")),
+      all.mkString(","))
+    // each container holds exactly its own (cluster, day) rows
+    val a2 = AvroKv.readUsageFact(spark, s"$root/alpha/1970/0102")
+      .select("user").as[String].collect().sorted
+    assert(a2.sameElements(Array("u3", "u4")))
+    val back = AvroKv.readUsageFact(spark, s"$root/*/*/*")
+    assert(back.exceptAll(fact).isEmpty && fact.exceptAll(back).isEmpty)
+  }
+
   /** Reference-layout jobs fixture written by plain Avro: one Job with
     * one attempt whose startTime/finishTime (and derived.minutes) are
     * NULL — exactly what ParseJobsFromLogs.java:717-726 emits when

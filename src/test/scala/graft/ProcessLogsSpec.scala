@@ -7,6 +7,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** End-to-end: fixture log files on disk → ProcessLogs.run → partitioned
   * parquet outputs → serving query (SURVEY.md §7.2 full slice). */
@@ -71,6 +72,21 @@ class ProcessLogsSpec extends AnyFunSuite {
     val series = UsageQueries.aggregated(
       usage, "prod", QueryType.All("minutesTotal"), "HOURS", "UTC")
     assert(series.agg(sum("value")).head().getDouble(0) == 90.0)
+
+    // file-count pin: the pre-write repartition keys each (cluster,
+    // date) to filesPerDay tasks — without it every shuffle task holds
+    // every day and a day dir gets tasks× small files (6 040 files for
+    // 142 MB in the 100-day rehearsal)
+    for (tbl <- Seq("jobs", "usage", "confs")) {
+      val dayDirs = Files.walk(out.resolve(tbl)).iterator()
+        .asScala.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("date=")).toList
+      assert(dayDirs.nonEmpty, s"$tbl: no date partitions")
+      dayDirs.foreach { d =>
+        val n = d.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n <= 4, s"$tbl/$d has $n part files (> filesPerDay)")
+      }
+    }
   }
 
   test("forced-window re-run is idempotent: no duplicate conf/job/usage rows") {
