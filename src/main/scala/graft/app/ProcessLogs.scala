@@ -81,73 +81,90 @@ object ProcessLogs {
     implicitly[org.apache.spark.sql.Encoder[Job]]
   }
 
-  /** Full run: per cluster — confs, jobs, usage — each written as
-    * parquet partitioned by cluster/date with dynamic overwrite. */
+  /** Full run — confs, jobs, usage — each written as parquet
+    * partitioned by cluster/date with dynamic overwrite.
+    *
+    * Fleet shape: incremental planning stays PER CLUSTER (each
+    * cluster's output state differs) but is driver-side metadata only;
+    * every Spark stage below covers the WHOLE fleet in one job, with
+    * the cluster recovered from the input file path
+    * (`<logsRoot>/<cluster>/daily/…`). The earlier per-cluster loop
+    * was an O(clusters) sequential driver cost — at fleet scale
+    * (dozens of clusters) the fixed costs dominate exactly like the
+    * per-day loops this round removed. */
   def run(spark: SparkSession, cfg: Config): Unit = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val today = Option(cfg.today).getOrElse(LocalDate.now())
-    cfg.clusters.foreach { cluster =>
-      val usageOut = s"${cfg.outputRoot}/usage"
-      val plan = IncrementalPlanner.plan(
+    val usageOut = s"${cfg.outputRoot}/usage"
+    val fs = new org.apache.hadoop.fs.Path(usageOut)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clusterDays: Seq[(String, LocalDate)] = cfg.clusters.flatMap { cluster =>
+      IncrementalPlanner.plan(
         today, cfg.numDays, cfg.numDaysForced,
-        d => {
-          val fs = new org.apache.hadoop.fs.Path(usageOut)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.exists(new org.apache.hadoop.fs.Path(
-            usageOut, s"cluster=$cluster/date=$d"))
-        })
-      val days = plan.map(_.date)
+        d => fs.exists(new org.apache.hadoop.fs.Path(
+          usageOut, s"cluster=$cluster/date=$d")))
+        .map(p => cluster -> p.date)
+    }
 
-      // stage 1: job confs (map-only) — written exactly like jobs/
-      // usage: parquet partitioned by cluster/date under DYNAMIC
-      // overwrite, so re-running the forced trailing window (T5)
-      // replaces those day partitions instead of appending duplicate
-      // conf rows (the old per-day append was non-idempotent)
-      val confDirs = existingGlobs(
-        spark, days.map(d => dayGlob(cfg.logsRoot, cluster, d)))
-      if (confDirs.nonEmpty) {
-        // ONE multi-path binaryFile load, not one load per day: each
-        // load() costs a driver analysis + listing + _spark_metadata
-        // probe (~0.15 s), and a window is O(100) days — the per-day
-        // form was ~2/3 of the 100-day rehearsal's conf-stage wall
-        ConfParsing.parseConfDirs(confDirs, cluster).toDF()
-          .withColumn("date", to_date(regexp_extract(col("path"),
-            "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
-          // trade the reference's map-only shape for a cheap date
-          // shuffle: pins files/day-dir at filesPerDay instead of
-          // read-tasks-touching-that-day (same small-files fix as the
-          // jobs write below)
-          .repartition(col("date"),
-            pmod(hash(col("path")), lit(cfg.filesPerDay)))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster", "date")
-          .parquet(s"${cfg.outputRoot}/confs")
-      }
-
-      // stage 2: merged job trees
-      val jobs = parseJobs(spark, cfg, cluster, days)
-      jobs.toDF()
-        .withColumn("date", to_date(timestamp_millis(
-          coalesce(col("submitTime"), col("launchTime"), col("finishTime")))))
-        // pin files/day-dir: the assembly shuffle is keyed on jobId, so
-        // without this every task holds every day and the write emits
-        // tasks × days small files (measured 6 040 files for 142 MB in
-        // the 100-day rehearsal — the dominant remaining fixed cost).
-        // filesPerDay salts the repartition so a big day still writes
-        // in parallel.
-        .repartition(col("date"),
-          pmod(hash(col("jobId")), lit(cfg.filesPerDay)))
+    // stage 1: job confs — ONE multi-path binaryFile load for the
+    // whole fleet's window (each separate load() costs a driver
+    // analysis + listing + _spark_metadata probe, ~0.15 s — the
+    // per-day form was ~2/3 of the 100-day rehearsal's conf-stage
+    // wall). Written like jobs/usage: parquet partitioned by
+    // cluster/date under DYNAMIC overwrite, so re-running the forced
+    // trailing window (T5) replaces those day partitions instead of
+    // appending duplicate conf rows.
+    val confDirs = existingGlobs(spark,
+      clusterDays.map { case (c, d) => dayGlob(cfg.logsRoot, c, d) })
+    if (confDirs.nonEmpty) {
+      ConfParsing.parseConfDirsAuto(confDirs).toDF()
+        .withColumn("date", to_date(regexp_extract(col("path"),
+          "/(\\d{4})/(\\d{2})(\\d{2})/", 0), "/yyyy/MMdd/"))
+        // trade the reference's map-only shape for a cheap shuffle:
+        // pins files/day-dir at filesPerDay instead of
+        // read-tasks-touching-that-day (same small-files fix as the
+        // jobs write below)
+        .repartition(col("cluster"), col("date"),
+          pmod(hash(col("path")), lit(cfg.filesPerDay)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cluster", "date")
-        .parquet(s"${cfg.outputRoot}/jobs")
-
-      // stage 3: hourly usage cube
-      val fact = UsageEtl.usageFact(jobs)
-      UsageEtl.writeFact(fact, usageOut)
+        .parquet(s"${cfg.outputRoot}/confs")
     }
+
+    // stage 2: merged job trees — one textFile read + ONE
+    // (cluster, jobId) shuffle for every selected (cluster, day)
+    val logGlobs = existingGlobs(spark,
+      clusterDays.map { case (c, d) => dayGlob(cfg.logsRoot, c, d) + "/*.log" })
+    val jobs =
+      if (logGlobs.isEmpty) spark.emptyDataset[Job](jobEncoder(spark))
+      else JobAssembly.assembleJobsMulti(
+        spark.read.textFile(logGlobs: _*)
+          .select(regexp_extract(input_file_name(),
+            "([^/]+)/daily/", 1).as("_1"), col("value").as("_2"))
+          .as[(String, String)])
+    jobs.toDF()
+      .withColumn("date", to_date(timestamp_millis(
+        coalesce(col("submitTime"), col("launchTime"), col("finishTime")))))
+      // pin files/day-dir: the assembly shuffle is keyed on jobId, so
+      // without this every task holds every day and the write emits
+      // tasks × days small files (measured 6 040 files for 142 MB in
+      // the 100-day rehearsal — the dominant remaining fixed cost).
+      // filesPerDay salts the repartition so a big day still writes
+      // in parallel.
+      .repartition(col("cluster"), col("date"),
+        pmod(hash(col("jobId")), lit(cfg.filesPerDay)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster", "date")
+      .parquet(s"${cfg.outputRoot}/jobs")
+
+    // stage 3: hourly usage cube (fleet-wide — the stats key carries
+    // the cluster)
+    val fact = UsageEtl.usageFact(jobs)
+    UsageEtl.writeFact(fact, usageOut)
   }
 
   /** S6 interop: write a usage fact ADDITIONALLY in the reference's

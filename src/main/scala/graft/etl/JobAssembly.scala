@@ -238,4 +238,40 @@ object JobAssembly {
         assemble(jobId, cluster, js.result(), ts.result(), as.result())
       }
   }
+
+  /** Multi-cluster assembly in ONE shuffle: lines arrive tagged with
+    * their cluster (derived from the input file path by the caller)
+    * and the group key is (cluster, jobId) — jobIds are only unique
+    * within a cluster (every Hadoop cluster counts `job_<ts>_<seq>`
+    * from its own JobTracker epoch). The per-cluster
+    * [[assembleJobs]] form means one Spark job per cluster — an
+    * O(clusters) sequential driver cost at fleet scale; this form
+    * keeps the whole fleet's window in a single job. */
+  def assembleJobsMulti(lines: Dataset[(String, String)])(
+      implicit spark: SparkSession): Dataset[Job] = {
+    import spark.implicits._
+    val parsed: Dataset[(String, String, Option[JobLine], Option[TaskLine], Option[AttemptLine])] =
+      lines.flatMap { case (cluster, raw) =>
+        LineParsing.parseLine(raw).map {
+          case LineParsing.PJob(j)     => (cluster, j.jobId, Some(j), None, None)
+          case LineParsing.PTask(t)    => (cluster, t.jobId, None, Some(t), None)
+          case LineParsing.PAttempt(a) => (cluster, a.jobId, None, None, Some(a))
+        }
+      }
+    parsed
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, String), it) =>
+        val (cluster, jobId) = key
+        val js = Seq.newBuilder[JobLine]
+        val ts = Seq.newBuilder[TaskLine]
+        val as = Seq.newBuilder[AttemptLine]
+        it.foreach {
+          case (_, _, Some(j), _, _) => js += j
+          case (_, _, _, Some(t), _) => ts += t
+          case (_, _, _, _, Some(a)) => as += a
+          case _                     => ()
+        }
+        assemble(jobId, cluster, js.result(), ts.result(), as.result())
+      }
+  }
 }

@@ -62,6 +62,15 @@ object ConfParsing {
     * loads made the conf stage O(days) driver fixed cost
     * (STRESS.md round-10 ETL rehearsal). */
   def parseConfDirs(dirs: Seq[String], cluster: String)(
+      implicit spark: SparkSession): Dataset[JobConfRec] =
+    parseConfDirsAuto(dirs, _ => cluster)
+
+  /** Fleet form: ONE load over every cluster's day dirs, the cluster
+    * derived from each file's path (reference layout
+    * `<logsRoot>/<cluster>/daily/…` — [[clusterFromPath]]). One Spark
+    * job for the whole fleet instead of one per cluster. */
+  def parseConfDirsAuto(dirs: Seq[String],
+      clusterOf: String => String = clusterFromPath)(
       implicit spark: SparkSession): Dataset[JobConfRec] = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -69,6 +78,15 @@ object ConfParsing {
       .load(dirs: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => parseConfXml(path, cluster, bytes) }
+      .flatMap { case (path, bytes) =>
+        parseConfXml(path, clusterOf(path), bytes) }
   }
+
+  /** Cluster from a reference-layout path: the component before
+    * `/daily/` (`<logsRoot>/<cluster>/daily/<queue>/<yyyy>/<MMdd>/…`).
+    * Works on both plain paths and `file:`/`hdfs:` URIs. */
+  def clusterFromPath(path: String): String =
+    ClusterRx.findFirstMatchIn(path).map(_.group(1)).getOrElse("unknown")
+
+  private val ClusterRx = "([^/]+)/daily/".r
 }
