@@ -98,13 +98,13 @@ object ProcessLogs {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val today = Option(cfg.today).getOrElse(LocalDate.now())
     val usageOut = s"${cfg.outputRoot}/usage"
-    val fs = new org.apache.hadoop.fs.Path(usageOut)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE partition listing for the whole fleet, not clusters × days
+    // sequential exists-RPCs
+    val present = IncrementalPlanner.existingPartitions(spark, usageOut)
     val clusterDays: Seq[(String, LocalDate)] = cfg.clusters.flatMap { cluster =>
       IncrementalPlanner.plan(
         today, cfg.numDays, cfg.numDaysForced,
-        d => fs.exists(new org.apache.hadoop.fs.Path(
-          usageOut, s"cluster=$cluster/date=$d")))
+        d => present((cluster, d.toString)))
         .map(p => cluster -> p.date)
     }
 

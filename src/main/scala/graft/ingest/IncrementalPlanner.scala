@@ -38,4 +38,23 @@ object IncrementalPlanner {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     d => fs.exists(new Path(outputRoot, s"date=$d"))
   }
+
+  /** One-listing fleet form: a single two-level partition glob
+    * (cluster=STAR/date=STAR) replaces
+    * O(clusters × days) sequential `fs.exists` round-trips (each a
+    * NameNode RPC — a 50-cluster × 100-day window is 5 000 serial RPCs
+    * of driver time before any job starts). Returns the (cluster,
+    * date-string) partitions present; feed
+    * `d => present((cluster, d.toString))` to [[plan]]. */
+  def existingPartitions(spark: SparkSession,
+      outputRoot: String): Set[(String, String)] = {
+    val fs = new Path(outputRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new Path(outputRoot, "cluster=*/date=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map { st =>
+        (st.getPath.getParent.getName.stripPrefix("cluster="),
+          st.getPath.getName.stripPrefix("date="))
+      }.toSet
+  }
 }

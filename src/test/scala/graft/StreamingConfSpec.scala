@@ -111,6 +111,21 @@ class StreamingConfSpec extends AnyFunSuite {
     assert(dates.contains(LocalDate.of(2024, 1, 22)))
   }
 
+  test("incremental planner: one-listing fleet partition set") {
+    val root = java.nio.file.Files.createTempDirectory("planner_fleet")
+    for ((c, d) <- Seq(("alpha", "2024-01-01"), ("alpha", "2024-01-03"),
+        ("beta", "2024-01-02")))
+      java.nio.file.Files.createDirectories(
+        root.resolve(s"cluster=$c/date=$d"))
+    val present =
+      IncrementalPlanner.existingPartitions(spark, root.toString)
+    assert(present == Set(("alpha", "2024-01-01"), ("alpha", "2024-01-03"),
+      ("beta", "2024-01-02")))
+    // missing root → empty set, no throw (first-ever run)
+    assert(IncrementalPlanner.existingPartitions(
+      spark, root.resolve("nope").toString).isEmpty)
+  }
+
   test("multimodal: batch feature extraction over binary column") {
     val media = Seq((1L, "hello".getBytes("UTF-8")), (2L, Array.emptyByteArray))
       .toDF("doc_id", "media")
