@@ -35,9 +35,14 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     load_warn()
     runs = []
+    save_dir = os.environ.get("BENCH3_SAVE_DIR")
     for i in range(n):
         r = one_run(sf_dir)
         print(f"run {i+1}/{n}: total {r['value']:.1f}s", file=sys.stderr)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            with open(f"{save_dir}/run{i+1}.json", "w") as f:
+                json.dump(r, f)
         runs.append(r)
     queries = {q: statistics.median(r["queries"][q] for r in runs)
                for q in runs[0]["queries"]}
