@@ -168,14 +168,23 @@ object CurateCorpus {
     val probes =
       if (args.length > 2) spark.read.parquet(args(2))
       else Seq.empty[String].toDF("text")
-    // Default ON for the production app (see run()'s scaladoc + the
-    // STRESS.md round-10 measurement): at production scale the
-    // xxhash64 grams are both faster and phantom-free, while the
+    // Config-VERSIONED kernel selection (RELEASE_NOTES.md "curate v2"):
+    // v2 (the default) hashes decontamination grams with xxhash64 —
+    // at production scale both faster and phantom-free, while the v1
     // polyhash family's 2³⁰ modulus phantom-flags clean docs past
-    // ~10⁵ probe grams. SPARK_GRAFT_FAST_GRAMS=0 forces the
-    // oracle-family hashing (the gate shape, bit-identical to the
-    // DuckDB-mirrorable path) for parity debugging.
-    val fast = !sys.env.get("SPARK_GRAFT_FAST_GRAMS").contains("0")
+    // ~10⁵ probe grams (STRESS.md round 10). v2 output is NOT
+    // byte-identical to v1: previously phantom-dropped docs survive,
+    // so consumers expecting reproducible v1 corpora must pin
+    // SPARK_GRAFT_CURATE_V=1 (or re-baseline). SPARK_GRAFT_FAST_GRAMS
+    // (=0 oracle polyhash / =1 xxhash64) force-overrides either
+    // version for parity debugging — the gate shape stays the
+    // DuckDB-mirrorable polyhash path.
+    val ver = sys.env.getOrElse("SPARK_GRAFT_CURATE_V", "2")
+    require(ver == "1" || ver == "2", s"SPARK_GRAFT_CURATE_V must be 1 or 2, got $ver")
+    val fast = sys.env.get("SPARK_GRAFT_FAST_GRAMS") match {
+      case Some(v) => v != "0"
+      case None    => ver != "1"
+    }
     val counts = run(docs, probes, args(1), fastGrams = fast)
     println(s"[curate] $counts")
     spark.stop()

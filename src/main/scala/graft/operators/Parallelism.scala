@@ -28,6 +28,12 @@ object Parallelism {
   def logDispatch(op: String, detail: String): Unit =
     System.err.println(s"[graft.dispatch] $op: $detail")
 
+  /** Default per-task pair budget for [[saltedBlockJoin]] — exposed so
+    * a caller that passes a `pairBound` can predict whether the
+    * zero-stats-job escape will fire (bound ≤ this) and adapt its own
+    * pre-materialization accordingly (see Similarity.lshTopK). */
+  val DefaultTargetPairsPerTask = 20000000L
+
   /** Whether a shuffled-hash join with `totalBuildRows` wide build
     * rows provably fits the executor's execution pool. A task's build
     * is its whole shuffle PARTITION (every bucket hashed there, ≈
@@ -152,7 +158,7 @@ object Parallelism {
     * it matters. Escape correctness is unconditional:
     * join(blockCols) ≡ join(blockCols, salt=0) for any r ≥ 1. */
   def saltedBlockJoin(a: DataFrame, b: DataFrame, blockCols: Seq[String],
-      saltKeyA: String, targetPairsPerTask: Long = 20000000L,
+      saltKeyA: String, targetPairsPerTask: Long = DefaultTargetPairsPerTask,
       shuffleHashBuild: Boolean = false,
       buildRowBytes: Long = 0L,
       pairBound: Long = -1L,

@@ -476,17 +476,30 @@ object Similarity {
     // saltedBlockJoin's eager dispatch stats AND both join sides read
     // it, so the projection pipeline runs once per call instead of
     // three times — norms ride along pre-explode so they are computed
-    // once per vector, not once per band row. No separate count():
-    // the dispatch pre-pass's synchronous .head is the first action
-    // and fully populates the cache BEFORE the join stages are
-    // scheduled, so the concurrent-stages cache-miss race that forces
-    // minHashBandRel's eager count cannot occur here — and q41 calls
-    // this three times, so a redundant materialization job per call is
-    // measurable fixed latency at gate scale.
+    // once per vector, not once per band row. No separate count() on
+    // the STATS path: the dispatch pre-pass's synchronous .head is the
+    // first action and fully populates the cache BEFORE the join
+    // stages are scheduled, so the concurrent-stages cache-miss race
+    // that forces minHashBandRel's eager count cannot occur there —
+    // and q41 calls this three times, so a redundant materialization
+    // job per call is measurable fixed latency at gate scale. BUT when
+    // the pairBound escape fires (computed below), saltedBlockJoin
+    // returns a plain join with NO eager action, and the probe/index
+    // input stages schedule concurrently against a cold cache — both
+    // sides would recompute the nPlanes-fold projection. The escape
+    // implies n² ≤ targetPairsPerTask, i.e. a few-thousand-row corpus,
+    // so the eager count paid only on that path is negligible.
     val sigs = lshSigRel(embeddings, nPlanes, nBands)
       .withColumn("nrm", l2Norm(col("embedding")))
       .cache()
     pin(sigs)
+    val n = if (nRows > 0L) nRows else embeddings.count()
+    // pairBound = n² (per-bucket, see nRows doc); saturate well before
+    // Long overflow — past the escape threshold the exact value is
+    // irrelevant, only "> target" matters
+    val pairBound =
+      if (n < 3037000499L) n * n else Long.MaxValue
+    if (pairBound <= Parallelism.DefaultTargetPairsPerTask) sigs.count()
     val rel = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
     val probe = probeVariants(rel, probeBits,
@@ -497,12 +510,6 @@ object Similarity {
     val index = rel.select(col("band_idx"), col("band_hash"),
       col("vec_id").as("neighbor_id"), col("embedding").as("e_b"),
       col("nrm").as("n_b"))
-    val n = if (nRows > 0L) nRows else embeddings.count()
-    // pairBound = n² (per-bucket, see nRows doc); saturate well before
-    // Long overflow — past the escape threshold the exact value is
-    // irrelevant, only "> target" matters
-    val pairBound =
-      if (n < 3037000499L) n * n else Long.MaxValue
     val scored = Parallelism.saltedBlockJoin(probe, index,
         Seq("band_idx", "band_hash"), saltKeyA = "query_id",
         shuffleHashBuild = true,

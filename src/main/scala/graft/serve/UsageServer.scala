@@ -86,3 +86,54 @@ final class UsageServer(api: UsageApi, port: Int = 0) {
       }.toMap
     }
 }
+
+object UsageServer {
+
+  /** Build the SparkSession a DEDICATED serving process should run —
+    * the profile the round-10 ServeLatency campaign measured (STRESS
+    * .md), applied as wiring instead of a scaladoc note:
+    *
+    *  - `spark.sql.codegen.wholeStage=false`: every request embeds
+    *    fresh literals, so whole-stage codegen compiles a new class
+    *    per request; at interactive row counts the compile latency
+    *    (~0.3 s on the P95 tail) outweighs the interpreted path's
+    *    per-row cost (measured cold P95 658 → 343 ms at 10⁷ rows).
+    *    `SPARK_GRAFT_SERVE_CODEGEN=1` opts back in (a serving fact
+    *    ≫10⁸ rows flips the trade).
+    *  - shuffle partitions = cores: request aggregations are over the
+    *    cached clustered fact; 200 partitions is pure task-launch
+    *    overhead at interactive scale.
+    *
+    * The fact layout itself (range-clustered cache) lives in
+    * [[UsageApi]] and applies regardless of session. */
+  def servingSession(appName: String = "graft-usage-server"): org.apache.spark.sql.SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.get("SPARK_GRAFT_SERVE_CODEGEN").contains("1").toString)
+      .getOrCreate()
+  }
+
+  /** `runMain graft.serve.UsageServer <factParquetDir> [port]` — serve
+    * the four routes over a parquet usage fact (the `UsageEtl` output
+    * layout). Warms the clustered cache before binding, so the first
+    * real request never pays the materialization. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: UsageServer <factParquetDir> [port]")
+    val port = if (args.length > 1) args(1).toInt else 8080
+    implicit val spark: org.apache.spark.sql.SparkSession = servingSession()
+    spark.sparkContext.setLogLevel("WARN")
+    val api = new UsageApi(spark.read.parquet(args(0)))
+    val rows = api.warm()
+    val server = new UsageServer(api, port)
+    val bound = server.start()
+    println(s"[usage-server] serving $rows fact rows on 127.0.0.1:$bound")
+    Thread.currentThread().join() // serve until killed
+  }
+}

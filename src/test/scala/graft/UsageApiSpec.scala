@@ -63,14 +63,36 @@ class UsageApiSpec extends AnyFunSuite {
     assert(resp.usersAggregated.sum > 0.0) // carol's counted too
   }
 
-  test("memo cache returns identical object; invalidate clears") {
+  test("memo hit; invalidate serves stale then swaps refreshed entry (reload semantics)") {
     val api = new UsageApi(fact)
     val req = UsageRequest("c1", Seq("alice"), Nil, "minutesTotal",
       "DAYS", "UTC", jan1, jan1 + 6 * D)
     val r1 = api.usage(req)
     assert(api.usage(req) eq r1) // memo hit
     api.invalidate()
-    assert(!(api.usage(req) eq r1)) // recomputed
+    // stale-while-revalidate: the request keeps being answered from
+    // the memo (no cold window) while the background task recomputes
+    assert(api.usage(req) == r1)
+    api.awaitRefresh()
+    val r2 = api.usage(req)
+    assert(!(r2 eq r1)) // refreshed entry swapped in
+    assert(r2 == r1)    // same underlying fact → same values
+  }
+
+  test("all-null measure group densifies to the type default (nullable cpuMinutes)") {
+    // cpuMinutes is nullable (UsageEtl SUMs skip nulls; the reference
+    // emits null derived minutes) — a (user,tick) group whose inputs
+    // are ALL null yields SUM=null, and the cold path must densify it
+    // like an absent tick, not NPE (round-10 ADVICE finding)
+    val nullFact = fact.withColumn("cpuMinutes",
+      when(col("user") === "alice", lit(null).cast("double"))
+        .otherwise(col("cpuMinutes")))
+    val api = new UsageApi(nullFact)
+    val resp = api.usage(UsageRequest("c1", Seq("alice", "bob"),
+      Seq("alice"), "cpuTotal", "DAYS", "UTC", jan1, jan1 + 6 * D))
+    assert(resp.users(0).data.forall(_ == 0.0)) // alice: all-null → default
+    assert(resp.usersAggregated.forall(_ == 0.0))
+    assert(resp.users(1).data.sum > 0.0) // bob's real cpu still flows
   }
 
   test("csv export: header + hours scaling") {
