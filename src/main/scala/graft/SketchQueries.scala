@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Pq, PqCodebooks, Sketches}
+import graft.operators.{Corpus, IvfCentroids, Pq, PqCodebooks, Similarity, Sketches}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,19 @@ object SketchQueries {
   private def q64(s: SparkSession, d: String): DataFrame =
     Sketches.heavyHittersWithCms(Tables.documents(s, d), k = 20, w = 512)
 
+  /** q88 — composed IVFADC: IVF cell routing ([[IvfCentroids
+    * .Centroids16]]) + PQ ADC scan within the 4 probed cells
+    * ([[PqCodebooks.Codebooks8x16]]) + exact top-50 re-rank → top-5.
+    * The 10⁹-vector search shape (raw vectors never ride the scan);
+    * every distance is pinned-literal exact arithmetic, so the oracle
+    * reproduces routing, codes, ADC sums and the re-rank
+    * bit-for-bit. */
+  private def q88(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfAdcTopK(Tables.embeddings(s, d),
+      pmod(col("vec_id"), lit(100L)) === 0,
+      IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, dsub = 8,
+      nProbe = 4, k = 5, rerank = 50)
+
   /** q65 — mixture resample to 5:3:2 over three source domains. */
   private def q65(s: SparkSession, d: String): DataFrame =
     Corpus.mixtureResample(Tables.documents(s, d), "source",
@@ -40,7 +53,8 @@ object SketchQueries {
     "q63_pq_adc"          -> (q63 _),
     "q64_cms_heavy"       -> (q64 _),
     "q65_mixture_sample"  -> (q65 _),
-    "q66_adaptive_filter" -> (q66 _))
+    "q66_adaptive_filter" -> (q66 _),
+    "q88_ivfadc"          -> (q88 _))
 
   // ------------------------------------------------------------------ //
   //  DuckDB oracles                                                     //
@@ -76,6 +90,78 @@ object SketchQueries {
   }.mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q88_ivfadc" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |        ${TextQueries.centroidValues}
+         |  ) AS t(cell, centroid)
+         |), cb AS (
+         |  SELECT * FROM (VALUES
+         |        $codebookValues
+         |  ) AS t(sub, code, cent)
+         |), cdists AS (
+         |  SELECT e.vec_id, c.cell,
+         |         -${TextQueries.duckDot("e.embedding", "c.centroid")}
+         |           + ${TextQueries.duckDot("c.centroid", "c.centroid")} / 2 AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), home AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cell) AS pr
+         |    FROM cdists
+         |  ) WHERE pr = 1
+         |), pdists AS (
+         |  SELECT e.vec_id, c.sub, c.code,
+         |         ${duckSubDist("e.embedding", "c.cent", "c.sub")} AS dist
+         |  FROM embeddings e CROSS JOIN cb c
+         |), enc AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist, code) AS pr
+         |    FROM pdists
+         |  ) WHERE pr = 1 GROUP BY vec_id
+         |), dtabs AS (
+         |  SELECT vec_id AS query_id,
+         |         list(dist ORDER BY sub, code) AS dtab
+         |  FROM pdists WHERE vec_id % 100 = 0 GROUP BY vec_id
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cell) AS pr
+         |    FROM cdists WHERE vec_id % 100 = 0
+         |  ) WHERE pr <= 4
+         |), adc AS (
+         |  SELECT p.query_id, h.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(0, 8), s ->
+         |             q.dtab[s*16 + e.codes[s+1] + 1])),
+         |           (acc, v) -> acc + v) AS approx_dist
+         |  FROM probes p
+         |  JOIN home h ON h.cell = p.cell
+         |  JOIN enc e ON e.vec_id = h.vec_id
+         |  JOIN dtabs q ON q.query_id = p.query_id
+         |  WHERE h.vec_id != p.query_id
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id, approx_dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY approx_dist, neighbor_id) AS ar
+         |    FROM adc
+         |  ) WHERE ar <= 50
+         |), rer AS (
+         |  SELECT s.query_id, s.neighbor_id, s.approx_dist,
+         |         ${TextQueries.duckDot("qe.embedding", "qe.embedding")}
+         |           - 2 * ${TextQueries.duckDot("qe.embedding", "ne.embedding")}
+         |           + ${TextQueries.duckDot("ne.embedding", "ne.embedding")} AS dist
+         |  FROM shortlist s
+         |  JOIN embeddings qe ON qe.vec_id = s.query_id
+         |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, rank, dist, approx_dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY dist, neighbor_id) AS rank
+         |  FROM rer
+         |) WHERE rank <= 5""".stripMargin,
     "q63_pq_adc" ->
       s"""WITH cb AS (
          |  SELECT * FROM (VALUES

@@ -67,8 +67,11 @@ object CurateCorpus {
       chunkTokens: Int = 64, chunkStride: Int = 48,
       minLmScore: Option[Long] = None,
       maxDocsPerSource: Option[Int] = None,
-      fastGrams: Boolean = false)(
+      fastGrams: Boolean = false,
+      dedupMode: String = "auto")(
       implicit spark: SparkSession): StageCounts = {
+    require(Set("pairs", "groups", "auto")(dedupMode),
+      s"dedupMode must be pairs|groups|auto, got $dedupMode")
     // Each stage output is pinned and materialized by its count —
     // without the persist, every downstream stage (and the final
     // write) re-executes the whole upstream chain, making the
@@ -102,12 +105,47 @@ object CurateCorpus {
           .filter(col("doc_id") === col("canonical_id")).select("doc_id"),
         "doc_id"))
 
-      // 3. near-dup: verified minhash pairs, drop the higher id (the
-      // pin hook hands the operator's internal signature cache to this
-      // run's lifecycle so repeated run() calls don't accumulate it)
-      val dropNear = Dedup.minHashLshPairs(exact, 0.6, pinned += _)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val (near, nNear) = stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
+      // 3. near-dup. The pipeline only needs SURVIVORS, so the pair
+      // list is an implementation detail — and its volume is
+      // data-quadratic inside a duplicate family (Σ family²: one
+      // 37 500-member gen_skew family is ~7×10⁸ true pairs). "auto"
+      // routes on the measured candidate bound: the familiar verified-
+      // pairs shape while the bound stays within budget (the gate
+      // regime — small families, pair list ≈ linear), the star-edge
+      // groups labeling ([[Dedup.lshDupGroups]], edge volume ≤
+      // nBands·N) beyond it, so a skewed 100 TB corpus cannot
+      // accidentally materialize a quadratic pair set on the way to a
+      // survivor list. Budget: 32 pairs/doc (a uniform corpus sits far
+      // under; quadratic families blow past at any real scale), floor
+      // 10⁶ so tiny runs never flap. Both modes keep each family's
+      // min-id member: pairs drops every verified doc_b (higher id),
+      // groups keeps doc_id == canonical (component min) — identical
+      // on mutually-similar families, divergent only on borderline
+      // chains (lshDupGroups scaladoc documents the trade). The pin
+      // hook shares the cached signature rel between the bound
+      // estimate and the chosen operator (plan-identical → one
+      // materialization).
+      val dedupChosen = dedupMode match {
+        case "auto" =>
+          val budget = math.max(32L * nExact, 1000000L)
+          val bound = Dedup.lshPairBound(exact, pinned += _)
+          val pick = if (bound > budget) "groups" else "pairs"
+          graft.operators.Parallelism.logDispatch("CurateCorpus.nearDup",
+            s"candidatePairBound=$bound budget=$budget -> $pick")
+          pick
+        case m => m
+      }
+      val (near, nNear) =
+        if (dedupChosen == "groups") {
+          val survivors = Dedup.lshDupGroups(exact, 0.6, pinned += _)
+            .filter(col("doc_id") === col("canonical_id"))
+            .select("doc_id")
+          stage(exact.join(survivors, "doc_id"))
+        } else {
+          val dropNear = Dedup.minHashLshPairs(exact, 0.6, pinned += _)
+            .select(col("doc_b").as("doc_id")).distinct()
+          stage(exact.join(dropNear, Seq("doc_id"), "left_anti"))
+        }
 
       // 4. decontamination vs the probe set — the bloom-prefiltered
       // form (the corpus side sees the filter bits, only candidates
@@ -185,7 +223,12 @@ object CurateCorpus {
       case Some(v) => v != "0"
       case None    => ver != "1"
     }
-    val counts = run(docs, probes, args(1), fastGrams = fast)
+    // SPARK_GRAFT_DEDUP=pairs|groups|auto (default auto): force the
+    // near-dup survivor strategy; auto routes on the measured
+    // candidate-pair bound (see run()'s stage-3 comment)
+    val dedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "auto")
+    val counts = run(docs, probes, args(1), fastGrams = fast,
+      dedupMode = dedup)
     println(s"[curate] $counts")
     spark.stop()
   }

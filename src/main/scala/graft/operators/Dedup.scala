@@ -58,6 +58,25 @@ object Dedup {
       pin: DataFrame => Unit): DataFrame =
     minHashLshPairs(docs, threshold, pin, "auto")
 
+  /** Upper bound on the CANDIDATE (hence output) pair volume of
+    * [[minHashLshPairs]] over `docs`: Σ over band buckets of
+    * n·(n−1)/2. One narrow agg over the cached band rel; the rel is
+    * plan-identical to the one a subsequent pairs/groups call builds,
+    * so the session CacheManager shares the materialized signatures —
+    * the estimate does not double the hashing cost. This is the
+    * routing statistic for the quadratic-output regime: on Zipfian
+    * duplicate families the TRUE pair set grows ~Σ family², so a
+    * caller that only needs survivors/labels should switch to
+    * [[lshDupGroups]] (edge volume ≤ nBands·N) when this bound blows
+    * past its budget — see [[graft.app.CurateCorpus]] `dedupMode`. */
+  def lshPairBound(docs: DataFrame,
+      pin: DataFrame => Unit = OperatorCaches.register): Long =
+    minHashBandRel(docs, pin)
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast("long"))
+      .head.getLong(0)
+
   /** Strategy variant. `"carry"` — arrays carried through the band
     * join with IN-JOIN verification, re-proven three times as the
     * right join SHAPE (STRESS.md r7 negative result, the r8 sf10
@@ -81,9 +100,41 @@ object Dedup {
     * bounded by construction (~2·√target rows per tile) regardless of
     * bucket size, and the pair predicate + jaccard fold are
     * bit-identical. */
+  /** `maxOutputPairs` (>0 to enable): refuse to run when the candidate
+    * pair bound Σ_bucket n·(n−1)/2 exceeds it. The pair OUTPUT is
+    * data-quadratic inside a duplicate family (a b-member family is
+    * ~b²/2 true pairs — at the gen_skew campaign scale one 37 500-doc
+    * family alone is ~7×10⁸ rows, unenumerable by ANY engine), so a
+    * 100 TB caller that only needs survivors must not be able to
+    * materialize it by accident: the guard throws with the routing
+    * recommendation ([[lshDupGroups]], O(nBands·N) edges) instead of
+    * launching the join. Left at −1 the operator runs unbounded (the
+    * gate/analysis shape, where the pair list IS the product). */
   def minHashLshPairs(docs: DataFrame, threshold: Double,
-      pin: DataFrame => Unit, strategy: String): DataFrame = {
+      pin: DataFrame => Unit, strategy: String,
+      maxOutputPairs: Long = -1L): DataFrame = {
     val bandRel = minHashBandRel(docs, pin)
+    if (maxOutputPairs > 0L) {
+      val bound = bandRel.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+          .cast("long")).head.getLong(0)
+      if (bound > maxOutputPairs) {
+        Parallelism.logDispatch("minHashLshPairs",
+          s"candidatePairBound=$bound > maxOutputPairs=$maxOutputPairs " +
+            "-> REFUSED (quadratic pair output; route to lshDupGroups " +
+            "for survivors/labels)")
+        throw new IllegalStateException(
+          s"minHashLshPairs: candidate pair volume ≈ $bound exceeds " +
+            s"maxOutputPairs=$maxOutputPairs. The pair output grows " +
+            "with Σ duplicate-family² — if you only need canonical " +
+            "labels/survivors, use Dedup.lshDupGroups (linear edge " +
+            "volume); to enumerate pairs anyway, raise or disable the " +
+            "bound.")
+      }
+      Parallelism.logDispatch("minHashLshPairs",
+        s"candidatePairBound=$bound <= maxOutputPairs=$maxOutputPairs -> ok")
+    }
     val chosen = strategy match {
       case "auto" =>
         val st = bandRel.groupBy("band_idx", "band_hash")
@@ -192,7 +243,7 @@ object Dedup {
     * [[minHashLshPairs]] (doc_a < doc_b). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpusBands: DataFrame,
       threshold: Double, pin: DataFrame => Unit = OperatorCaches.register,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto", maxOutputPairs: Long = -1L): DataFrame = {
     // Strategy mirrors [[minHashLshPairs]] (same sf10skew OOM
     // post-mortem): "carry" = arrays through a plain hash band join,
     // verify in-join — the gate/uniform shape; "tiled" =
@@ -207,6 +258,35 @@ object Dedup {
     // bipartite kernel keeps that property: corpus rows are never
     // probe-side).
     val newBands = minHashBandRel(newDocs, pin)
+    if (maxOutputPairs > 0L) {
+      // same guard as minHashLshPairs, bipartite form: candidates per
+      // bucket are na·nbCorpus (increment × indexed corpus) plus
+      // na·(na−1)/2 (new-new); Σ over buckets bounds the output
+      val tagged = newBands.select(col("band_idx"), col("band_hash"))
+        .withColumn("isNew", lit(1))
+        .unionByName(corpusBands.select(col("band_idx"), col("band_hash"))
+          .withColumn("isNew", lit(0)))
+      val bound = tagged.groupBy("band_idx", "band_hash")
+        .agg(count(when(col("isNew") === 1, 1)).as("na"),
+          count(when(col("isNew") === 0, 1)).as("nc"))
+        .agg(coalesce(sum(col("na") * col("nc") +
+          col("na") * (col("na") - 1) / 2), lit(0L)).cast("long"))
+        .head.getLong(0)
+      if (bound > maxOutputPairs) {
+        Parallelism.logDispatch("incrementalNearDupPairs",
+          s"candidatePairBound=$bound > maxOutputPairs=$maxOutputPairs " +
+            "-> REFUSED (quadratic pair output; dedup callers that " +
+            "only need survivors should label via lshDupGroups over " +
+            "increment ∪ touched-bucket members)")
+        throw new IllegalStateException(
+          s"incrementalNearDupPairs: candidate pair volume ≈ $bound " +
+            s"exceeds maxOutputPairs=$maxOutputPairs — raise/disable " +
+            "the bound to enumerate pairs, or use the groups form for " +
+            "survivor labeling.")
+      }
+      Parallelism.logDispatch("incrementalNearDupPairs",
+        s"candidatePairBound=$bound <= maxOutputPairs=$maxOutputPairs -> ok")
+    }
     val bUnion = newBands.select(col("band_idx"), col("band_hash"),
         col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .withColumn("vs_corpus", lit(false))

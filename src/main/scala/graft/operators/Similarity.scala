@@ -288,6 +288,112 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Composed IVF-PQ search (IVFADC — Jégou et al., TPAMI 2011 §IV):
+    * IVF cell routing + PQ asymmetric-distance scan within the probed
+    * cells + optional exact top-`rerank` re-rank. The 10⁹⁺-vector
+    * shape: [[ivfSearchAgainst]] re-ranks with exact dots, which means
+    * the raw 256 B float vectors ride the probe join — at 10⁹ vectors
+    * the index alone is ~256 GB of shuffle payload. Here the scanned
+    * index carries only (cell, m-byte codes) per vector (~32×
+    * smaller); raw vectors are touched exactly twice — once on the
+    * (small) query side building its m×k distance table, and once to
+    * attach the per-query `rerank` shortlist for the exact re-rank —
+    * so the candidate scan is table-lookup arithmetic over the
+    * compressed index, the FAISS IndexIVFPQ shape (non-residual
+    * variant: codes quantize the raw vectors, not cell residuals, so
+    * the SAME pinned [[PqCodebooks]] artifacts serve both the flat ADC
+    * scan (q63) and this composition, and every distance stays
+    * oracle-expressible exact arithmetic).
+    *
+    * Distances are squared L2 throughout (what ADC approximates);
+    * the exact re-rank distance is the dot identity
+    * ‖a−b‖² = a·a − 2·a·b + b·b with the repo's sequential-fold dot,
+    * fixed association — bit-reproducible cross-engine (q88 oracle).
+    * `rerank` ≤ 0 skips the exact pass and ranks by `approx_dist`
+    * directly (`dist` then equals `approx_dist` for schema stability).
+    *
+    * Output: (query_id, neighbor_id, rank, dist, approx_dist), rank ≤
+    * k per query by (dist, neighbor_id).
+    *
+    * Plan shape: encode is the q63 broadcast-codebook crossJoin
+    * (linear, per-vector argmin); the scan is an equi-join of the slim
+    * index against the BROADCAST (probe-cell × dtab) query side — no
+    * shuffle of the corpus beyond the encode aggregation, candidates
+    * ∝ Σ probed-cell sizes. At warehouse scale the (vec_id, cell,
+    * codes) index is a persisted table bucketed by cell; rebuilding it
+    * per query here mirrors q33/q63's self-contained gate shape. */
+  def ivfAdcTopK(embeddings: DataFrame, queryPred: Column,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
+      nProbe: Int, k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.HashExpressions
+    val nCodes = codebooks.map(_._2).distinct.size
+    // slim compressed index: home cell + codes, never the raw vector
+    val homeCells = Parallelism.widen(embeddings)
+      .select(col("vec_id"),
+        element_at(HashExpressions.nearestCells(col("embedding"),
+          centroids, 1), 1).getField("cell").as("cell"))
+    val index = Pq.encode(embeddings, codebooks, dsub)
+      .join(homeCells, "vec_id")
+    // query side: probe cells + the m×k ADC table, both tiny
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cb = Pq.codebookDF(embeddings, codebooks)
+    val dtabs = q.crossJoin(broadcast(cb))
+      .withColumn("pdist", HashExpressions.subSquaredDist(
+        col("embedding"), col("cent"), col("sub"), dsub))
+      .groupBy("query_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code"), col("pdist")))),
+        s => s.getField("pdist")).as("dtab"))
+    val probes = q
+      .select(col("query_id"),
+        posexplode(HashExpressions.nearestCells(col("embedding"),
+          centroids, math.max(nProbe, 1))).as(Seq("p0", "dc")))
+      .select(col("query_id"), col("dc.cell").as("cell"))
+    val qside = probes.join(dtabs, "query_id")
+    val adc = index.join(broadcast(qside), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        HashExpressions.adcSum(col("codes"), col("dtab"), nCodes))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_dist"))
+    if (rerank <= 0) {
+      adc
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("approx_dist"), col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("approx_dist").as("dist"), col("approx_dist"))
+    } else {
+      val r = math.max(rerank, k)
+      val shortlist = adc
+        .withColumn("ar", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("approx_dist"), col("neighbor_id"))))
+        .filter(col("ar") <= r)
+        .drop("ar")
+      // attach raw vectors for the shortlist only: one broadcast-hash
+      // pass over the corpus for the neighbor side (candidates ≪
+      // corpus), query vectors from the small q rel
+      val withVecs = embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("embedding").as("e_a"))),
+          "query_id")
+      withVecs
+        .withColumn("dist",
+          dot(col("e_a"), col("e_a")) - lit(2.0) * dot(col("e_a"), col("e_b"))
+            + dot(col("e_b"), col("e_b")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist", "approx_dist")
+    }
+  }
+
   /** Random ±1 projection to `k` dimensions (the Achlioptas form of
     * Johnson–Lindenstrauss): component j of the output is
     * (Σ_i emb[i]·s_ij)/√k with signs s_ij from the integer-hash

@@ -91,4 +91,32 @@ class CurateCorpusSpec extends AnyFunSuite {
       .groupBy("source").agg(countDistinct("doc_id").as("n"))
     assert(perSource.agg(max("n")).head().getLong(0) <= 3)
   }
+
+  test("dedupMode auto routes a quadratic duplicate family to the linear groups form") {
+    // 1200 near-identical family docs (distinct texts → survive exact
+    // dedup; near-identical shingle sets → one giant LSH bucket per
+    // band) + 50 unique docs: candidate pair bound ≈ 4·C(1200,2) ≈
+    // 2.9M, past auto's 10⁶ floor — enumerating those pairs is exactly
+    // the quadratic-output regime the groups routing exists for
+    val base = "the curious engineer walked across a long bridge and " +
+      "noted every single data value detail about water flowing near town copy"
+    val docs = ((1L to 1200L).map(i => (i, "en", s"$base num$i")) ++
+      (10001L to 10050L).map(i => (i, "de",
+        s"meanwhile a separate report number $i from the archive covers " +
+          s"data value topics with plenty of varied wording on subject ${i * 7}")))
+      .toDF("doc_id", "lang", "text")
+    val probes = docs.filter(col("doc_id") < 0) // empty probe set
+    // the routing statistic actually trips (auto ≡ groups is not
+    // vacuous here — a pairs run would enumerate millions of rows)
+    assert(graft.operators.Dedup.lshPairBound(docs) > 1000000L)
+    spark.sharedState.cacheManager.clearCache()
+    val outA = java.nio.file.Files.createTempDirectory("curate_auto").toString
+    val outG = java.nio.file.Files.createTempDirectory("curate_grp").toString
+    val auto = CurateCorpus.run(docs, probes, outA)
+    val grp = CurateCorpus.run(docs, probes, outG, dedupMode = "groups")
+    assert(auto == grp) // auto picked groups and matched it exactly
+    // the family collapsed: survivors are ~the 50 uniques + canonicals
+    assert(auto.nearDedup < auto.exactDedup / 5)
+    assert(auto.nearDedup >= 1)
+  }
 }

