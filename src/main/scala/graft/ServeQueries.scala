@@ -72,6 +72,13 @@ object ServeQueries {
       .sampleFrames(media, frameBytes = 16, stride = 4).toDF()
   }
 
+  /** Codec-true frame sampling over a REAL container: the document's
+    * text chunks wrapped as an MJPEG stream, frame boundaries from the
+    * structural marker walk (not fixed-size slicing) — see
+    * [[graft.operators.Multimodal.documentVideoFrames]]. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentVideoFrames(s, d)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -152,7 +159,8 @@ object ServeQueries {
     "q31_sessionize"   -> (q31 _),
     "q34_profile"      -> (q34 _),
     "q45_frame_sample" -> (q45 _),
-    "q75_pixel_decode" -> (q75 _))
+    "q75_pixel_decode" -> (q75 _),
+    "q89_mjpeg_frames" -> (q89 _))
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -200,6 +208,39 @@ object ServeQueries {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
         |           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
+        |FROM s""".stripMargin,
+    "q89_mjpeg_frames" ->
+      // The oracle never parses JPEG: it recomputes the 47-byte frame
+      // layout the MJPEG fixture was built from (VideoContainers
+      // .mjpegFixture) — constant header with the doc-dependent SOF
+      // width byte, stuffed 0xFF00, RST0 between the two 8-byte text
+      // halves, EOI — and byte-folds the whole frame. The Spark side
+      // must recover those exact frame boundaries, widths and bytes
+      // from the real container structure for the hashes to match.
+      // ASCII corpus: UTF-8 byte == codepoint.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 4)) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(frame_idx * 47 AS BIGINT) AS byte_off,
+        |       CAST(47 AS BIGINT) AS n_bytes,
+        |       CAST(frame_idx AS BIGINT) AS time_ticks,
+        |       CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [255,216,255,192,0,11,8,0,8,0, doc_id % 16 + 1,
+        |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,208]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,217]::BIGINT[]),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
         |FROM s""".stripMargin,
     "q34_profile" ->

@@ -105,6 +105,97 @@ object Multimodal {
       }
   }
 
+  /** One codec-true frame of a parsed video container ([[VideoContainers]]):
+    * byte range and decode time come from real container structure
+    * (MJPEG marker walk / MP4 sample tables), not fixed-size slicing;
+    * `width`/`height` from the per-frame SOF (MJPEG) or track header
+    * (MP4), 0 when the container carries none. */
+  final case class ContainerFrame(
+      doc_id: Long,
+      container: String, // mjpeg | mp4 | raw
+      frame_idx: Long,
+      byte_off: Long,
+      n_bytes: Long,
+      time_ticks: Long,
+      width: Int,
+      height: Int,
+      frame_hash: Long)
+
+  /** Container-aware frame sampling: MJPEG and MP4 payloads are parsed
+    * to their REAL frame units ([[VideoContainers.scanMjpeg]] /
+    * [[VideoContainers.parseMp4]] — offsets, sizes, decode times from
+    * the container's own structure); unknown formats fall back to the
+    * fixed-size-slice stub of [[sampleFrames]] with `fallbackFrameBytes`
+    * (container = "raw", the documented honest-stub seam). Every
+    * `stride`-th frame is emitted with its true index. Same scale
+    * contract as the rest of the file: one parser pass per partition,
+    * the binary never shuffles, only the 9-column frame row flows
+    * downstream. */
+  def sampleContainerFrames(media: DataFrame, stride: Int,
+      fallbackFrameBytes: Int = 16)(
+      implicit spark: SparkSession): Dataset[ContainerFrame] = {
+    import spark.implicits._
+    require(stride > 0 && fallbackFrameBytes > 0, "positive stride / frame size")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (container, frames) =
+            if (VideoContainers.looksLikeMp4(bytes))
+              VideoContainers.parseMp4(bytes) match {
+                case Some(trk) => ("mp4", trk.frames)
+                case None      => ("raw", Nil)
+              }
+            else if (VideoContainers.looksLikeMjpeg(bytes))
+              ("mjpeg", VideoContainers.scanMjpeg(bytes))
+            else ("raw", Nil)
+          val resolved =
+            if (frames.nonEmpty) frames
+            else { // stub tier: consecutive fixed-size slices
+              val n = bytes.length / fallbackFrameBytes
+              (0 until n).map(f => VideoContainers.Frame(f.toLong,
+                f.toLong * fallbackFrameBytes, fallbackFrameBytes.toLong,
+                f.toLong, 0, 0))
+            }
+          resolved.iterator.filter(_.idx % stride == 0).map { fr =>
+            val slice = java.util.Arrays.copyOfRange(bytes,
+              fr.off.toInt, (fr.off + fr.len).toInt)
+            ContainerFrame(id, if (frames.nonEmpty) container else "raw",
+              fr.idx, fr.off, fr.len, fr.timeTicks, fr.width, fr.height,
+              byteFoldHash(slice))
+          }
+        }
+      }
+  }
+
+  /** Demo pipeline over the shared testdata, CONTAINER tier: each
+    * document's full 16-byte text chunks become one real baseline-JPEG
+    * frame each of an MJPEG stream ([[VideoContainers.mjpegFixture]] —
+    * SOF0 width doc_id%16+1, entropy data with a stuffed 0xFF00 and an
+    * RST0 the scanner must traverse), then the container-aware sampler
+    * takes every 4th frame. The DuckDB oracle recomputes offsets,
+    * sizes and the whole-frame byte-fold hash from the fixture's
+    * arithmetic layout, so any structural-scan defect (marker lengths,
+    * stuffing, restart markers, frame boundaries, SOF capture) breaks
+    * the hash match — the q75 construction↔inversion pattern, one
+    * tier up from pixels. */
+  def documentVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        (id, VideoContainers.mjpegFixture((id % 16 + 1).toInt, chunks))
+      }
+      .toDF("doc_id", "media")
+    sampleContainerFrames(media, stride = 4).toDF()
+      .drop("container", "height") // constants of the fixture
+  }
+
   /** Decoded-content statistics for one image blob ([[PixelDecode]]
     * formats only). Integer channel sums are the oracle-checkable
     * truth; means are one exact IEEE division of those sums. */

@@ -1,0 +1,191 @@
+package graft
+
+import graft.operators.{Multimodal, VideoContainers}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container parsers must recover codec-true frame units (offsets,
+  * sizes, decode times, dimensions) from hand-built byte layouts —
+  * and never throw on malformed bytes. */
+class VideoContainersSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---------------------------------------------------------------- //
+  //  MJPEG                                                            //
+  // ---------------------------------------------------------------- //
+
+  private def asciiChunk(seed: Int): Array[Byte] =
+    (0 until 16).map(i => (32 + (seed * 7 + i * 3) % 90).toByte).toArray
+
+  test("scanMjpeg: fixture stream — boundaries, per-frame SOF dims, hashes") {
+    val chunks = Seq(asciiChunk(1), asciiChunk(2), asciiChunk(3))
+    val bytes = VideoContainers.mjpegFixture(width = 5, chunks)
+    assert(bytes.length == 3 * 47)
+    val frames = VideoContainers.scanMjpeg(bytes)
+    assert(frames.map(f => (f.idx, f.off, f.len)) ==
+      Seq((0L, 0L, 47L), (1L, 47L, 47L), (2L, 94L, 47L)))
+    assert(frames.forall(f => f.width == 5 && f.height == 8))
+    // each frame is independently a header-parseable JPEG
+    val f1 = java.util.Arrays.copyOfRange(bytes, 47, 94)
+    val meta = graft.operators.ImageHeaders.decodeJpeg(f1).get
+    assert(meta.width == 5 && meta.height == 8)
+  }
+
+  test("scanMjpeg: entropy-data traversal is not fooled by stuffing/RST/fill") {
+    // hand-build one frame with extras the fixture doesn't use: fill
+    // bytes before EOI and a second stuffed FF just before the RST
+    val out = new java.io.ByteArrayOutputStream()
+    def w(xs: Int*): Unit = xs.foreach(out.write)
+    w(0xff, 0xd8) // SOI
+    w(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01, 0x01, 0x11, 0x00)
+    w(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00)
+    w(0x10, 0xff, 0x00, 0xff, 0x00, 0xff, 0xd3, 0x20) // stuffed, stuffed, RST3
+    w(0xff, 0xff, 0xff, 0xd9) // fill bytes then EOI
+    val one = out.toByteArray
+    val frames = VideoContainers.scanMjpeg(one ++ one)
+    assert(frames.map(_.off) == Seq(0L, one.length.toLong))
+    assert(frames.forall(f => f.len == one.length.toLong &&
+      f.width == 3 && f.height == 2))
+  }
+
+  test("scanMjpeg: malformed/truncated tails are dropped, junk rejected") {
+    val good = VideoContainers.mjpegFixture(4, Seq(asciiChunk(4)))
+    // truncated second frame (no EOI)
+    val truncated = good ++ good.dropRight(3)
+    assert(VideoContainers.scanMjpeg(truncated).size == 1)
+    // trailing junk after a complete frame: frame kept, junk dropped
+    assert(VideoContainers.scanMjpeg(good ++ Array[Byte](1, 2, 3)).size == 1)
+    // not a JPEG at all / pathological markers: empty, no throw
+    assert(VideoContainers.scanMjpeg("plain text".getBytes).isEmpty)
+    assert(VideoContainers.scanMjpeg(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0x00, 0x01)).isEmpty) // segment len < 2
+  }
+
+  // ---------------------------------------------------------------- //
+  //  MP4 — hand-built boxes                                           //
+  // ---------------------------------------------------------------- //
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+  private def fullBox(typ: String, version: Int, payload: Array[Byte]): Array[Byte] =
+    box(typ, Array[Byte](version.toByte, 0, 0, 0) ++ payload)
+
+  /** Minimal playable-shape MP4 in the streaming layout (moov before
+    * mdat): ftyp, moov/trak/{tkhd, mdia/{mdhd, hdlr, minf/stbl/{stsz,
+    * stsc, stco, stts}}}, mdat with the sample bytes. 5 samples of
+    * varying sizes in 2 chunks (2 then 3 samples). Chunk offsets are
+    * absolute, so moov is assembled twice: once with placeholders to
+    * learn its own length, then with the real offsets. */
+  private def buildMp4(co64: Boolean = false, mdhdV1: Boolean = false,
+      uniformSize: Boolean = false): (Array[Byte], Seq[(Long, Long, Long)]) = {
+    val sizes = if (uniformSize) Seq(4L, 4L, 4L, 4L, 4L) else Seq(3L, 5L, 2L, 7L, 4L)
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val payload = Array.tabulate(sizes.sum.toInt)(i => (i + 1).toByte)
+    def moov(c1: Long, c2: Long): Array[Byte] = {
+      val tkhd = fullBox("tkhd", 0,
+        new Array[Byte](72) ++ be32(320L << 16) ++ be32(240L << 16))
+      val mdhd =
+        if (mdhdV1) fullBox("mdhd", 1,
+          be64(0) ++ be64(0) ++ be32(90000) ++ be64(0) ++ Array[Byte](0, 0, 0, 0))
+        else fullBox("mdhd", 0,
+          be32(0) ++ be32(0) ++ be32(90000) ++ be32(0) ++ Array[Byte](0, 0, 0, 0))
+      val hdlr = fullBox("hdlr", 0,
+        be32(0) ++ "vide".getBytes ++ new Array[Byte](12))
+      val stsz =
+        if (uniformSize) fullBox("stsz", 0, be32(4) ++ be32(5))
+        else fullBox("stsz", 0, be32(0) ++ be32(5) ++ sizes.flatMap(be32).toArray)
+      val stsc = fullBox("stsc", 0,
+        be32(2) ++ be32(1) ++ be32(2) ++ be32(1) ++ be32(2) ++ be32(3) ++ be32(1))
+      val stco =
+        if (co64) fullBox("co64", 0, be32(2) ++ be64(c1) ++ be64(c2))
+        else fullBox("stco", 0, be32(2) ++ be32(c1) ++ be32(c2))
+      val stts = fullBox("stts", 0,
+        be32(2) ++ be32(3) ++ be32(10) ++ be32(2) ++ be32(15))
+      box("moov", box("trak", tkhd ++ box("mdia",
+        mdhd ++ hdlr ++ box("minf", box("stbl", stsz ++ stsc ++ stco ++ stts)))))
+    }
+    val mdatDataOff = ftyp.length + moov(0, 0).length + 8L // fixed-width offsets
+    // chunk 1 = samples 0,1; chunk 2 = samples 2,3,4 (contiguous in mdat)
+    val chunk1Off = mdatDataOff
+    val chunk2Off = mdatDataOff + sizes(0) + sizes(1)
+    val expected = Seq(
+      (chunk1Off, sizes(0), 0L),
+      (chunk1Off + sizes(0), sizes(1), 10L),
+      (chunk2Off, sizes(2), 20L),
+      (chunk2Off + sizes(2), sizes(3), 30L),
+      (chunk2Off + sizes(2) + sizes(3), sizes(4), 45L)) // stts run 2: delta 15
+    (ftyp ++ moov(chunk1Off, chunk2Off) ++ box("mdat", payload), expected)
+  }
+
+  test("parseMp4: sample table expansion — offsets, sizes, decode times, dims") {
+    val (bytes, expected) = buildMp4()
+    val trk = VideoContainers.parseMp4(bytes).get
+    assert(trk.timescale == 90000L)
+    assert(trk.frames.map(f => (f.off, f.len, f.timeTicks)) == expected)
+    assert(trk.frames.map(_.idx) == (0L to 4L))
+    assert(trk.frames.forall(f => f.width == 320 && f.height == 240))
+  }
+
+  test("parseMp4: co64 offsets, v1 mdhd, uniform stsz variants") {
+    val (b1, e1) = buildMp4(co64 = true)
+    assert(VideoContainers.parseMp4(b1).get.frames.map(f => (f.off, f.len, f.timeTicks)) == e1)
+    val (b2, _) = buildMp4(mdhdV1 = true)
+    assert(VideoContainers.parseMp4(b2).get.timescale == 90000L)
+    val (b3, e3) = buildMp4(uniformSize = true)
+    assert(VideoContainers.parseMp4(b3).get.frames.map(f => (f.off, f.len, f.timeTicks)) == e3)
+  }
+
+  test("parseMp4: malformed bytes never throw; out-of-file samples dropped") {
+    assert(VideoContainers.parseMp4("not an mp4 file at all".getBytes).isEmpty)
+    // moov-first layout: chopping mid-mdat keeps the sample tables but
+    // leaves the tail samples' byte ranges beyond EOF → dropped, no throw
+    val (full, expected) = buildMp4()
+    val cut = (expected(3)._1 + 2).toInt // inside sample 3
+    val trk = VideoContainers.parseMp4(full.take(cut)).get
+    assert(trk.frames.map(f => (f.off, f.len, f.timeTicks)) == expected.take(3))
+  }
+
+  // ---------------------------------------------------------------- //
+  //  Spark plumbing                                                   //
+  // ---------------------------------------------------------------- //
+
+  test("sampleContainerFrames: dispatches mp4/mjpeg/raw by content") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val (mp4, mp4Expected) = buildMp4()
+    val mjpeg = VideoContainers.mjpegFixture(6, Seq(asciiChunk(7), asciiChunk(8)))
+    val raw = "0123456789abcdef0123456789abcdef".getBytes // 2 fallback frames
+    val media = Seq((1L, mp4), (2L, mjpeg), (3L, raw)).toDF("doc_id", "media")
+    val got = Multimodal.sampleContainerFrames(media, stride = 1)
+      .collect().groupBy(_.doc_id)
+    assert(got(1L).forall(_.container == "mp4"))
+    assert(got(1L).map(f => (f.byte_off, f.n_bytes, f.time_ticks)).toSeq
+      .sortBy(_._1) == mp4Expected)
+    assert(got(2L).forall(f => f.container == "mjpeg" && f.width == 6))
+    assert(got(2L).map(_.byte_off).sorted.toSeq == Seq(0L, 47L))
+    assert(got(3L).forall(f => f.container == "raw" && f.n_bytes == 16L))
+    // stride sampling keeps true indices
+    val strided = Multimodal.sampleContainerFrames(media, stride = 2)
+      .filter($"doc_id" === 1L).collect().map(_.frame_idx).sorted.toSeq
+    assert(strided == Seq(0L, 2L, 4L))
+  }
+
+  test("documentVideoFrames matches the fixture arithmetic (q89 shape)") {
+    val out = Multimodal.documentVideoFrames(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq == Seq("doc_id", "frame_idx", "byte_off",
+      "n_bytes", "time_ticks", "width", "frame_hash"))
+    val bad = out.filter(col("byte_off") =!= col("frame_idx") * 47 ||
+      col("n_bytes") =!= 47 || col("width") =!= pmod(col("doc_id"), lit(16)) + 1)
+    assert(bad.isEmpty)
+    assert(out.count() > 0)
+  }
+}
