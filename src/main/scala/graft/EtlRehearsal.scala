@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   * the full run, rewritten-partition sets for the re-runs); numbers
   * land in STRESS.md.
   *
-  * Usage: sbt "runMain graft.EtlRehearsal [workDir] [jobsPerDay]"
+  * Usage: sbt "runMain graft.EtlRehearsal [workDir] [jobsPerDay] [nClusters]"
+  *
+  * `nClusters` (default 2) is the fleet-width knob: the reference runs
+  * ~20 grids through its per-cluster MR fan-out; our single-pass
+  * fleet-wide jobs claim O(1)-in-clusters structure, proven by
+  * comparing lines/s at 2 vs 24 clusters (STRESS r11).
   */
 object EtlRehearsal {
   private val DayFmt = DateTimeFormatter.ofPattern("MMdd")
@@ -59,7 +64,10 @@ object EtlRehearsal {
     val ledgerDir = s"$work/ledger"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
 
-    val clusters = Seq("alpha", "beta")
+    val nClusters = if (args.length > 2) args(2).toInt else 2
+    val clusters =
+      if (nClusters == 2) Seq("alpha", "beta")
+      else (0 until nClusters).map(i => f"grid$i%02d")
     val today = LocalDate.of(2024, 4, 9)
     val days = (0 until 100).map(today.minusDays(_)).reverse
 

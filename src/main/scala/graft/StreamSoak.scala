@@ -143,6 +143,129 @@ object StreamSoak {
       } finally q.stop()
     }
 
+    // ---------------- skewed assembly soak ------------------------- //
+    // One jobId carries 40% of the fragment mass (a 100k-attempt
+    // mega-job at default scale), its fragments spread across two
+    // micro-batches, finalized in a third. The claims under test:
+    // state ROWS stay O(open jobs) — never O(fragment mass); the hot
+    // tree is carried across batches without loss (the emitted job
+    // has every attempt) and emitted exactly once; and per-batch
+    // throughput doesn't collapse under the hot group (the
+    // per-invocation buffer merge in StreamingAssembly.assembleFn —
+    // the prior per-fragment Seq :+ fold was O(mass²) on exactly
+    // this shape).
+    if (only.isEmpty || "assembly_skew".contains(only)) {
+      val in = Files.createTempDirectory("soak_skw_in")
+      val ckpt = Files.createTempDirectory("soak_skw_ck")
+      val hotAttempts = (nJobs / 2).toInt // 100k at default scale
+      // hot lines = 2 + 2H; 40% of mass -> uniform lines = 1.5 * hot,
+      // at 4 lines per uniform job
+      val nUniform = (3L * (2L * hotAttempts + 2) / 8).toInt
+      val baseMs = 1700000000000L
+      val hotId = "job_88_0"
+      def uniformJob(i: Long): Seq[String] = {
+        val t = baseMs + i * 13
+        val id = s"job_87_$i"
+        val tid = f"task_87_${i}_m_000000"
+        val att = f"attempt_87_${i}_m_000000_0"
+        Seq(
+          s"""Job JOBID="$id" JOBNAME="soak" USER="u${i % 1000}" SUBMIT_TIME="$t" .""",
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" START_TIME="${t + 1}" .""",
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" TASK_STATUS="SUCCESS" FINISH_TIME="${t + 2}" .""",
+          s"""Job JOBID="$id" FINISH_TIME="${t + 3}" JOB_STATUS="SUCCESS" .""")
+      }
+      def hotAttempt(a: Int): Seq[String] = {
+        val t = baseMs + 10 + a
+        val tid = f"task_88_0_m_$a%06d"
+        val att = f"attempt_88_0_m_${a}%06d_0"
+        Seq(
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" START_TIME="$t" .""",
+          s"""MapAttempt TASK_TYPE="MAP" TASKID="$tid" TASK_ATTEMPT_ID="$att" TASK_STATUS="SUCCESS" FINISH_TIME="${t + 1}" COUNTERS="[(CPU_MILLISECONDS)(cpu)(1000)]" .""")
+      }
+      // write OUTSIDE the watched dir, then atomic-move in: the
+      // running query's file source lists new files per trigger, and
+      // a 250k-line file written in place gets discovered (and
+      // consumed) half-written — b2 silently lost ~30% of its lines
+      // on the first full-scale run
+      def writeBatch(name: String, lines: Iterator[String]): Long = {
+        val tmp = Files.createTempFile("soak_skw_stage", ".txt")
+        val pw = new java.io.PrintWriter(tmp.toFile)
+        var n = 0L
+        lines.foreach { l => pw.println(l); n += 1 }
+        pw.close()
+        Files.move(tmp, in.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        n
+      }
+      // b1: hot submit + first half of its attempts + half the uniform
+      val b1n = writeBatch("b1.txt",
+        Iterator.single(s"""Job JOBID="$hotId" JOBNAME="mega" USER="u0" SUBMIT_TIME="${baseMs + 5}" .""") ++
+          (0 until hotAttempts / 2).iterator.flatMap(hotAttempt) ++
+          (0L until nUniform / 2).iterator.flatMap(uniformJob))
+      val stream = spark.readStream.textFile(in.toString)
+      val jobs = graft.streaming.StreamingAssembly
+        .assembleJobsStream(stream, "soak")
+      val q = jobs.writeStream.outputMode("append")
+        .format("memory").queryName("soak_skew")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val t1 = System.nanoTime()
+        q.processAllAvailable()
+        val s1 = (System.nanoTime() - t1) / 1e9
+        val emitted1 = spark.table("soak_skew").count()
+        val (rows1, bytes1) = (stateRows(q), stateBytes(q))
+
+        // b2: rest of the hot attempts + rest of the uniform jobs
+        val b2n = writeBatch("b2.txt",
+          (hotAttempts / 2 until hotAttempts).iterator.flatMap(hotAttempt) ++
+            ((nUniform / 2).toLong until nUniform.toLong).iterator.flatMap(uniformJob))
+        val t2 = System.nanoTime()
+        q.processAllAvailable()
+        val s2 = (System.nanoTime() - t2) / 1e9
+        val emitted2 = spark.table("soak_skew").count()
+        val (rows2, bytes2) = (stateRows(q), stateBytes(q))
+
+        // b3: the hot final line — the whole tree must flush at once
+        val b3n = writeBatch("b3.txt", Iterator.single(
+          s"""Job JOBID="$hotId" FINISH_TIME="${baseMs + 20 + hotAttempts}" JOB_STATUS="SUCCESS" ."""))
+        val t3 = System.nanoTime()
+        q.processAllAvailable()
+        val s3 = (System.nanoTime() - t3) / 1e9
+        val (rows3, bytes3) = (stateRows(q), stateBytes(q))
+        val hot = spark.table("soak_skew")
+          .filter(col("jobId") === hotId)
+        val hotEmits = hot.count()
+        val hotAtts = hot.selectExpr(
+          "aggregate(tasks, 0, (acc, t) -> acc + size(t.attempts))")
+          .head().getInt(0)
+
+        emit("assembly_skew",
+          "hot_attempts" -> hotAttempts, "uniform_jobs" -> nUniform,
+          "hot_mass_pct" -> (100L * (2L * hotAttempts + 2) /
+            (2L * hotAttempts + 2 + 4L * nUniform)),
+          "b1_lines" -> b1n, "b1_sec" -> f"$s1%.2f",
+          "b1_lines_per_sec" -> (b1n / s1).toLong,
+          "b2_lines" -> b2n, "b2_sec" -> f"$s2%.2f",
+          "b2_lines_per_sec" -> (b2n / s2).toLong,
+          "b3_sec" -> f"$s3%.2f",
+          "state_rows_b1" -> rows1, "state_bytes_b1" -> bytes1,
+          "state_rows_b2" -> rows2, "state_bytes_b2" -> bytes2,
+          "state_rows_b3" -> rows3, "state_bytes_b3" -> bytes3,
+          "hot_emits" -> hotEmits, "hot_attempts_assembled" -> hotAtts)
+        // invariants, loudly
+        require(emitted1 == nUniform / 2, s"b1 emitted $emitted1")
+        require(rows1 <= 2, s"state rows O(open jobs) violated: $rows1")
+        require(rows2 <= 2, s"state rows O(open jobs) violated: $rows2")
+        require(emitted2 == nUniform.toLong, s"b2 emitted $emitted2")
+        require(bytes2 > bytes1,
+          s"hot tree should grow state bytes: $bytes1 -> $bytes2")
+        require(hotEmits == 1L, s"hot job emitted $hotEmits times")
+        require(hotAtts == hotAttempts,
+          s"hot job lost fragments: $hotAtts of $hotAttempts attempts")
+        require(rows3 == 0L, s"state not drained after hot final: $rows3")
+      } finally q.stop()
+    }
+
     // Vocabulary must be LARGE (64k hashed words): a tiny shared
     // vocab makes every doc-pair's token jaccard ~0.5 and the soak
     // quadratic by data design (the STRESS.md token-jaccard

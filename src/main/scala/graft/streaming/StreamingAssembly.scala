@@ -6,6 +6,7 @@ import graft.parse.LineParsing
 import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
 
 /** Streaming job-tree assembly — the stateful piece the batch path does
   * with `groupByKey.mapGroups` ([[JobAssembly.assembleJobs]]), running
@@ -123,7 +124,25 @@ object StreamingAssembly {
         if (ok) sawLive = true
         ok
       }
-      val merged = live.foldLeft(state.getOption.getOrElse(Frags.empty))(_ add _)
+      // Merge via per-invocation buffers, NOT per-fragment Seq :+
+      // (Frags.add): on the restored state the decoded Seq is array-
+      // backed, so :+ copies the whole collection per fragment —
+      // O(fragments²) for a single hot jobId. A skewed stream where
+      // one job carries 40% of fragment mass (the StreamSoak
+      // assembly_skew stage) turns that into minutes per micro-batch;
+      // buffering is one O(state)+O(new) pass per invocation.
+      val st = state.getOption.getOrElse(Frags.empty)
+      val jb = ArrayBuffer.empty[JobLine] ++= st.jobs
+      val tb = ArrayBuffer.empty[TaskLine] ++= st.tasks
+      val ab = ArrayBuffer.empty[AttemptLine] ++= st.attempts
+      var maxEv = st.maxEventMs
+      live.foreach { f =>
+        maxEv = math.max(maxEv, f.ts.getTime)
+        if (f.job.isDefined) jb += f.job.get
+        else if (f.task.isDefined) tb += f.task.get
+        else if (f.attempt.isDefined) ab += f.attempt.get
+      }
+      val merged = Frags(jb.toVector, tb.toVector, ab.toVector, maxEv)
       if (!sawLive && state.getOption.isEmpty) {
         // every fragment was late and no job is in flight: leave no
         // trace (creating state here is exactly the replay leak)
