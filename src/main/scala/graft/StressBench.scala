@@ -159,6 +159,29 @@ object StressBench {
         .count()
     }
 
+    // --- stage 4b: composed IVFADC at the same vector count ---------- //
+    // The 10⁹⁺ shape (q88): 512 IVF cells (~390 vectors each), 8×16
+    // PQ codebooks, 8 probed cells, ADC scan over the slim codes
+    // index, exact rerank of the top-50 shortlist. The scan side
+    // never carries raw vectors — candidates ∝ Σ probed-cell sizes
+    // (~3.1k per query here), the property that distinguishes this
+    // from ivfTopK's exact-dot rerank at scale.
+    val ivfCells512: Seq[(Int, Seq[Double])] = (0 until 512).map { j =>
+      j -> (0 until 64).map(i =>
+        (((j * 2654435761L + i * 40503L) % 2000L) - 1000L) / 1000.0).toSeq
+    }
+    val pqCodebooks8x16: Seq[(Int, Int, Seq[Double])] =
+      for (s <- 0 until 8; c <- 0 until 16) yield (s, c,
+        (0 until 8).map(i =>
+          (((s * 7349L + c * 524287L + i * 40503L) % 2000L) - 1000L) / 1000.0).toSeq)
+    timed("ivfadc_200k_vectors", nVecs) {
+      graft.operators.Similarity.ivfAdcTopK(emb,
+          pmod(col("vec_id"), lit(1000L)) === 0, // 200 queries
+          ivfCells512, pqCodebooks8x16, dsub = 8,
+          nProbe = 8, k = 5, rerank = 50)
+        .count()
+    }
+
     // --- stage 5: as-of join at scale ------------------------------- //
     // nAttempts left rows against nAttempts/4 right rows over 1000 keys
     // (per-key history ~right/1000 — the bounded-history regime the

@@ -76,11 +76,16 @@ object TextFunctions {
     * 16-entry minhash family so minhash signatures (q21) are
     * untouched. Same contract: arbitrary fixed constants mirrored
     * verbatim in the DuckDB oracle. */
-  // 64 planes: the first 32 are the original table (oracle SQL and all
-  // gate-scale queries use only these); 33..64 extend the run of
+  // 128 planes: the first 32 are the original table (oracle SQL and all
+  // gate-scale queries use only these); 33..128 extend the run of
   // consecutive primes (>200383 / >283) so the adaptive LSH mode
   // ([[graft.operators.Similarity.lshTopKAuto]]) can widen band hashes
-  // with corpus size without touching the pinned prefix.
+  // with corpus size without touching the pinned prefix. Round 11
+  // doubled 64→128 after the sf100 spot check: the 64-plane cap froze
+  // band hashes at 16 bits past n≈0.5M, so per-band candidate volume
+  // grew ∝ N² again (q25 measured 27×/decade at 2M vectors); 32
+  // bits/band at 4 bands keeps the log2(n)−3 rule unconstrained to
+  // n≈2^35.
   val LshA: IndexedSeq[Long] =
     IndexedSeq(200003L, 200017L, 200029L, 200033L, 200041L, 200063L, 200087L,
       200117L, 200131L, 200153L, 200159L, 200171L, 200177L, 200183L, 200191L,
@@ -91,14 +96,31 @@ object TextFunctions {
       200513L, 200569L, 200573L, 200579L, 200587L, 200591L, 200597L,
       200609L, 200639L, 200657L, 200671L, 200689L, 200699L, 200713L,
       200723L, 200731L, 200771L, 200779L, 200789L, 200797L, 200807L,
-      200843L, 200861L, 200867L, 200869L)
+      200843L, 200861L, 200867L, 200869L,
+      200881L, 200891L, 200899L, 200903L, 200909L, 200927L, 200929L,
+      200971L, 200983L, 200987L, 200989L, 201007L, 201011L, 201031L,
+      201037L, 201049L, 201073L, 201101L, 201107L, 201119L, 201121L,
+      201139L, 201151L, 201163L, 201167L, 201193L, 201203L, 201209L,
+      201211L, 201233L, 201247L, 201251L, 201281L, 201287L, 201307L,
+      201329L, 201337L, 201359L, 201389L, 201401L, 201403L, 201413L,
+      201437L, 201449L, 201451L, 201473L, 201491L, 201493L, 201497L,
+      201499L, 201511L, 201517L, 201547L, 201557L, 201577L, 201581L,
+      201589L, 201599L, 201611L, 201623L, 201629L, 201653L, 201661L,
+      201667L)
   val LshB: IndexedSeq[Long] =
     IndexedSeq(5L, 11L, 19L, 31L, 43L, 59L, 71L, 83L, 103L, 107L, 131L, 137L,
       149L, 157L, 167L, 173L, 181L, 193L, 199L, 211L, 223L, 227L, 233L, 239L,
       251L, 257L, 263L, 269L, 271L, 277L, 281L, 283L,
       293L, 307L, 311L, 313L, 317L, 331L, 337L, 347L, 349L, 353L, 359L,
       367L, 373L, 379L, 383L, 389L, 397L, 401L, 409L, 419L, 421L, 431L,
-      433L, 439L, 443L, 449L, 457L, 461L, 463L, 467L, 479L, 487L)
+      433L, 439L, 443L, 449L, 457L, 461L, 463L, 467L, 479L, 487L,
+      491L, 499L, 503L, 509L, 521L, 523L, 541L, 547L, 557L, 563L,
+      569L, 571L, 577L, 587L, 593L, 599L, 601L, 607L, 613L, 617L,
+      619L, 631L, 641L, 643L, 647L, 653L, 659L, 661L, 673L, 677L,
+      683L, 691L, 701L, 709L, 719L, 727L, 733L, 739L, 743L, 751L,
+      757L, 761L, 769L, 773L, 787L, 797L, 809L, 811L, 821L, 823L,
+      827L, 829L, 839L, 853L, 857L, 859L, 863L, 877L, 881L, 883L,
+      887L, 907L, 911L, 919L)
 
   /** Exact-arithmetic minhash signature (k = 16): element j is
     * `min over token hashes h of (A(j)*h + B(j)) mod P`. Input must be
