@@ -115,9 +115,15 @@ object CurateCorpus {
       // groups labeling ([[Dedup.lshDupGroups]], edge volume ≤
       // nBands·N) beyond it, so a skewed 100 TB corpus cannot
       // accidentally materialize a quadratic pair set on the way to a
-      // survivor list. Budget: 32 pairs/doc (a uniform corpus sits far
-      // under; quadratic families blow past at any real scale), floor
-      // 10⁶ so tiny runs never flap. Both modes keep each family's
+      // survivor list. Budget: 256 candidate pairs/doc — a corpus
+      // whose candidate mass is O(1) per doc is linear however big it
+      // grows (the campaign's uniform corpus measures ~186/doc at
+      // BOTH 50 k and 500 k docs: its boilerplate families replicate
+      // per copy, so Σfamily² grows ∝ N), while quadratic families
+      // push the per-doc rate unbounded (gen_skew: 94/doc at 50 k,
+      // 938/doc at 500 k, ~10× per decade). 32/doc was measured too
+      // tight — it flipped the linear uniform corpus too. Floor 10⁶
+      // so tiny runs never flap. Both modes keep each family's
       // min-id member: pairs drops every verified doc_b (higher id),
       // groups keeps doc_id == canonical (component min) — identical
       // on mutually-similar families, divergent only on borderline
@@ -127,7 +133,7 @@ object CurateCorpus {
       // materialization).
       val dedupChosen = dedupMode match {
         case "auto" =>
-          val budget = math.max(32L * nExact, 1000000L)
+          val budget = math.max(256L * nExact, 1000000L)
           val bound = Dedup.lshPairBound(exact, pinned += _)
           val pick = if (bound > budget) "groups" else "pairs"
           graft.operators.Parallelism.logDispatch("CurateCorpus.nearDup",
