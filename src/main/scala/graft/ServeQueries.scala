@@ -79,6 +79,11 @@ object ServeQueries {
   private def q89(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentVideoFrames(s, d)
 
+  /** MP4 sample-table frame units over a real box tree — see
+    * [[graft.operators.Multimodal.documentMp4Frames]]. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentMp4Frames(s, d)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -160,7 +165,8 @@ object ServeQueries {
     "q34_profile"      -> (q34 _),
     "q45_frame_sample" -> (q45 _),
     "q75_pixel_decode" -> (q75 _),
-    "q89_mjpeg_frames" -> (q89 _))
+    "q89_mjpeg_frames" -> (q89 _),
+    "q90_mp4_frames"   -> (q90 _))
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -243,6 +249,34 @@ object ServeQueries {
         |         || [255,217]::BIGINT[]),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
         |FROM s""".stripMargin,
+    "q90_mp4_frames" ->
+      // The oracle reproduces the mp4Fixture arithmetic: uniform
+      // 16-byte samples at a constant data offset (moov size is
+      // sample-count-independent by construction), decode time
+      // 3600·idx, tkhd dims from doc_id, hash = byte fold of the
+      // sample (the mdat slice IS the text chunk). The Spark side must
+      // recover all of it from the real box tree + stsz/stsc/stco/stts
+      // expansion for the hashes to match.
+      s"""WITH f AS (
+         |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+         |), s AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, greatest(n_frames, 0), 4)) AS frame_idx
+         |  FROM f
+         |)
+         |SELECT doc_id,
+         |       CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(${graft.operators.VideoContainers.mp4FixtureDataOff}
+         |            + frame_idx * 16 AS BIGINT) AS byte_off,
+         |       CAST(16 AS BIGINT) AS n_bytes,
+         |       CAST(frame_idx * 3600 AS BIGINT) AS time_ticks,
+         |       CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+         |       CAST(doc_id % 12 + 1 AS INTEGER) AS height,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
+         |           i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
+         |FROM s""".stripMargin,
     "q34_profile" ->
       """SELECT event_type,
         |       COUNT(DISTINCT user_id) AS n_users,

@@ -196,6 +196,35 @@ object Multimodal {
       .drop("container", "height") // constants of the fixture
   }
 
+  /** Demo pipeline, MP4 tier (q90): each document's full 16-byte text
+    * chunks become uniform samples of a real single-chunk MP4
+    * ([[VideoContainers.mp4Fixture]] — ftyp/moov/trak/mdia/minf/stbl
+    * with stsz/stsc/stco/stts, tkhd dims from doc_id, 3 600 ticks per
+    * frame at timescale 90 000), then the container-aware sampler
+    * takes every 4th frame. The DuckDB oracle reproduces byte ranges
+    * (constant [[VideoContainers.mp4FixtureDataOff]] + 16·idx), decode
+    * times and sample hashes arithmetically — so the Spark side must
+    * walk the real box tree and expand the real sample tables to
+    * match. Complements q89 (MJPEG marker-walk tier) over the SAME
+    * frame plumbing. */
+  def documentMp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val samples = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        (id, VideoContainers.mp4Fixture((id % 16 + 1).toInt,
+          (id % 12 + 1).toInt, 90000L, 3600L, samples))
+      }
+      .toDF("doc_id", "media")
+    sampleContainerFrames(media, stride = 4).toDF()
+      .drop("container") // constant of the fixture
+  }
+
   /** Decoded-content statistics for one image blob ([[PixelDecode]]
     * formats only). Integer channel sums are the oracle-checkable
     * truth; means are one exact IEEE division of those sums. */

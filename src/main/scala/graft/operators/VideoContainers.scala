@@ -164,6 +164,53 @@ object VideoContainers {
     out.toByteArray
   }
 
+  /** Deterministic single-track MP4 fixture in the streaming layout
+    * (moov before mdat): uniform 16-byte samples in ONE chunk, v0 full
+    * boxes, one stsc run and one stts run (constant `delta` ticks per
+    * sample). Because `stsz` is uniform and every table has exactly
+    * one entry, the moov box size is INDEPENDENT of the sample count —
+    * so the mdat data offset is the constant [[mp4FixtureDataOff]] and
+    * the q90 DuckDB oracle can reproduce every frame's byte range and
+    * decode time arithmetically. (The hand-built multi-chunk /
+    * multi-run / co64 / v1 layouts live in VideoContainersSpec — this
+    * fixture is the gate-query shape, the spec is the adversarial
+    * one.) */
+  def mp4Fixture(width: Int, height: Int, timescale: Long, delta: Long,
+      samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(samples.forall(_.length == 16), "uniform 16-byte samples")
+    def be32(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    def fullBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0) ++ payload)
+    val n = samples.size.toLong
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    def moov(chunkOff: Long): Array[Byte] = {
+      val tkhd = fullBox("tkhd",
+        new Array[Byte](72) ++ be32(width.toLong << 16) ++ be32(height.toLong << 16))
+      val mdhd = fullBox("mdhd",
+        be32(0) ++ be32(0) ++ be32(timescale) ++ be32(0) ++ Array[Byte](0, 0, 0, 0))
+      val hdlr = fullBox("hdlr", be32(0) ++ "vide".getBytes ++ new Array[Byte](12))
+      val stsz = fullBox("stsz", be32(16) ++ be32(n))
+      val stsc = fullBox("stsc", be32(1) ++ be32(1) ++ be32(math.max(n, 1)) ++ be32(1))
+      val stco = fullBox("stco", be32(1) ++ be32(chunkOff))
+      val stts = fullBox("stts", be32(1) ++ be32(n) ++ be32(delta))
+      box("moov", box("trak", tkhd ++ box("mdia",
+        mdhd ++ hdlr ++ box("minf", box("stbl", stsz ++ stsc ++ stco ++ stts)))))
+    }
+    val dataOff = ftyp.length + moov(0).length + 8 // fixed-width fields
+    ftyp ++ moov(dataOff) ++ box("mdat", samples.flatten.toArray)
+  }
+
+  /** The constant mdat data offset of [[mp4Fixture]] files — encoder-
+    * side arithmetic (moov size does not depend on the sample count),
+    * mirrored as a literal into the q90 oracle. */
+  val mp4FixtureDataOff: Long = {
+    val one = mp4Fixture(1, 8, 90000L, 3600L, Seq(new Array[Byte](16)))
+    (one.length - 16).toLong
+  }
+
   // ------------------------------------------------------------------ //
   //  MP4 (ISO-BMFF)                                                     //
   // ------------------------------------------------------------------ //

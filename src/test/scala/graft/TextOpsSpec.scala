@@ -521,4 +521,20 @@ class TextOpsSpec extends AnyFunSuite {
     val got = df.select(predictedLang(tokenSet(col("text")))).as[String].collect()
     assert(got.toSeq == Seq("en", "zh", "und"))
   }
+
+  test("autoPlanes: the log2(n)-3 rule is not family-capped through warehouse scales") {
+    // round-11 sf100 regression root cause: bits froze at 16 past
+    // n~0.5M because the plane family had 64 entries — candidate
+    // volume per band went quadratic again (q25 27x/decade). The rule
+    // must keep turning with N through the pinned family's new size.
+    def bits(n: Long) = Similarity.autoPlanes(n, 4) / 4
+    assert(bits(2048) == 8) // oracle-checked scales: pinned prefix
+    assert(bits(200000) == 15)
+    assert(bits(2000000) == 18) // the sf100 corpus — was capped at 16
+    assert(bits(2000000000L) == 28)
+    assert(bits(1L << 35) == 32) // family bound reached only at ~34B
+    // gate configs use only the pinned 32-plane prefix; the family
+    // extension must never change them
+    assert(Similarity.autoPlanes(2000, 4) == 32)
+  }
 }

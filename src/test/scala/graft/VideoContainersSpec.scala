@@ -154,6 +154,27 @@ class VideoContainersSpec extends AnyFunSuite {
     assert(trk.frames.map(f => (f.off, f.len, f.timeTicks)) == expected.take(3))
   }
 
+  test("mp4Fixture: parser inverts the library fixture; data offset constant in n") {
+    val samples = (0 until 5).map(i => Array.tabulate[Byte](16)(j => (i * 16 + j).toByte))
+    val bytes = VideoContainers.mp4Fixture(7, 3, 90000L, 3600L, samples)
+    val trk = VideoContainers.parseMp4(bytes).get
+    assert(trk.timescale == 90000L)
+    assert(trk.frames.map(f => (f.idx, f.len, f.timeTicks, f.width, f.height)) ==
+      (0 until 5).map(i => (i.toLong, 16L, 3600L * i, 7, 3)))
+    // offsets: the constant fixture data offset + 16·idx, and the
+    // parsed slices are exactly the input samples
+    assert(trk.frames.map(_.off) ==
+      (0 until 5).map(i => VideoContainers.mp4FixtureDataOff + 16L * i))
+    trk.frames.zip(samples).foreach { case (f, s) =>
+      assert(java.util.Arrays.copyOfRange(bytes, f.off.toInt,
+        (f.off + f.len).toInt).toSeq == s.toSeq)
+    }
+    // moov size independent of n (the q90 oracle's premise)
+    val one = VideoContainers.mp4Fixture(7, 3, 90000L, 3600L, samples.take(1))
+    assert(VideoContainers.parseMp4(one).get.frames.head.off ==
+      VideoContainers.mp4FixtureDataOff)
+  }
+
   // ---------------------------------------------------------------- //
   //  Spark plumbing                                                   //
   // ---------------------------------------------------------------- //
