@@ -20,30 +20,44 @@ import org.apache.spark.sql.functions._
   * ticks at the default 10⁷ rows — the reference's comfort zone is
   * 10⁶–10⁷ fact rows (BASELINE.md).
   *
-  * Usage: `sbt "runMain graft.ServeLatency [nRows] [nReq] [seed]"` —
-  * prints one JSON line per phase plus a per-form breakdown of the
+  * Usage: `sbt "runMain graft.ServeLatency [nRows] [nReq] [seed] [mode]"`
+  * — prints one JSON line per phase plus a per-form breakdown of the
   * slowest cold shapes; numbers land in STRESS.md. Not part of the
-  * driver gate.
+  * driver gate. `mode`:
+  *  - `api` (default): measure [[UsageApi]] in-process, session built
+  *    here (codegen on unless `SPARK_GRAFT_SERVE_CODEGEN=0`) — the
+  *    harness the round-10 campaign used.
+  *  - `http`: the REAL serving stack — [[graft.serve.UsageServer
+  *    .servingSession]] (the measured serving profile as the server
+  *    main wires it: wholeStage off, shuffle = cores) + the actual
+  *    [[graft.serve.UsageServer]] HTTP socket, every request a POST
+  *    over localhost with JSON (de)serialization included in the
+  *    latency. Closes VERDICT r10 item 4's measurement bar: same P95
+  *    through the server main's stack, not just the API object.
   */
 object ServeLatency {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.nonEmpty) args(0).toLong else 10000000L
     val nReq = if (args.length > 1) args(1).toInt else 60
     val seed = if (args.length > 2) args(2).toLong else 10L
+    val mode = if (args.length > 3) args(3) else "api"
+    require(mode == "api" || mode == "http", s"mode api|http, got $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    implicit val spark: SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // SPARK_GRAFT_SERVE_CODEGEN=0: serving-mode experiment — every
-      // request embeds fresh literals, so whole-stage codegen compiles
-      // a new class per request; interpreted execution trades that
-      // fixed compile latency for slower per-row work, which can win
-      // at interactive row counts (see STRESS.md round 10)
-      .config("spark.sql.codegen.wholeStage",
-        (!sys.env.get("SPARK_GRAFT_SERVE_CODEGEN").contains("0")).toString)
-      .getOrCreate()
+    implicit val spark: SparkSession =
+      if (mode == "http") graft.serve.UsageServer.servingSession("serve-latency-http")
+      else SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // SPARK_GRAFT_SERVE_CODEGEN=0: serving-mode experiment — every
+        // request embeds fresh literals, so whole-stage codegen compiles
+        // a new class per request; interpreted execution trades that
+        // fixed compile latency for slower per-row work, which can win
+        // at interactive row counts (see STRESS.md round 10)
+        .config("spark.sql.codegen.wholeStage",
+          (!sys.env.get("SPARK_GRAFT_SERVE_CODEGEN").contains("0")).toString)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- the 10⁷-row fact: 1000 users × 2 clusters per hour tick --- //
@@ -102,19 +116,46 @@ object ServeLatency {
     // usage cost + the driver-side pivot/format
     val csvMask = reqs.map(_ => rng.nextInt(4) == 0)
 
+    // http mode: the real server socket; requests go over localhost
+    // with JSON round-trips included in the measured latency
+    var stopServer: () => Unit = () => ()
+    val (execUsage, execCsv): (UsageRequest => Unit, UsageRequest => Unit) =
+      if (mode == "api")
+        (r => {
+          val resp = api.usage(r)
+          require(resp.users.size == r.users.size, s"missing series for $r")
+        },
+         r => require(api.exportCsv(r).nonEmpty, s"empty csv for $r"))
+      else {
+        val server = new graft.serve.UsageServer(api)
+        val port = server.start()
+        stopServer = () => server.stop() // HttpServer threads are non-daemon
+        println(s"""{"stage":"server_bound","port":$port}""")
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        val client = java.net.http.HttpClient.newHttpClient()
+        def post(route: String, r: UsageRequest): String = {
+          val req = java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port$route"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              org.json4s.jackson.Serialization.write(r)))
+            .build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(resp.statusCode() == 200,
+            s"$route -> ${resp.statusCode()}: ${resp.body().take(200)}")
+          resp.body()
+        }
+        (r => require(post("/api/usage", r).contains("\"users\""), s"bad usage resp for $r"),
+         r => require(post("/api/table", r).nonEmpty, s"empty csv for $r"))
+      }
+
     // JIT/codegen warm-up on requests OUTSIDE the measured mix
-    (0 until 3).foreach(_ => api.usage(mkReq()))
+    (0 until 3).foreach(_ => execUsage(mkReq()))
 
     def runPhase(): Seq[(UsageRequest, Double)] =
       reqs.zip(csvMask).map { case (r, csv) =>
         val t0 = System.nanoTime()
-        if (csv) {
-          val lines = api.exportCsv(r)
-          require(lines.nonEmpty, s"empty csv for $r")
-        } else {
-          val resp = api.usage(r)
-          require(resp.users.size == r.users.size, s"missing series for $r")
-        }
+        if (csv) execCsv(r) else execUsage(r)
         (r, (System.nanoTime() - t0) / 1e6)
       }
 
@@ -142,6 +183,7 @@ object ServeLatency {
     println(s"cold requests over 1s: ${over1s.size} of ${cold.size}")
     require(memo.map(_._2).max < 50.0,
       s"memoized path should be sub-50ms, saw ${memo.map(_._2).max}")
+    stopServer()
     spark.stop()
   }
 }
