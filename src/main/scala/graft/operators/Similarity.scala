@@ -326,19 +326,62 @@ object Similarity {
       centroids: Seq[(Int, Seq[Double])],
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
       nProbe: Int, k: Int, rerank: Int = 0): DataFrame = {
+    val index = buildAdcIndex(embeddings, centroids, codebooks, dsub)
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    ivfAdcSearchAgainst(q, index, centroids, codebooks, dsub, nProbe, k,
+      rerank, rawVectors = if (rerank > 0) Some(embeddings) else None)
+  }
+
+  /** The persistable IVFADC index: (vec_id, codes, cell) — the
+    * vector's PQ codes plus its home IVF cell, ~32× slimmer than the
+    * raw vectors. At warehouse scale this is a parquet table bucketed
+    * by `cell`, maintained by [[appendAdcIndex]] increments; here the
+    * gate queries rebuild it in place (the q33/q63 self-contained
+    * shape). Cell assignment and encoding are per-vector arithmetic
+    * over the pinned centroid/codebook artifacts, so increments are
+    * row-identical to a rebuild (spec-proven, the
+    * [[appendIvfIndex]] discipline). */
+  def buildAdcIndex(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame = {
     import graft.functions.HashExpressions
-    val nCodes = codebooks.map(_._2).distinct.size
-    // slim compressed index: home cell + codes, never the raw vector
     val homeCells = Parallelism.widen(embeddings)
       .select(col("vec_id"),
         element_at(HashExpressions.nearestCells(col("embedding"),
           centroids, 1), 1).getField("cell").as("cell"))
-    val index = Pq.encode(embeddings, codebooks, dsub)
-      .join(homeCells, "vec_id")
-    // query side: probe cells + the m×k ADC table, both tiny
-    val q = embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val cb = Pq.codebookDF(embeddings, codebooks)
+    Pq.encode(embeddings, codebooks, dsub).join(homeCells, "vec_id")
+  }
+
+  /** Extend a prebuilt ADC index with a vector increment — the
+    * production maintenance path: assign + encode the new batch
+    * against the SAME pinned artifacts, union onto the persisted
+    * index; the existing corpus is never rescanned or re-encoded. */
+  def appendAdcIndex(index: DataFrame, newVecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
+    index.unionByName(buildAdcIndex(newVecs, centroids, codebooks, dsub))
+
+  /** Search a (query_id, embedding) batch against a prebuilt slim ADC
+    * index ([[buildAdcIndex]]) — the external-query / micro-batch form
+    * of [[ivfAdcTopK]] (the [[ivfSearchAgainst]] counterpart for the
+    * compressed index): queries build their m×k distance tables and
+    * probe-cell lists (both tiny, broadcast), the scan is table-lookup
+    * arithmetic over the index, and the optional exact re-rank
+    * attaches raw vectors for the per-query shortlist only —
+    * `rawVectors` (vec_id, embedding) is required iff `rerank > 0`
+    * (at warehouse scale: the vector table, hit for shortlist·queries
+    * rows, not the scan). */
+  def ivfAdcSearchAgainst(q: DataFrame, index: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
+      nProbe: Int, k: Int, rerank: Int = 0,
+      rawVectors: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.HashExpressions
+    require(rerank <= 0 || rawVectors.isDefined,
+      "rerank > 0 needs rawVectors for the exact pass")
+    val nCodes = codebooks.map(_._2).distinct.size
+    val cb = Pq.codebookDF(q, codebooks)
     val dtabs = q.crossJoin(broadcast(cb))
       .withColumn("pdist", HashExpressions.subSquaredDist(
         col("embedding"), col("cent"), col("sub"), dsub))
@@ -377,7 +420,7 @@ object Similarity {
       // attach raw vectors for the shortlist only: one broadcast-hash
       // pass over the corpus for the neighbor side (candidates ≪
       // corpus), query vectors from the small q rel
-      val withVecs = embeddings
+      val withVecs = rawVectors.get
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b"))
         .join(broadcast(shortlist), "neighbor_id")
         .join(broadcast(q.select(col("query_id"), col("embedding").as("e_a"))),

@@ -522,6 +522,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "zh", "und"))
   }
 
+  test("ADC index: append == rebuild; searchAgainst == in-query composition") {
+    import graft.operators.{IvfCentroids, PqCodebooks, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val (cents, cbs) = (IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16)
+    // increment identity: encode+assign are per-vector arithmetic over
+    // pinned artifacts, so appending a batch equals rebuilding over
+    // the union (the appendIvfIndex discipline, compressed form)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    val inc = emb.filter($"vec_id" % 3 === 0)
+    val appended = Similarity.appendAdcIndex(
+      Similarity.buildAdcIndex(old, cents, cbs, 8), inc, cents, cbs, 8)
+    val rebuilt = Similarity.buildAdcIndex(emb, cents, cbs, 8)
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty)
+    // external-query search against the prebuilt slim index is
+    // row-identical to the self-contained composition (q88's shape),
+    // with and without the exact rerank pass
+    val qPred = pmod($"vec_id", lit(100L)) === 0
+    val q = emb.filter(qPred).select($"vec_id".as("query_id"), $"embedding")
+    for (rr <- Seq(0, 50)) {
+      val composed = Similarity.ivfAdcTopK(emb, qPred, cents, cbs,
+        dsub = 8, nProbe = 4, k = 5, rerank = rr)
+      val against = Similarity.ivfAdcSearchAgainst(q, rebuilt, cents, cbs,
+        dsub = 8, nProbe = 4, k = 5, rerank = rr,
+        rawVectors = if (rr > 0) Some(emb) else None)
+      assert(against.exceptAll(composed).isEmpty &&
+        composed.exceptAll(against).isEmpty, s"rerank=$rr")
+    }
+    // rerank without raw vectors must refuse loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcSearchAgainst(q, rebuilt, cents, cbs, 8, 4, 5,
+        rerank = 10, rawVectors = None)
+    }
+  }
+
   test("autoPlanes: the log2(n)-3 rule is not family-capped through warehouse scales") {
     // round-11 sf100 regression root cause: bits froze at 16 past
     // n~0.5M because the plane family had 64 entries — candidate
