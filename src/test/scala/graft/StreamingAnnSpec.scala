@@ -76,4 +76,56 @@ class StreamingAnnSpec extends AnyFunSuite {
       s"stream ${streamed.size} vs batch ${batchRes.size}")
     assert(batchRes.nonEmpty)
   }
+
+  test("micro-batched ADC query stream equals the one-shot batch search") {
+    import graft.operators.PqCodebooks
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter($"vec_id" >= 40)
+    val queries = emb.filter($"vec_id" < 40)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val (cents, cbs) = (IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16)
+    // the slim compressed index is built once (the persisted-artifact
+    // stand-in) — micro-batches only build their m×k distance tables
+    val staticIdx = Similarity.buildAdcIndex(corpus, cents, cbs, 8).cache()
+    staticIdx.count()
+
+    val batchRes = Similarity.ivfAdcSearchAgainst(queries, staticIdx,
+        cents, cbs, dsub = 8, nProbe = 4, k = 3, rerank = 10,
+        rawVectors = Some(corpus))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val in = Files.createTempDirectory("adc_in")
+    val ckpt = Files.createTempDirectory("adc_ck")
+    queries.filter($"query_id" < 20).write.parquet(in.toString + "/b1")
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("path", in.toString + "/*")
+      .format("parquet").load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val res = Similarity.ivfAdcSearchAgainst(batch, staticIdx,
+              cents, cbs, dsub = 8, nProbe = 4, k = 3, rerank = 10,
+              rawVectors = Some(corpus))
+            .select("query_id", "neighbor_id", "rank")
+            .as[(Long, Long, Int)].collect()
+          streamed.synchronized { streamed ++= res }
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      queries.filter($"query_id" >= 20).write.parquet(in.toString + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    staticIdx.unpersist()
+
+    assert(streamed.toSet == batchRes,
+      s"stream ${streamed.size} vs batch ${batchRes.size}")
+    assert(batchRes.nonEmpty)
+  }
 }
