@@ -130,12 +130,24 @@ object Pq {
     * the output as literals so the search itself is exact
     * arithmetic both engines share. */
   def fitCodebooks(embeddings: DataFrame, m: Int, dsub: Int,
-      nCodes: Int): Seq[(Int, Int, Seq[Double])] = {
+      nCodes: Int, maxSample: Long = 0L): Seq[(Int, Int, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // maxSample > 0 caps the training-set SIZE (the
+    // Similarity.fitQuantizer discipline: k-means cost is sample ×
+    // nCodes × m per iteration; ~64 samples/code per subspace is
+    // plenty for a quantizer whose job is balanced cells). 0 keeps the
+    // legacy fixed 50% fraction the pinned Codebooks8x16 were trained
+    // with.
+    val fraction =
+      if (maxSample <= 0L) 0.5
+      else {
+        val n = math.max(embeddings.count(), 1L)
+        math.min(1.0, maxSample.toDouble / n.toDouble)
+      }
     val sample = embeddings
       .select(col("embedding"))
-      .sample(withReplacement = false, 0.5, seed = 42L)
+      .sample(withReplacement = false, fraction, seed = 42L)
       .cache()
     try {
       (0 until m).flatMap { s =>
@@ -143,9 +155,14 @@ object Pq {
           array_to_vector(transform(
             slice(col("embedding"), s * dsub + 1, dsub),
             x => x.cast("double"))).as("features"))
-        val model = new KMeans()
+        val km = new KMeans()
           .setK(nCodes).setSeed(42L + s).setMaxIter(10)
-          .fit(sliced)
+        // capped tier: skip the k-means|| init passes (the
+        // fitQuantizer lesson — random init + Lloyd is plenty for a
+        // coarse quantizer); legacy path keeps the default init the
+        // pinned tables were trained with
+        if (maxSample > 0L) km.setInitMode("random")
+        val model = km.fit(sliced)
         model.clusterCenters.zipWithIndex.map { case (c, i) =>
           (s, i, c.toArray.toSeq)
         }

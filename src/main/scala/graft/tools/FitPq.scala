@@ -13,19 +13,44 @@ package graft.tools
   * distribute the codebooks as data).
   *
   * Usage: sbt "runMain graft.tools.FitPq /root/testdata/sf0.01"
+  *
+  * With a second argument the codebooks are written as a parquet
+  * ARTIFACT (+ corpus fingerprint sibling) instead of source
+  * literals — the shape [[graft.operators.PqCodebooks.forCorpus]]
+  * loads for corpora past the pinned table (m=8 × 256 codes, the
+  * one-byte-per-subspace production code):
+  *   sbt "runMain graft.tools.FitPq /tmp/sf100 /tmp/pq"
   */
 object FitPq {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val artifactDir = if (args.length > 1) Some(args(1)) else None
     val spark = graft.GraftSession.create("fit-pq")
     spark.sparkContext.setLogLevel("WARN")
-    val cbs = graft.operators.Pq.fitCodebooks(
-      graft.Tables.embeddings(spark, dir), m = 8, dsub = 8, nCodes = 16)
-    println("  val Codebooks8x16: Seq[(Int, Int, Seq[Double])] = Seq(")
-    cbs.foreach { case (s, c, cent) =>
-      println(s"    ($s, $c, Seq(${cent.map(v => s"${v}d").mkString(", ")})),")
+    val emb = graft.Tables.embeddings(spark, dir)
+    artifactDir match {
+      case Some(d) =>
+        import spark.implicits._
+        val (m, nCodes) = (8, 256)
+        val cbs = graft.operators.Pq.fitCodebooks(emb, m,
+          dsub = 8, nCodes = nCodes,
+          maxSample = math.max(64L * nCodes, 65536L))
+        cbs.toDF("sub", "code", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/codebooks_m${m}x$nCodes.parquet")
+        val fp = graft.operators.IvfCentroids.corpusFingerprint(emb)
+        Seq(fp).toDF("fp_count", "fp_hash").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/fingerprint_m${m}x$nCodes.parquet")
+        println(s"wrote $d/codebooks_m${m}x$nCodes.parquet " +
+          s"(${cbs.length} codewords, fingerprint $fp)")
+      case None =>
+        val cbs = graft.operators.Pq.fitCodebooks(emb, m = 8, dsub = 8,
+          nCodes = 16)
+        println("  val Codebooks8x16: Seq[(Int, Int, Seq[Double])] = Seq(")
+        cbs.foreach { case (s, c, cent) =>
+          println(s"    ($s, $c, Seq(${cent.map(v => s"${v}d").mkString(", ")})),")
+        }
+        println("  )")
     }
-    println("  )")
     spark.stop()
   }
 }

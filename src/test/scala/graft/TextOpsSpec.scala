@@ -234,6 +234,35 @@ class TextOpsSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("PQ codebook artifact lifecycle: fingerprint staleness check") {
+    import graft.operators.{IvfCentroids, PqCodebooks}
+    val dir = java.nio.file.Files.createTempDirectory("pq_art").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val (m, nCodes, dsub) = (2, 3, 4)
+    val cbs = for (s <- 0 until m; c <- 0 until nCodes)
+      yield (s, c, Seq.fill(dsub)((s * nCodes + c).toDouble))
+    cbs.toDF("sub", "code", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks_m${m}x$nCodes.parquet")
+    val fp = IvfCentroids.corpusFingerprint(emb)
+    val fpOther = IvfCentroids.corpusFingerprint(emb.limit(10))
+    // no fingerprint sibling yet → legacy artifact, accepted
+    assert(PqCodebooks.loadArtifact(spark, dir, m, nCodes, dsub, fp)
+      .map(_.toSet).contains(cbs.toSet))
+    // matching fingerprint → artifact used
+    Seq(fp).toDF("fp_count", "fp_hash").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/fingerprint_m${m}x$nCodes.parquet")
+    assert(PqCodebooks.loadArtifact(spark, dir, m, nCodes, dsub, fp)
+      .map(_.toSet).contains(cbs.toSet))
+    // regenerated corpus → stale, refused (forCorpus refits, logged)
+    assert(PqCodebooks.loadArtifact(spark, dir, m, nCodes, dsub, fpOther).isEmpty)
+    // wrong shape refused independent of fingerprints
+    assert(PqCodebooks.loadArtifact(spark, dir, m, nCodes + 1, dsub, fp).isEmpty)
+    assert(PqCodebooks.loadArtifact(spark, dir, m, nCodes, dsub + 1, fp).isEmpty)
+    // gate scale keeps the pinned table bit-for-bit
+    assert(PqCodebooks.forCorpus(emb)._1 eq PqCodebooks.Codebooks8x16)
+    emb.unpersist()
+  }
+
   test("SQL-mode registration: graft functions callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     Seq(("abcdefgh", "abcdefgx")).toDF("a", "b").createOrReplaceTempView("t")
