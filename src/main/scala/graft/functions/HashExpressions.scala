@@ -321,6 +321,18 @@ object HashExpressions {
     override def nullSafeEval(input: Any): Any = {
       val e = input.asInstanceOf[ArrayData]
       val ne = e.numElements()
+      // copy the vector to a primitive array ONCE per row: the dot
+      // loop below runs cents.length × dim times, and going through
+      // ArrayData's virtual getFloat per element made the k=1600
+      // assignment ~102k virtual calls per row (the dominant cost of
+      // a 200k-vector index build); identical double values, so the
+      // fold is bit-unchanged
+      val x = new Array[Double](ne)
+      var xi = 0
+      while (xi < ne) {
+        x(xi) = if (isFloat) e.getFloat(xi).toDouble else e.getDouble(xi)
+        xi += 1
+      }
       val keep = math.min(math.max(nProbe, 1), cents.length)
       val bestD = new Array[Double](keep)
       val bestC = new Array[Int](keep)
@@ -332,8 +344,7 @@ object HashExpressions {
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
-          acc += x * c(i)
+          acc += x(i) * c(i)
           i += 1
         }
         val d = -acc + halfCc(k)
@@ -395,6 +406,14 @@ object HashExpressions {
     override def nullSafeEval(input: Any): Any = {
       val e = input.asInstanceOf[ArrayData]
       val n = e.numElements()
+      // one primitive copy per row (the NearestCells discipline): the
+      // plane loop reads nPlanes × dim elements per row
+      val xs = new Array[Double](n)
+      var xi = 0
+      while (xi < n) {
+        xs(xi) = if (isFloat) e.getFloat(xi).toDouble else e.getDouble(xi)
+        xi += 1
+      }
       val out = new Array[Double](nPlanes)
       var j = 0
       while (j < nPlanes) {
@@ -403,7 +422,7 @@ object HashExpressions {
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+          val x = xs(i)
           val h = a * (i + 1) + b // ≤ ~1.3e7, so h² < 2^63: no overflow
           if (h * h % P % 2 == 0) acc += x else acc += -x
           i += 1
@@ -888,6 +907,82 @@ object HashExpressions {
       copy(emb = f, cent = sN, sub = t)
   }
 
+  /** Row-local PQ encoding: for each of the m subspaces, the code of
+    * the nearest codeword — per-code distance and tie-break
+    * bit-identical to the former join shape (`crossJoin(broadcast(
+    * codebooks)) + min(struct(SubSquaredDist, code))`): the same
+    * sequential (x−c)² fold per (sub, code), min over codes with
+    * lowest-code ties (codes scanned ascending, strict <). The join
+    * shape materialized N×m×nCodes distance ROWS only to aggregate
+    * them straight back to N (the [[NearestCells]] lesson, PQ form) —
+    * at 256 codes that was 410 M rows and 178 s for a 200 k-vector
+    * index build; this is one narrow map. Output: array<int> of m
+    * codes ordered by sub. */
+  case class PqEncode(child: Expression,
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] =
+      Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+    require(dsub >= 1, "dsub >= 1")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    // per-subspace codeword tables, codes ascending within a sub
+    @transient private lazy val subs: Array[(Int, Array[(Int, Array[Double])])] =
+      codebooks.groupBy(_._1).toArray.sortBy(_._1).map { case (s, rows) =>
+        (s, rows.sortBy(_._2).map(r => (r._2, r._3.toArray)).toArray)
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      // one primitive copy per row (the NearestCells discipline): the
+      // inner loops read m×nCodes×dsub elements per row
+      val ne = e.numElements()
+      val x = new Array[Double](ne)
+      var xi = 0
+      while (xi < ne) {
+        x(xi) = if (isFloat) e.getFloat(xi).toDouble else e.getDouble(xi)
+        xi += 1
+      }
+      val out = new Array[Int](subs.length)
+      var si = 0
+      while (si < subs.length) {
+        val (sub, words) = subs(si)
+        val off = sub * dsub
+        var bestD = Double.PositiveInfinity
+        var bestC = Int.MaxValue
+        var w = 0
+        while (w < words.length) {
+          val (code, cent) = words(w)
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = x(off + i) - cent(i)
+            acc += d * d
+            i += 1
+          }
+          // strict <: codes ascend, so ties keep the lowest code —
+          // exactly min(struct(dist, code))
+          if (java.lang.Double.compare(acc, bestD) < 0) {
+            bestD = acc; bestC = code
+          }
+          w += 1
+        }
+        out(si) = bestC
+        si += 1
+      }
+      new GenericArrayData(out.map(Int.box(_): Any))
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
   /** PQ asymmetric-distance sum: Σ_s dtab[s·nCodes + codes[s]] as a
     * sequential double fold over the code array — bit-equal to the
     * `aggregate(sequence(0, m−1), acc + element_at(...))` HOF form
@@ -1066,6 +1161,9 @@ object HashExpressions {
   def adcSum(codes: Column, dtab: Column, nCodes: Int): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes),
       ColumnBridge.expression(dtab), nCodes))
+  def pqEncode(c: Column, codebooks: Seq[(Int, Int, Seq[Double])],
+      dsub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(c), codebooks, dsub))
   def tokenBigrams(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
 }

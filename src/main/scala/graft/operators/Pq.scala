@@ -74,18 +74,18 @@ object Pq {
     * because every stage up to the first exchange inherits the
     * input's partitioning. */
   def encode(embeddings: DataFrame,
-      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame = {
-    val cb = codebookDF(embeddings, codebooks)
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
+    // one narrow map ([[graft.functions.HashExpressions.PqEncode]] —
+    // the buildIvfIndex lesson): the former crossJoin(broadcast(cb))
+    // + two-level argmin aggregation materialized N×m×nCodes distance
+    // rows only to collapse them back to N; at production code counts
+    // (256) that was 410 M rows / 178 s for a 200 k index build, vs a
+    // per-row scan that is arithmetic-bound (bit-identical distances
+    // and (dist, code) tie-break — q63/q88 oracles unchanged)
     Parallelism.widen(embeddings)
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cb))
-      .withColumn("dist", subDist(col("embedding"), col("cent"), col("sub"), dsub))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .groupBy("vec_id")
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("m.code")))),
-        s => s.getField("code")).as("codes"))
-  }
+      .select(col("vec_id"),
+        graft.functions.HashExpressions
+          .pqEncode(col("embedding"), codebooks, dsub).as("codes"))
 
   /** ADC top-k: for each query vector (selected by `queryPred`),
     * the `k` nearest encoded vectors by asymmetric PQ distance.

@@ -344,14 +344,18 @@ object Similarity {
     * [[appendIvfIndex]] discipline). */
   def buildAdcIndex(embeddings: DataFrame,
       centroids: Seq[(Int, Seq[Double])],
-      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame = {
-    import graft.functions.HashExpressions
-    val homeCells = Parallelism.widen(embeddings)
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
+    // ONE narrow pass: cell assignment and PQ encoding are both
+    // row-local expressions over the same vector, so computing them in
+    // one select avoids the former encode⋈homeCells self-join — a full
+    // shuffle of both 200 k-row sides just to zip columns that were
+    // never apart
+    Parallelism.widen(embeddings)
       .select(col("vec_id"),
-        element_at(HashExpressions.nearestCells(col("embedding"),
-          centroids, 1), 1).getField("cell").as("cell"))
-    Pq.encode(embeddings, codebooks, dsub).join(homeCells, "vec_id")
-  }
+        graft.functions.HashExpressions
+          .pqEncode(col("embedding"), codebooks, dsub).as("codes"),
+        element_at(graft.functions.HashExpressions.nearestCells(
+          col("embedding"), centroids, 1), 1).getField("cell").as("cell"))
 
   /** Extend a prebuilt ADC index with a vector increment — the
     * production maintenance path: assign + encode the new batch
