@@ -149,6 +149,11 @@ object ServeLatency {
          r => require(post("/api/table", r).nonEmpty, s"empty csv for $r"))
       }
 
+    // Everything from warm-up on runs under try/finally: a failed
+    // require mid-benchmark must still stop the non-daemon HttpServer
+    // threads (http mode) and the session, or the JVM hangs after the
+    // exception instead of exiting with it.
+    try {
     // JIT/codegen warm-up on requests OUTSIDE the measured mix
     (0 until 3).foreach(_ => execUsage(mkReq()))
 
@@ -183,7 +188,9 @@ object ServeLatency {
     println(s"cold requests over 1s: ${over1s.size} of ${cold.size}")
     require(memo.map(_._2).max < 50.0,
       s"memoized path should be sub-50ms, saw ${memo.map(_._2).max}")
-    stopServer()
-    spark.stop()
+    } finally {
+      stopServer()
+      spark.stop()
+    }
   }
 }

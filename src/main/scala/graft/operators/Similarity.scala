@@ -649,7 +649,11 @@ object Similarity {
     // irrelevant, only "> target" matters
     val pairBound =
       if (n < 3037000499L) n * n else Long.MaxValue
-    val escapes = pairBound <= Parallelism.DefaultTargetPairsPerTask
+    // same predicate as saltedBlockJoin's own escape (> 0 && <= target):
+    // an n=0 corpus must take the cached-stats path's lifecycle, not
+    // leave the sigs rel uncached while the stats pre-pass still runs
+    val escapes =
+      pairBound > 0L && pairBound <= Parallelism.DefaultTargetPairsPerTask
     val sigsPlain = lshSigRel(embeddings, nPlanes, nBands)
       .withColumn("nrm", l2Norm(col("embedding")))
     val sigs = if (escapes) sigsPlain else { // cold-start the stats path

@@ -40,7 +40,30 @@ final case class UsageResponse(
     numAggregatedUsers: Int,
     cluster: String)
 
-final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
+/** `refreshMode` — what [[UsageApi.invalidate]] does to the memo:
+  *  - `"clear"` (default, REFERENCE PARITY): drop every memoized
+  *    response and the per-cluster bounds; the next request of each
+  *    shape recomputes cold. This is what the reference does on
+  *    ingest: `usage_loader.rb:196` calls `UsageData.clear_cache` →
+  *    Guava `cache.invalidate_all`, and the UsageData response cache
+  *    is built WITHOUT an expiry (`usage_data.rb:442-454`), so
+  *    `cache_builder.rb`'s refreshAfterWrite/reload path never applies
+  *    to it — after ingest the reference serves fresh (cold) data,
+  *    never stale.
+  *  - `"swr"` (opt-in, DOCUMENTED DEVIATION): stale-while-revalidate —
+  *    memoized responses keep being served while a single daemon
+  *    refresher recomputes and swaps each one (the Guava
+  *    refreshAfterWrite semantics the reference uses for its OTHER
+  *    caches). Staleness is bounded: the refresher is one FIFO thread,
+  *    so no entry is served stale past one serialized recompute pass
+  *    of the memoized set (≈ memo.size × cold-request cost; measured
+  *    cold P95 343 ms at 10⁷ fact rows), and a NEW request shape
+  *    arriving mid-refresh always computes fresh. Use when dashboard
+  *    latency matters more than post-ingest freshness. */
+final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
+    implicit spark: SparkSession) {
+  require(refreshMode == "clear" || refreshMode == "swr",
+    s"refreshMode clear|swr, got $refreshMode")
 
   // The reference caches the hourly fact in HSQLDB memory with B-tree
   // indexes on the query keys (usage_database.rb:23-26); the Spark
@@ -62,6 +85,16 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
   fact.cache()
 
   private val memo = TrieMap.empty[UsageRequest, UsageResponse]
+  // rendered-response memos: for a memoized request the response BYTES
+  // are deterministic, and re-serializing thousands of (tick, value)
+  // points per hit measured ~44 ms of the memoized HTTP path's latency
+  // (STRESS r11) — so the rendered UTF-8 is cached alongside the
+  // response, same TrieMap lifecycle (cleared / refreshed by the same
+  // invalidate() the response memo follows)
+  private val usageBytes = TrieMap.empty[UsageRequest, Array[Byte]]
+  private val tableBytes = TrieMap.empty[UsageRequest, Array[Byte]]
+  private implicit val jsonFormats: org.json4s.Formats =
+    org.json4s.DefaultFormats
   // per-cluster time bounds are request-invariant between ingests —
   // memoized so a cold request pays its series job(s), not a
   // metadata scan too
@@ -70,13 +103,12 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
     boundsMemo.getOrElseUpdate(cluster,
       UsageQueries.timeBounds(fact, cluster))
 
-  // Single daemon refresher thread: the reference's Guava cache is
-  // built with refreshAfterWrite semantics (`cache_builder.rb:28-35`)
-  // — after an ingest, stale entries keep being served while ONE
-  // loader thread recomputes and swaps them, so the dashboard never
-  // shows a cold request. One thread (not a pool) keeps the refresh
-  // load bounded to one Spark job at a time behind live traffic;
-  // successive invalidates serialize on it.
+  // Single daemon refresher thread (swr mode only): stale entries keep
+  // being served while ONE loader thread recomputes and swaps them, so
+  // the dashboard never shows a cold request. One thread (not a pool)
+  // keeps the refresh load bounded to one Spark job at a time behind
+  // live traffic; successive invalidates serialize on it — which is
+  // also the staleness bound (see the class doc).
   private val refresher =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "usage-api-refresh")
@@ -84,17 +116,22 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
       t
     })
 
-  /** Ingest hook: new data arrived (`usage_loader.rb:195-196`).
-    * Stale-while-revalidate, the reference's `reload` semantics: the
-    * memoized responses stay servable while a background task
-    * recomputes each one over the re-cached fact and swaps it in —
-    * rounds ≤10 instead cleared the memo, sending the whole dashboard
-    * cold at once after every ingest (measured cold P95 343 ms, so
-    * bounded, but the reference never shows the user a cold request).
-    * New (unmemoized) requests arriving mid-refresh compute fresh. */
+  /** Ingest hook: new data arrived (`usage_loader.rb:195-196`). In the
+    * default `"clear"` mode this is the reference's `clear_cache` →
+    * `invalidate_all`: every memo (responses, rendered bytes, bounds)
+    * is dropped and the next request of each shape recomputes cold. In
+    * `"swr"` mode the memoized entries stay servable while the single
+    * refresher thread recomputes and swaps each one (responses AND
+    * their rendered bytes); new (unmemoized) request shapes arriving
+    * mid-refresh compute fresh either way. */
   def invalidate(): Unit = {
     fact.unpersist()
     fact.cache()
+    if (refreshMode == "clear") {
+      memo.clear(); usageBytes.clear(); tableBytes.clear()
+      boundsMemo.clear()
+      return
+    }
     val staleClusters = boundsMemo.keySet.toVector
     val staleReqs = memo.keySet.toVector
     refresher.submit(new Runnable {
@@ -104,13 +141,22 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
           boundsMemo.update(c, UsageQueries.timeBounds(fact, c))
         }
         staleReqs.foreach { r =>
-          try memo.update(r, compute(r))
-          catch {
+          try {
+            val resp = compute(r)
+            memo.update(r, resp)
+            // swap the rendered forms the server has served for this
+            // shape, so a byte-memo hit never outlives its response
+            if (usageBytes.contains(r))
+              usageBytes.update(r, renderUsage(resp))
+            if (tableBytes.contains(r))
+              tableBytes.update(r, renderTable(r, resp))
+          } catch {
             // a request that no longer computes (e.g. its cluster
             // vanished from the new fact) must not wedge the refresh
             // of the others — drop it; the next live request recomputes
             // and surfaces the error to its caller
-            case scala.util.control.NonFatal(_) => memo.remove(r)
+            case scala.util.control.NonFatal(_) =>
+              memo.remove(r); usageBytes.remove(r); tableBytes.remove(r)
           }
         }
       }
@@ -134,6 +180,27 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
   /** `POST /api/usage` (`app.rb:44-106`). */
   def usage(req: UsageRequest): UsageResponse =
     memo.getOrElseUpdate(req, compute(req))
+
+  private def renderUsage(resp: UsageResponse): Array[Byte] =
+    org.json4s.jackson.Serialization.write(resp)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def renderTable(req: UsageRequest, resp: UsageResponse): Array[Byte] =
+    csvLines(req, resp).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The `/api/usage` response as rendered UTF-8 JSON, memoized: a
+    * memoized request's bytes are deterministic, so the server never
+    * re-serializes a repeat dashboard hit (the ~44 ms/hit json4s cost
+    * STRESS r11 measured on the hottest path). Lifecycle follows
+    * [[invalidate]] exactly. */
+  def usageJson(req: UsageRequest): Array[Byte] =
+    usageBytes.getOrElseUpdate(req, renderUsage(usage(req)))
+
+  /** The `/api/table` response as rendered UTF-8 CSV, memoized (same
+    * contract as [[usageJson]]). */
+  def tableCsv(req: UsageRequest): Array[Byte] =
+    tableBytes.getOrElseUpdate(req, renderTable(req, usage(req)))
 
   private def compute(req: UsageRequest): UsageResponse = {
       val qt = QueryType.All.getOrElse(req.queryType,
@@ -203,8 +270,10 @@ final class UsageApi(fact0: DataFrame)(implicit spark: SparkSession) {
   /** `/api/table` CSV lines (`app.rb:110-157`): header then one row per
     * tick, every cell divided by 60 — the reference scales
     * unconditionally (`app.rb:152`), counters included (QUIRK 11). */
-  def exportCsv(req: UsageRequest): Seq[String] = {
-    val resp = usage(req)
+  def exportCsv(req: UsageRequest): Seq[String] =
+    csvLines(req, usage(req))
+
+  private def csvLines(req: UsageRequest, resp: UsageResponse): Seq[String] = {
     val qt = QueryType.All(req.queryType)
     val scale = 60.0
     val header = ("time" +: resp.users.map(_.user)).mkString(",")

@@ -30,21 +30,25 @@ final class UsageServer(api: UsageApi, port: Int = 0) {
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   server.createContext("/api/clusters", handle { _ =>
-    (200, "application/json", Serialization.write(api.clusters()))
+    (200, "application/json", utf8(Serialization.write(api.clusters())))
   })
   server.createContext("/api/users", handle { ex =>
     val params = queryParams(ex)
     val cluster = params.getOrElse("cluster",
       throw new IllegalArgumentException("missing ?cluster="))
-    (200, "application/json", Serialization.write(api.users(cluster)))
+    (200, "application/json", utf8(Serialization.write(api.users(cluster))))
   })
+  // the two hot routes serve the API's RENDERED-BYTE memo: a repeat
+  // dashboard request costs a TrieMap hit, not a fresh json4s
+  // serialization of thousands of (tick, value) points (measured ~44
+  // ms/hit at 10⁷ fact rows before the byte memo — STRESS r11)
   server.createContext("/api/usage", handle { ex =>
     val req = Serialization.read[UsageRequest](body(ex))
-    (200, "application/json", Serialization.write(api.usage(req)))
+    (200, "application/json", api.usageJson(req))
   })
   server.createContext("/api/table", handle { ex =>
     val req = Serialization.read[UsageRequest](body(ex))
-    (200, "text/csv", api.exportCsv(req).mkString("\n"))
+    (200, "text/csv", api.tableCsv(req))
   })
 
   def start(): Int = { server.start(); server.getAddress.getPort }
@@ -52,19 +56,20 @@ final class UsageServer(api: UsageApi, port: Int = 0) {
 
   // ------------------------------------------------------------------ //
 
+  private def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
+
   private def handle(
-      f: HttpExchange => (Int, String, String)): com.sun.net.httpserver.HttpHandler = { ex =>
-    val (status, ctype, payload) =
+      f: HttpExchange => (Int, String, Array[Byte])): com.sun.net.httpserver.HttpHandler = { ex =>
+    val (status, ctype, bytes) =
       try f(ex)
       catch {
         case e: IllegalArgumentException =>
           (400, "application/json",
-            Serialization.write(Map("error" -> String.valueOf(e.getMessage))))
+            utf8(Serialization.write(Map("error" -> String.valueOf(e.getMessage)))))
         case e: Exception =>
           (500, "application/json",
-            Serialization.write(Map("error" -> String.valueOf(e.getMessage))))
+            utf8(Serialization.write(Map("error" -> String.valueOf(e.getMessage)))))
       }
-    val bytes = payload.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", s"$ctype; charset=utf-8")
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val out = ex.getResponseBody

@@ -63,11 +63,30 @@ class UsageApiSpec extends AnyFunSuite {
     assert(resp.usersAggregated.sum > 0.0) // carol's counted too
   }
 
-  test("memo hit; invalidate serves stale then swaps refreshed entry (reload semantics)") {
+  test("default (clear) mode: invalidate drops the memo — reference clear_cache parity") {
+    // usage_loader.rb:196 → UsageData.clear_cache → invalidate_all: the
+    // reference serves fresh (cold) data after ingest, never stale
     val api = new UsageApi(fact)
     val req = UsageRequest("c1", Seq("alice"), Nil, "minutesTotal",
       "DAYS", "UTC", jan1, jan1 + 6 * D)
     val r1 = api.usage(req)
+    val b1 = api.usageJson(req)
+    assert(api.usage(req) eq r1)     // memo hit
+    assert(api.usageJson(req) eq b1) // rendered-bytes memo hit
+    api.invalidate()
+    val r2 = api.usage(req)
+    assert(!(r2 eq r1)) // recomputed cold, not served stale
+    assert(r2 == r1)    // same underlying fact → same values
+    assert(!(api.usageJson(req) eq b1)) // bytes re-rendered too
+  }
+
+  test("swr mode: invalidate serves stale then swaps refreshed entry (reload semantics)") {
+    val api = new UsageApi(fact, refreshMode = "swr")
+    val req = UsageRequest("c1", Seq("alice"), Nil, "minutesTotal",
+      "DAYS", "UTC", jan1, jan1 + 6 * D)
+    val r1 = api.usage(req)
+    val b1 = api.usageJson(req)
+    val t1 = api.tableCsv(req)
     assert(api.usage(req) eq r1) // memo hit
     api.invalidate()
     // stale-while-revalidate: the request keeps being answered from
@@ -77,6 +96,24 @@ class UsageApiSpec extends AnyFunSuite {
     val r2 = api.usage(req)
     assert(!(r2 eq r1)) // refreshed entry swapped in
     assert(r2 == r1)    // same underlying fact → same values
+    // the rendered bytes were swapped by the SAME refresh pass — a
+    // byte-memo hit never serves a response older than its entry
+    val b2 = api.usageJson(req)
+    assert(!(b2 eq b1) && java.util.Arrays.equals(b2, b1))
+    val t2 = api.tableCsv(req)
+    assert(!(t2 eq t1) && java.util.Arrays.equals(t2, t1))
+  }
+
+  test("rendered-bytes memo equals a fresh serialization of the response") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val api = new UsageApi(fact)
+    val req = UsageRequest("c1", Seq("alice", "bob"), Seq("carol"),
+      "minutesTotal", "DAYS", "UTC", jan1, jan1 + 6 * D)
+    val viaBytes = new String(api.usageJson(req), "UTF-8")
+    assert(viaBytes ==
+      org.json4s.jackson.Serialization.write(api.usage(req)))
+    assert(new String(api.tableCsv(req), "UTF-8") ==
+      api.exportCsv(req).mkString("\n"))
   }
 
   test("all-null measure group densifies to the type default (nullable cpuMinutes)") {
