@@ -40,6 +40,21 @@ object SketchQueries {
       IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, dsub = 8,
       nProbe = 4, k = 5, rerank = 50)
 
+  /** q91 — RESIDUAL IVFADC (the FAISS IndexIVFPQ form): codes quantize
+    * x − centroid(homeCell) against the pinned residual codebooks
+    * ([[PqCodebooks.ResidualCodebooks8x16]]), the query's distance
+    * table is per probed cell (its residual differs per cell), ranking
+    * by pure ADC distance (no exact re-rank — the residual
+    * approximation itself is the surface under test; TextOpsSpec pins
+    * its recall ≥ the non-residual q88 configuration). All pinned-
+    * literal exact arithmetic: the oracle reproduces home cells,
+    * residuals, codes and ADC sums bit-for-bit. */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfAdcResidualTopK(Tables.embeddings(s, d),
+      pmod(col("vec_id"), lit(100L)) === 0,
+      IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16, dsub = 8,
+      nProbe = 4, k = 5)
+
   /** q65 — mixture resample to 5:3:2 over three source domains. */
   private def q65(s: SparkSession, d: String): DataFrame =
     Corpus.mixtureResample(Tables.documents(s, d), "source",
@@ -54,7 +69,8 @@ object SketchQueries {
     "q64_cms_heavy"       -> (q64 _),
     "q65_mixture_sample"  -> (q65 _),
     "q66_adaptive_filter" -> (q66 _),
-    "q88_ivfadc"          -> (q88 _))
+    "q88_ivfadc"          -> (q88 _),
+    "q91_ivfadc_residual" -> (q91 _))
 
   // ------------------------------------------------------------------ //
   //  DuckDB oracles                                                     //
@@ -65,6 +81,19 @@ object SketchQueries {
   private val codebookValues = PqCodebooks.Codebooks8x16.map { case (s, c, cent) =>
     s"($s, $c, [${cent.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
   }.mkString(",\n        ")
+
+  private val resCodebookValues =
+    PqCodebooks.ResidualCodebooks8x16.map { case (s, c, cent) =>
+      s"($s, $c, [${cent.map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")}])"
+    }.mkString(",\n        ")
+
+  /** DuckDB residual of a 64-dim embedding vs an attached centroid:
+    * element i is (double)emb[i] − centroid[i] — the exact arithmetic
+    * [[graft.functions.HashExpressions.PqEncodeResidual]] (index side)
+    * and the zip_with query-side residual compute. */
+  private def duckResidual(emb: String, centroid: String): String =
+    s"list_transform(range(1, 65), i -> " +
+      s"CAST($emb[i] AS DOUBLE) - $centroid[i])"
 
   /** DuckDB mirror of [[Pq]]'s per-subspace squared-L2 fold:
     * Σ_j (emb[sub·8+j] − cent[j])², sequential in j. */
@@ -161,6 +190,80 @@ object SketchQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |                               ORDER BY dist, neighbor_id) AS rank
          |  FROM rer
+         |) WHERE rank <= 5""".stripMargin,
+    "q91_ivfadc_residual" ->
+      s"""WITH cent AS (
+         |  SELECT * FROM (VALUES
+         |        ${TextQueries.centroidValues}
+         |  ) AS t(cell, centroid)
+         |), rcb AS (
+         |  SELECT * FROM (VALUES
+         |        $resCodebookValues
+         |  ) AS t(sub, code, cent)
+         |), cdists AS (
+         |  SELECT e.vec_id, c.cell,
+         |         -${TextQueries.duckDot("e.embedding", "c.centroid")}
+         |           + ${TextQueries.duckDot("c.centroid", "c.centroid")} / 2 AS dist
+         |  FROM embeddings e CROSS JOIN cent c
+         |), home AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cell) AS pr
+         |    FROM cdists
+         |  ) WHERE pr = 1
+         |), hres AS (
+         |  SELECT h.vec_id, h.cell,
+         |         ${duckResidual("e.embedding", "c.centroid")} AS res
+         |  FROM home h
+         |  JOIN embeddings e ON e.vec_id = h.vec_id
+         |  JOIN cent c ON c.cell = h.cell
+         |), pidx AS (
+         |  SELECT r.vec_id, c.sub, c.code,
+         |         ${duckSubDist("r.res", "c.cent", "c.sub")} AS dist
+         |  FROM hres r CROSS JOIN rcb c
+         |), enc AS (
+         |  SELECT vec_id, list(code ORDER BY sub) AS codes FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub
+         |                              ORDER BY dist, code) AS pr
+         |    FROM pidx
+         |  ) WHERE pr = 1 GROUP BY vec_id
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist, cell) AS pr
+         |    FROM cdists WHERE vec_id % 100 = 0
+         |  ) WHERE pr <= 4
+         |), qres AS (
+         |  SELECT p.query_id, p.cell,
+         |         ${duckResidual("e.embedding", "c.centroid")} AS res
+         |  FROM probes p
+         |  JOIN embeddings e ON e.vec_id = p.query_id
+         |  JOIN cent c ON c.cell = p.cell
+         |), pq AS (
+         |  SELECT q.query_id, q.cell, c.sub, c.code,
+         |         ${duckSubDist("q.res", "c.cent", "c.sub")} AS dist
+         |  FROM qres q CROSS JOIN rcb c
+         |), dtabs AS (
+         |  SELECT query_id, cell,
+         |         list(dist ORDER BY sub, code) AS dtab
+         |  FROM pq GROUP BY query_id, cell
+         |), adc AS (
+         |  SELECT d.query_id, h.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(0, 8), s ->
+         |             d.dtab[s*16 + e.codes[s+1] + 1])),
+         |           (acc, v) -> acc + v) AS approx_dist
+         |  FROM dtabs d
+         |  JOIN home h ON h.cell = d.cell
+         |  JOIN enc e ON e.vec_id = h.vec_id
+         |  WHERE h.vec_id != d.query_id
+         |)
+         |SELECT query_id, neighbor_id, rank, dist, approx_dist FROM (
+         |  SELECT query_id, neighbor_id, approx_dist AS dist, approx_dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY approx_dist, neighbor_id) AS rank
+         |  FROM adc
          |) WHERE rank <= 5""".stripMargin,
     "q63_pq_adc" ->
       s"""WITH cb AS (

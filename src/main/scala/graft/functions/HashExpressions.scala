@@ -983,6 +983,120 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Row-local RESIDUAL IVFPQ encoding (the FAISS IndexIVFPQ form,
+    * Jégou et al. TPAMI 2011 §V): assign the vector's home IVF cell
+    * (the [[NearestCells]] arithmetic — dist = −x·c + c·c/2 with
+    * hoisted c·c/2, (dist, cell)-ascending tie-break), subtract that
+    * cell's centroid in double precision, then PQ-encode the RESIDUAL
+    * x − centroid(cell) against per-subspace codebooks (the
+    * [[PqEncode]] loop, same strict-< lowest-code tie-break).
+    * Residual magnitudes are ~an order smaller than raw coordinates,
+    * so the same m×k byte budget buys far tighter quantization — the
+    * recall difference between a usable and a cosmetic IVFADC index at
+    * 10⁹ vectors. One narrow map builds the whole index row: no join,
+    * no shuffle. Output: struct<cell: int, codes: array<int>>.
+    * Every step is exact double arithmetic over literal quantizers, so
+    * an external SQL engine reproduces cell, residual and codes
+    * bit-for-bit (the q91 oracle). */
+  case class PqEncodeResidual(child: Expression,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] =
+      Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+    require(dsub >= 1, "dsub >= 1")
+    require(centroids.nonEmpty, "need centroids")
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "pq_encode_residual"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    @transient private lazy val cellIds = centroids.map(_._1).toArray
+    @transient private lazy val cents = centroids.map(_._2.toArray).toArray
+    @transient private lazy val halfCc = cents.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc / 2
+    }
+    @transient private lazy val centByCell: Map[Int, Array[Double]] =
+      centroids.map { case (id, c) => id -> c.toArray }.toMap
+    @transient private lazy val subs: Array[(Int, Array[(Int, Array[Double])])] =
+      codebooks.groupBy(_._1).toArray.sortBy(_._1).map { case (s, rows) =>
+        (s, rows.sortBy(_._2).map(r => (r._2, r._3.toArray)).toArray)
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      val ne = e.numElements()
+      // one primitive copy per row (the NearestCells discipline)
+      val x = new Array[Double](ne)
+      var xi = 0
+      while (xi < ne) {
+        x(xi) = if (isFloat) e.getFloat(xi).toDouble else e.getDouble(xi)
+        xi += 1
+      }
+      // home cell: min (dist, cell) over the centroid family
+      var bestD = Double.PositiveInfinity
+      var bestCell = Int.MaxValue
+      var k = 0
+      while (k < cents.length) {
+        val c = cents(k)
+        val n = math.min(ne, c.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += x(i) * c(i); i += 1 }
+        val d = -acc + halfCc(k)
+        val cmp = java.lang.Double.compare(d, bestD)
+        if (cmp < 0 || (cmp == 0 && cellIds(k) < bestCell)) {
+          bestD = d; bestCell = cellIds(k)
+        }
+        k += 1
+      }
+      // residual in double — the quantity the codebooks quantize
+      val cent = centByCell(bestCell)
+      val r = new Array[Double](ne)
+      var ri = 0
+      while (ri < ne) {
+        r(ri) = x(ri) - (if (ri < cent.length) cent(ri) else 0.0)
+        ri += 1
+      }
+      // PQ-encode the residual (the PqEncode loop verbatim)
+      val out = new Array[Int](subs.length)
+      var si = 0
+      while (si < subs.length) {
+        val (sub, words) = subs(si)
+        val off = sub * dsub
+        var bd = Double.PositiveInfinity
+        var bc = Int.MaxValue
+        var w = 0
+        while (w < words.length) {
+          val (code, cw) = words(w)
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val d = r(off + i) - cw(i)
+            acc += d * d
+            i += 1
+          }
+          if (java.lang.Double.compare(acc, bd) < 0) { bd = acc; bc = code }
+          w += 1
+        }
+        out(si) = bc
+        si += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(bestCell,
+        new GenericArrayData(out.map(Int.box(_): Any)))
+    }
+
+    override protected def withNewChildInternal(c: Expression): PqEncodeResidual =
+      copy(child = c)
+  }
+
   /** PQ asymmetric-distance sum: Σ_s dtab[s·nCodes + codes[s]] as a
     * sequential double fold over the code array — bit-equal to the
     * `aggregate(sequence(0, m−1), acc + element_at(...))` HOF form
@@ -1164,6 +1278,10 @@ object HashExpressions {
   def pqEncode(c: Column, codebooks: Seq[(Int, Int, Seq[Double])],
       dsub: Int): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(c), codebooks, dsub))
+  def pqEncodeResidual(c: Column, centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): Column =
+    ColumnBridge.column(PqEncodeResidual(ColumnBridge.expression(c),
+      centroids, codebooks, dsub))
   def tokenBigrams(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
 }

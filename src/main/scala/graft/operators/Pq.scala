@@ -123,6 +123,28 @@ object Pq {
         col("rank"), col("approx_dist"))
   }
 
+  /** Residual training view: each vector replaced by
+    * x − centroid(homeCell) in double precision — the quantity
+    * [[Similarity.buildResidualAdcIndex]] encodes (FAISS IndexIVFPQ
+    * residuals). Home cells from the SAME centroid family the search
+    * will route with; one broadcast join against the ≤k-row centroid
+    * rel, otherwise narrow. Feeds [[fitCodebooks]] for the residual
+    * flavor ([[graft.tools.FitPq]] `--residual`). */
+  def residualView(emb: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    emb.select(col("vec_id"),
+        element_at(graft.functions.HashExpressions.nearestCells(
+          col("embedding"), centroids, 1), 1).getField("cell").as("cell"),
+        col("embedding"))
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("embedding"))
+  }
+
   /** Train the per-subspace codebooks: one seeded k-means per
     * subspace over the sliced sample (the [[Similarity.fitQuantizer]]
     * discipline: fit on a sample, ship the result as data). A build

@@ -366,6 +366,63 @@ object Similarity {
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
     index.unionByName(buildAdcIndex(newVecs, centroids, codebooks, dsub))
 
+  /** Persist a slim ADC index ([[buildAdcIndex]] /
+    * [[buildResidualAdcIndex]]) as a parquet table BUCKETED BY `cell`
+    * — the warehouse form the build scaladoc promises. Two things the
+    * layout buys at 10⁹ vectors: (a) a probe-cell `IN` predicate
+    * prunes whole buckets at the SCAN (SelectedBucketsCount in the
+    * plan — the index I/O per query is Σ probed-bucket bytes, not the
+    * table), and (b) the probe join never shuffles the index side
+    * (the query side is broadcast; the corpus stays where it was
+    * written). Maintained by append: new increments are small enough
+    * to union-in at read or compact per window. */
+  def writeAdcIndexBucketed(index: DataFrame, table: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = index.write
+      .bucketBy(buckets, "cell")
+      .sortBy("cell")
+      .mode("overwrite")
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Search a persisted slim index with PROBE-CELL PRUNING: the
+    * queries' probe cells are collected driver-side (bounded by
+    * min(queries × nProbe, nCells) ints — driver-small by
+    * construction) and pushed as a `cell IN (...)` predicate into the
+    * index scan, so a bucketed table ([[writeAdcIndexBucketed]]) reads
+    * ONLY the probed buckets and a plain parquet table at least prunes
+    * row groups on the cell min/max stats. The join itself is
+    * unchanged ([[ivfAdcSearchAgainst]] / the residual form): slim
+    * index vs broadcast query side, no shuffle of the corpus.
+    * `residual = true` dispatches to the residual search (codebooks
+    * must then be the residual flavor). AdcIndexSpec pins the plan
+    * shape: pruned bucket count + zero Exchange on the index side. */
+  def ivfAdcSearchPruned(q: DataFrame, index: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
+      nProbe: Int, k: Int, rerank: Int = 0,
+      rawVectors: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
+    import graft.functions.HashExpressions
+    val cells = q
+      .select(explode(transform(
+        HashExpressions.nearestCells(col("embedding"), centroids,
+          math.max(nProbe, 1)),
+        d => d.getField("cell"))).as("cell"))
+      .distinct()
+      .collect().map(_.getInt(0)).sorted
+    Parallelism.logDispatch("ivfAdcSearchPruned",
+      s"probe cells=${cells.length} of ${centroids.size}")
+    val pruned = index.filter(col("cell").isin(cells.map(Int.box): _*))
+    if (residual)
+      ivfAdcResidualSearchAgainst(q, pruned, centroids, codebooks, dsub,
+        nProbe, k, rerank, rawVectors)
+    else
+      ivfAdcSearchAgainst(q, pruned, centroids, codebooks, dsub,
+        nProbe, k, rerank, rawVectors)
+  }
+
   /** Search a (query_id, embedding) batch against a prebuilt slim ADC
     * index ([[buildAdcIndex]]) — the external-query / micro-batch form
     * of [[ivfAdcTopK]] (the [[ivfSearchAgainst]] counterpart for the
@@ -405,6 +462,118 @@ object Similarity {
         HashExpressions.adcSum(col("codes"), col("dtab"), nCodes))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("approx_dist"))
+    adcRank(adc, q, k, rerank, rawVectors)
+  }
+
+  /** RESIDUAL-encoding IVFADC (the real FAISS IndexIVFPQ form, Jégou
+    * et al. TPAMI 2011 §V): codes quantize `x − centroid(cell)`
+    * instead of the raw vector. Residual magnitudes are ~an order
+    * smaller than raw coordinates, so the same m×k byte budget buys
+    * far tighter quantization — measured on the gate corpus the
+    * recall@5 difference between the cosmetic and the usable index
+    * (TextOpsSpec pins the A/B). The price is a per-(query, probed
+    * cell) distance table — the query's residual differs per cell —
+    * so the broadcast query side grows ×nProbe vs [[ivfAdcTopK]]
+    * (still tiny: queries × nProbe × m·k doubles). The non-residual
+    * path stays as-is for q63/q88 oracle stability; this is the tier a
+    * 10⁹-vector deployment runs. Residual codebooks are a separate
+    * pinned/artifact flavor ([[PqCodebooks.ResidualCodebooks8x16]] /
+    * [[PqCodebooks.forCorpusResidual]]) — encoding raw-vector
+    * codebooks against residuals would silently mis-train the
+    * quantizer. Same output and exact-arithmetic discipline as
+    * [[ivfAdcTopK]] (q91 oracle reproduces cells, residuals, codes,
+    * ADC sums bit-for-bit). */
+  def ivfAdcResidualTopK(embeddings: DataFrame, queryPred: Column,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
+      nProbe: Int, k: Int, rerank: Int = 0): DataFrame = {
+    val index = buildResidualAdcIndex(embeddings, centroids, codebooks, dsub)
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    ivfAdcResidualSearchAgainst(q, index, centroids, codebooks, dsub,
+      nProbe, k, rerank, rawVectors = if (rerank > 0) Some(embeddings) else None)
+  }
+
+  /** The residual slim index: (vec_id, cell, codes) where codes
+    * quantize x − centroid(cell) — ONE narrow map over the corpus
+    * ([[graft.functions.HashExpressions.PqEncodeResidual]]: cell
+    * assignment, residual and encoding are all row-local arithmetic
+    * over the pinned artifacts), no join, no shuffle. Same persistence
+    * / increment discipline as [[buildAdcIndex]]. */
+  def buildResidualAdcIndex(embeddings: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
+    Parallelism.widen(embeddings)
+      .select(col("vec_id"),
+        graft.functions.HashExpressions.pqEncodeResidual(
+          col("embedding"), centroids, codebooks, dsub).as("enc"))
+      .select(col("vec_id"), col("enc.cell").as("cell"),
+        col("enc.codes").as("codes"))
+
+  /** Extend a prebuilt residual index with a vector increment (the
+    * [[appendAdcIndex]] contract, residual flavor). */
+  def appendResidualAdcIndex(index: DataFrame, newVecs: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): DataFrame =
+    index.unionByName(
+      buildResidualAdcIndex(newVecs, centroids, codebooks, dsub))
+
+  /** Search a query batch against a prebuilt RESIDUAL index
+    * ([[buildResidualAdcIndex]]). Differs from [[ivfAdcSearchAgainst]]
+    * in exactly one structural way: the distance table is keyed
+    * (query, cell) — within probed cell c the approximate distance is
+    * ‖(q − centroid(c)) − codeword‖² summed over subspaces, so each
+    * probed cell gets its own table over the query's residual there.
+    * The scan is still an equi-join of the slim index against the
+    * broadcast (probe-cell × dtab) query side; the optional exact
+    * re-rank is unchanged (true squared L2 over raw vectors). */
+  def ivfAdcResidualSearchAgainst(q: DataFrame, index: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
+      nProbe: Int, k: Int, rerank: Int = 0,
+      rawVectors: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.HashExpressions
+    require(rerank <= 0 || rawVectors.isDefined,
+      "rerank > 0 needs rawVectors for the exact pass")
+    val nCodes = codebooks.map(_._2).distinct.size
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    // probe cells with the probed centroid attached (broadcast join
+    // against the ≤k-row centroid rel), then the query's residual
+    // THERE — double-precision elementwise difference, tiny rows
+    // (queries × nProbe)
+    val probes = q
+      .select(col("query_id"), col("embedding"),
+        posexplode(HashExpressions.nearestCells(col("embedding"),
+          centroids, math.max(nProbe, 1))).as(Seq("p0", "dc")))
+      .select(col("query_id"), col("embedding"), col("dc.cell").as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("res"))
+    val cb = Pq.codebookDF(q, codebooks)
+    val dtabs = probes.crossJoin(broadcast(cb))
+      .withColumn("pdist", HashExpressions.subSquaredDist(
+        col("res"), col("cent"), col("sub"), dsub))
+      .groupBy("query_id", "cell")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code"), col("pdist")))),
+        s => s.getField("pdist")).as("dtab"))
+    val adc = index.join(broadcast(dtabs), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        HashExpressions.adcSum(col("codes"), col("dtab"), nCodes))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_dist"))
+    adcRank(adc, q, k, rerank, rawVectors)
+  }
+
+  /** Shared tail of the ADC searches: rank by approximate distance,
+    * optionally exact-re-rank a per-query shortlist against the raw
+    * vectors (‖a−b‖² via the dot identity, sequential folds). */
+  private def adcRank(adc: DataFrame, q: DataFrame, k: Int, rerank: Int,
+      rawVectors: Option[DataFrame]): DataFrame =
     if (rerank <= 0) {
       adc
         .withColumn("rank", row_number().over(
@@ -421,9 +590,6 @@ object Similarity {
             .orderBy(col("approx_dist"), col("neighbor_id"))))
         .filter(col("ar") <= r)
         .drop("ar")
-      // attach raw vectors for the shortlist only: one broadcast-hash
-      // pass over the corpus for the neighbor side (candidates ≪
-      // corpus), query vectors from the small q rel
       val withVecs = rawVectors.get
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("e_b"))
         .join(broadcast(shortlist), "neighbor_id")
@@ -439,7 +605,6 @@ object Similarity {
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist", "approx_dist")
     }
-  }
 
   /** Random ±1 projection to `k` dimensions (the Achlioptas form of
     * Johnson–Lindenstrauss): component j of the output is

@@ -22,12 +22,24 @@ package graft.tools
   *   sbt "runMain graft.tools.FitPq /tmp/sf100 /tmp/pq"
   */
 object FitPq {
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val artifactDir = if (args.length > 1) Some(args(1)) else None
+    val residual = args.contains("--residual")
+    val posArgs = args.filterNot(_ == "--residual")
+    val dir = posArgs.headOption.getOrElse("/root/testdata/sf0.01")
+    val artifactDir = if (posArgs.length > 1) Some(posArgs(1)) else None
     val spark = graft.GraftSession.create("fit-pq")
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.Tables.embeddings(spark, dir)
+    val raw = graft.Tables.embeddings(spark, dir)
+    // residual flavor: fit on x − centroid(homeCell); pinned-literal
+    // mode uses the pinned gate centroid family, artifact mode the
+    // same artifact-or-fit dispatch the search side resolves
+    val emb =
+      if (!residual) raw
+      else if (artifactDir.isEmpty)
+        graft.operators.Pq.residualView(raw, graft.operators.IvfCentroids.Centroids16)
+      else graft.operators.Pq.residualView(raw, graft.operators.IvfCentroids.forCorpus(raw))
+    val flavor = if (residual) "res_" else ""
     artifactDir match {
       case Some(d) =>
         import spark.implicits._
@@ -36,16 +48,19 @@ object FitPq {
           dsub = 8, nCodes = nCodes,
           maxSample = math.max(64L * nCodes, 65536L))
         cbs.toDF("sub", "code", "cent").coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/codebooks_m${m}x$nCodes.parquet")
-        val fp = graft.operators.IvfCentroids.corpusFingerprint(emb)
+          .write.mode("overwrite")
+          .parquet(s"$d/codebooks_${flavor}m${m}x$nCodes.parquet")
+        val fp = graft.operators.IvfCentroids.corpusFingerprint(raw)
         Seq(fp).toDF("fp_count", "fp_hash").coalesce(1)
-          .write.mode("overwrite").parquet(s"$d/fingerprint_m${m}x$nCodes.parquet")
-        println(s"wrote $d/codebooks_m${m}x$nCodes.parquet " +
+          .write.mode("overwrite")
+          .parquet(s"$d/fingerprint_${flavor}m${m}x$nCodes.parquet")
+        println(s"wrote $d/codebooks_${flavor}m${m}x$nCodes.parquet " +
           s"(${cbs.length} codewords, fingerprint $fp)")
       case None =>
         val cbs = graft.operators.Pq.fitCodebooks(emb, m = 8, dsub = 8,
           nCodes = 16)
-        println("  val Codebooks8x16: Seq[(Int, Int, Seq[Double])] = Seq(")
+        val name = if (residual) "ResidualCodebooks8x16" else "Codebooks8x16"
+        println(s"  val $name: Seq[(Int, Int, Seq[Double])] = Seq(")
         cbs.foreach { case (s, c, cent) =>
           println(s"    ($s, $c, Seq(${cent.map(v => s"${v}d").mkString(", ")})),")
         }

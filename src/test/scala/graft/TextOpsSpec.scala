@@ -181,6 +181,74 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pure.filter($"dist" =!= $"approx_dist").isEmpty)
   }
 
+  test("residual IVFADC: recall >= non-residual at the same budget, >= 0.7 (FAISS IndexIVFPQ form)") {
+    import graft.operators.{IvfCentroids, PqCodebooks}
+    // measured at the sf0.01 corpus the residual codebooks were fitted
+    // on (train == index corpus is the normal PQ regime): 50 queries ×
+    // exact-L2 top-5 ground truth. Residual encoding quantizes
+    // x − centroid(cell), so the same 8×16 byte budget carries ~an
+    // order less magnitude per codeword — the shortlist it feeds the
+    // exact re-rank is measurably tighter: recall@5 0.72 residual vs
+    // 0.60 non-residual at nProbe=8/rerank=50 (both deterministic:
+    // pinned literals, exact arithmetic, fixed corpus).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01").cache()
+    try {
+      val qPred = pmod($"vec_id", lit(100L)) === 0
+      val a = emb.filter(qPred)
+        .select($"vec_id".as("query_id"), $"embedding".as("e_a"))
+      val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("e_b"))
+      val exact = a.crossJoin(b)
+        .filter($"query_id" =!= $"neighbor_id")
+        .withColumn("d",
+          Similarity.dot($"e_a", $"e_a") - lit(2.0) * Similarity.dot($"e_a", $"e_b")
+            + Similarity.dot($"e_b", $"e_b"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy($"d", $"neighbor_id")))
+        .filter($"rank" <= 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      val nonRes = recallOf(Similarity.ivfAdcTopK(emb, qPred,
+        IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, dsub = 8,
+        nProbe = 8, k = 5, rerank = 50))
+      val res = recallOf(Similarity.ivfAdcResidualTopK(emb, qPred,
+        IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16, dsub = 8,
+        nProbe = 8, k = 5, rerank = 50))
+      assert(res >= nonRes,
+        s"residual recall $res should be >= non-residual $nonRes")
+      assert(res >= 0.7, s"residual recall $res below 0.7")
+    } finally emb.unpersist()
+  }
+
+  test("residual ADC index: increment equals full rebuild; rerank=0 schema stable") {
+    import graft.operators.{IvfCentroids, PqCodebooks}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val old = emb.filter($"vec_id" < 150)
+    val inc = emb.filter($"vec_id" >= 150 && $"vec_id" < 200)
+    val appended = Similarity.appendResidualAdcIndex(
+      Similarity.buildResidualAdcIndex(old, IvfCentroids.Centroids16,
+        PqCodebooks.ResidualCodebooks8x16, 8),
+      inc, IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16, 8)
+    val full = Similarity.buildResidualAdcIndex(
+      emb.filter($"vec_id" < 200), IvfCentroids.Centroids16,
+      PqCodebooks.ResidualCodebooks8x16, 8)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"vec_id", $"cell", $"codes".cast("array<int>"))
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(key(appended) == key(full))
+    // pure-ADC output: stable 5-col schema, dist == approx_dist
+    val pure = Similarity.ivfAdcResidualTopK(emb.filter($"vec_id" < 200),
+      pmod($"vec_id", lit(50L)) === 0, IvfCentroids.Centroids16,
+      PqCodebooks.ResidualCodebooks8x16, 8, nProbe = 4, k = 3)
+    assert(pure.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rank", "dist", "approx_dist"))
+    assert(pure.filter($"dist" =!= $"approx_dist").isEmpty)
+  }
+
   test("appendIvfIndex: increment equals full rebuild over the union") {
     import graft.operators.IvfCentroids
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
