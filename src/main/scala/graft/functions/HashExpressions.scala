@@ -1097,6 +1097,71 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** DIRECT asymmetric PQ distance — Σ_s Σ_j (res[s·dsub+j] −
+    * cb(s, codes[s])[j])² with the codebooks as literal data: the
+    * per-pair form of ADC for SELF-search, where queries == corpus and
+    * a per-query m×k distance table ([[AdcSum]]'s input) cannot ride
+    * the join (n·nProbe rows × m·k doubles is quadratic-ish traffic;
+    * the residual vector is dim doubles flat). Per-pair cost is dim
+    * mult-adds — the same flops as one dot product — but the INDEX
+    * side still carries only m code bytes per vector, which is the
+    * point: the corpus' raw vectors never shuffle. Bit-parity with
+    * building the candidate's dtab row and [[AdcSum]]-ing it
+    * (sequential j fold within sub, subs ascending — HashExprSpec
+    * cross-checks). */
+  case class AdcDirectDist(res: Expression, codes: Expression,
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int)
+      extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] =
+      Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+    require(dsub >= 1, "dsub >= 1")
+    override def left: Expression = res
+    override def right: Expression = codes
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "adc_direct_dist"
+
+    // codeword table: cw(sub)(code) -> Array[Double](dsub)
+    @transient private lazy val cw: Array[Array[Array[Double]]] = {
+      val bySub = codebooks.groupBy(_._1)
+      (0 to bySub.keys.max).toArray.map { s =>
+        val rows = bySub.getOrElse(s, Seq.empty)
+        val maxCode = if (rows.isEmpty) -1 else rows.map(_._2).max
+        val arr = Array.ofDim[Array[Double]](maxCode + 1)
+        rows.foreach { case (_, c, cent) => arr(c) = cent.toArray }
+        arr
+      }
+    }
+
+    override def nullSafeEval(r: Any, c: Any): Any = {
+      val resArr = r.asInstanceOf[ArrayData]
+      val codesArr = c.asInstanceOf[ArrayData]
+      val m = codesArr.numElements()
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        val word = cw(s)(codesArr.getInt(s))
+        val off = s * dsub
+        // per-sub PARTIAL then one outer add — the association AdcSum
+        // uses (its dtab entries are complete per-sub folds), so the
+        // two forms are bit-equal, not just close
+        var sub = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = resArr.getDouble(off + j) - word(j)
+          sub += d * d
+          j += 1
+        }
+        acc += sub
+        s += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): AdcDirectDist =
+      copy(res = newLeft, codes = newRight)
+  }
+
   /** PQ asymmetric-distance sum: Σ_s dtab[s·nCodes + codes[s]] as a
     * sequential double fold over the code array — bit-equal to the
     * `aggregate(sequence(0, m−1), acc + element_at(...))` HOF form
@@ -1282,6 +1347,10 @@ object HashExpressions {
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): Column =
     ColumnBridge.column(PqEncodeResidual(ColumnBridge.expression(c),
       centroids, codebooks, dsub))
+  def adcDirectDist(res: Column, codes: Column,
+      codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): Column =
+    ColumnBridge.column(AdcDirectDist(ColumnBridge.expression(res),
+      ColumnBridge.expression(codes), codebooks, dsub))
   def tokenBigrams(c: Column): Column =
     ColumnBridge.column(TokenBigrams(ColumnBridge.expression(c)))
 }

@@ -606,6 +606,86 @@ object Similarity {
         .select("query_id", "neighbor_id", "rank", "dist", "approx_dist")
     }
 
+  /** IVFADC SELF-search with exact-cosine re-rank — the routed target
+    * of [[lshTopKAuto]]'s `annMode` dispatch (the engine a 10⁹-vector
+    * corpus runs when the LSH bucket volume blows past its budget).
+    * Differs from [[ivfAdcResidualSearchAgainst]] in one structural
+    * way: queries == corpus, so the per-query m×k distance TABLE
+    * cannot ride the join (n·nProbe rows × m·k doubles of traffic);
+    * instead the query side carries its dim-double residual and the
+    * approximate distance is computed per pair by
+    * [[graft.functions.HashExpressions.AdcDirectDist]] (dim mult-adds,
+    * the flops of one dot — but the INDEX side still moves only m code
+    * bytes per vector: the corpus' raw vectors never ride the
+    * candidate scan). Candidates per query ≈ nProbe · n/K — bounded by
+    * the quantizer's cell granularity, not by data skew (k-means cells
+    * are balanced-ish; residual imbalance is AQE skew-join territory),
+    * which is exactly the property the LSH bucket join loses on
+    * clustered corpora. Quantizers resolve artifact-or-fit
+    * ([[IvfCentroids.forCorpus]] / [[PqCodebooks.forCorpusResidual]]).
+    * Top-`shortlist` by approximate distance per query (hash-agg, no
+    * window sort), then exact cosine on the shortlist only (two
+    * linear joins against the raw vectors), ranked (cosine desc,
+    * neighbor asc) — the [[lshTopK]] output contract:
+    * (query_id, neighbor_id, rank, cosine). */
+  def ivfAdcCosineSelfTopK(embeddings: DataFrame, k: Int,
+      nProbe: Int = 8, shortlist: Int = 0): DataFrame = {
+    import graft.functions.HashExpressions
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val r = if (shortlist > 0) math.max(shortlist, k) else math.max(8 * k, 64)
+    val cents = IvfCentroids.forCorpus(embeddings)
+    val (cbs, dsub) = PqCodebooks.forCorpusResidual(embeddings, cents)
+    val index = buildResidualAdcIndex(embeddings, cents, cbs, dsub)
+    val centDf = cents.toDF("cell", "centroid")
+    val probes = Parallelism.widen(embeddings)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        posexplode(HashExpressions.nearestCells(col("embedding"),
+          cents, math.max(nProbe, 1))).as(Seq("p0", "dc")))
+      .select(col("query_id"), col("embedding"), col("dc.cell").as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("res"))
+    val scored = index.join(probes, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
+          .as("approx_dist"))
+    // top-R per query as a hash aggregate (the lshTopK tail's shape:
+    // never a window sort over all scored rows)
+    val short = scored
+      .withColumn("cand", struct(col("approx_dist"), col("neighbor_id")))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, r).as("top"))
+      .select(col("query_id"), explode(col("top")).as("cand"))
+      .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"))
+    // exact cosine on the shortlist only: two linear joins against the
+    // raw vectors (n·R slim rows — never the corpus against itself)
+    val withB = short.join(
+      embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_b"), l2Norm(col("embedding")).as("n_b")),
+      "neighbor_id")
+    val rescored = withB.join(
+      embeddings.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_a"), l2Norm(col("embedding")).as("n_a")),
+      "query_id")
+      .withColumn("cosine",
+        dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .select("query_id", "neighbor_id", "cosine")
+    val negCos = when(isnan(col("cosine")), lit(Double.NegativeInfinity))
+      .otherwise(-col("cosine"))
+    rescored
+      .withColumn("cand", struct(negCos.as("nc"),
+        col("neighbor_id"), col("cosine")))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "cand")))
+      .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("cand.cosine").as("cosine"))
+  }
+
   /** Random ±1 projection to `k` dimensions (the Achlioptas form of
     * Johnson–Lindenstrauss): component j of the output is
     * (Σ_i emb[i]·s_ij)/√k with signs s_ij from the integer-hash
@@ -757,13 +837,75 @@ object Similarity {
     bits * nBands
   }
 
+  /** `annMode` — which ANN engine answers the self-search top-k (the
+    * dedup pairs/groups routing, ANN form — VERDICT r11 item 2):
+    *  - `"lsh"`: always the banded-LSH bucket join (the q25 gate
+    *    engine).
+    *  - `"ivfadc"`: always [[ivfAdcCosineSelfTopK]].
+    *  - `"auto"` (default): measure the LSH candidate volume — the
+    *    [[Dedup.lshPairBound]] statistic over THIS config's band rel,
+    *    Σ_bucket n·(n−1) directed candidates ×(probeBits+1) — and
+    *    route to IVFADC when it exceeds `candidatesPerQuery`·n. The
+    *    adaptive plane rule keeps UNIFORM corpora linear at every
+    *    scale (bound ≪ budget — they stay on lsh, bit-identically),
+    *    but a clustered corpus concentrates mass in few buckets and
+    *    the bucket self-join grows ~Σ cluster² with no knob that
+    *    saves it; IVFADC's candidate volume is nProbe·n/K per query
+    *    by construction, immune to that regime. The statistic is one
+    *    narrow agg over the cached signature rel — plan-identical to
+    *    the rel the LSH join reads, so the session CacheManager shares
+    *    the materialization and the routed-to-lsh path pays ~nothing
+    *    (tiny corpora short-circuit on the zero-job worst-case bound
+    *    nBands·n·(n−1)). Default budget: 4096 candidates/query — about
+    *    what the IVFADC engine itself would scan (nProbe·n/K at the
+    *    quantizer's ~125–500 rows/cell), i.e. route exactly when LSH
+    *    would do more per-query work than the alternative engine. */
   def lshTopKAuto(embeddings: DataFrame, dim: Int, nBands: Int,
-      k: Int, probeBits: Int = 0): DataFrame = {
+      k: Int, probeBits: Int = 0, annMode: String = "auto",
+      candidatesPerQuery: Long = 4096L,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    require(annMode == "lsh" || annMode == "ivfadc" || annMode == "auto",
+      s"annMode lsh|ivfadc|auto, got $annMode")
     val n = embeddings.count()
     val planes = autoPlanes(n, nBands)
+    val budget = candidatesPerQuery * math.max(n, 1L)
+    val chosen = annMode match {
+      case m @ ("lsh" | "ivfadc") => m
+      case "auto" =>
+        val worst = // all rows in one bucket per band — zero-job bound
+          if (n < 1000000L) nBands.toLong * n * (n - 1) * (probeBits + 1)
+          else Long.MaxValue
+        if (worst <= budget) {
+          Parallelism.logDispatch("lshTopKAuto",
+            s"annMode=auto worstCaseBound=$worst <= budget=$budget -> lsh")
+          "lsh"
+        } else {
+          // the Dedup.lshPairBound shape: cache the signature rel
+          // (plan-identical to the one lshTopK will read — shared
+          // materialization), one narrow agg for the bucket statistic
+          val sigs = lshSigRel(embeddings, planes, nBands)
+            .withColumn("nrm", l2Norm(col("embedding")))
+            .cache()
+          pin(sigs)
+          val bound = sigs
+            .select(posexplode(col("bnds")).as(Seq("band_idx", "band_hash")))
+            .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("nb"))
+            .agg(coalesce(sum(col("nb") * (col("nb") - 1)), lit(0L))
+              .cast("long"))
+            .head.getLong(0) * (probeBits + 1)
+          val pick = if (bound > budget) "ivfadc" else "lsh"
+          Parallelism.logDispatch("lshTopKAuto",
+            s"annMode=auto candidateBound=$bound budget=$budget -> $pick")
+          if (pick == "ivfadc") sigs.unpersist() // routed away — free it
+          pick
+        }
+    }
+    if (chosen == "ivfadc")
+      return ivfAdcCosineSelfTopK(embeddings, k)
     Parallelism.logDispatch("lshTopKAuto",
       s"n=$n nBands=$nBands -> nPlanes=$planes (${planes / nBands} bits/band)")
-    lshTopK(embeddings, dim, planes, nBands, k, probeBits, nRows = n)
+    lshTopK(embeddings, dim, planes, nBands, k, probeBits, pin = pin,
+      nRows = n)
   }
 
   /** `nRows`: the corpus row count, if the caller already knows it —

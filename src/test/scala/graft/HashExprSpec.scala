@@ -165,6 +165,60 @@ class HashExprSpec extends AnyFunSuite {
     assert(got.getDouble(0) == 0.0 * 0.25 + (nCodes + 2) * 0.25)
   }
 
+  test("pqEncodeResidual == nearestCells + manual residual + pqEncode bit-exact") {
+    import graft.operators.{IvfCentroids, PqCodebooks}
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfCentroids.Centroids16
+    val cbs = PqCodebooks.ResidualCodebooks8x16
+    val centDf = cents.toDF("cell", "centroid")
+    val fused = emb.select(col("vec_id"),
+        HashExpressions.pqEncodeResidual(col("embedding"), cents, cbs, 8).as("e"))
+      .select(col("vec_id"), col("e.cell").as("cell"),
+        col("e.codes").cast("array<int>").as("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val staged = emb.select(col("vec_id"), col("embedding"),
+        element_at(HashExpressions.nearestCells(col("embedding"), cents, 1), 1)
+          .getField("cell").as("cell"))
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        HashExpressions.pqEncode(
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => x.cast("double") - c), cbs, 8)
+          .cast("array<int>").as("codes"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(fused == staged)
+  }
+
+  test("adcDirectDist == dtab build + adcSum bit-exact") {
+    import graft.operators.PqCodebooks
+    val rnd = new scala.util.Random(13)
+    val cbs = PqCodebooks.ResidualCodebooks8x16
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5),
+        Array.fill(8)(rnd.nextInt(16)))
+    }.toDF("id", "res", "codes")
+    // reference: per-sub table entries via subSquaredDist, then AdcSum
+    val cb = cbs.toDF("sub", "code", "cent")
+    val dtabs = rows.crossJoin(broadcast(cb))
+      .withColumn("pdist", HashExpressions.subSquaredDist(
+        col("res"), col("cent"), col("sub"), 8))
+      .groupBy("id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code"), col("pdist")))),
+        s => s.getField("pdist")).as("dtab"))
+    val ref = rows.join(dtabs, "id")
+      .select(col("id"),
+        HashExpressions.adcSum(col("codes"), col("dtab"), 16).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val fast = rows.select(col("id"),
+        HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, 8).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(fast == ref)
+  }
+
   test("rolling-window update matches direct fold on a long string") {
     val rnd = new scala.util.Random(5)
     val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString

@@ -224,6 +224,53 @@ class TextOpsSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("lshTopKAuto annMode routing: uniform stays lsh bit-identically; a tiny budget routes to ivfadc") {
+    import org.apache.spark.sql.DataFrame
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    try {
+      val key = (df: DataFrame) => df
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      // auto == forced lsh on the uniform gate corpus (the q25 regime:
+      // candidate bound far under budget — routing must not perturb it)
+      val auto = Similarity.lshTopKAuto(emb, 64, nBands = 4, k = 3)
+      val forced = Similarity.lshTopKAuto(emb, 64, nBands = 4, k = 3,
+        annMode = "lsh")
+      assert(key(auto) == key(forced) && key(auto).nonEmpty)
+      // a 1-candidate/query budget is unsatisfiable for ANY bucket join
+      // -> auto routes to the composed IVFADC engine; same output
+      // contract, same per-query row count
+      val routed = Similarity.lshTopKAuto(emb, 64, nBands = 4, k = 3,
+        annMode = "auto", candidatesPerQuery = 1L)
+      assert(routed.columns.toSeq ==
+        Seq("query_id", "neighbor_id", "rank", "cosine"))
+      val forcedIvf = Similarity.lshTopKAuto(emb, 64, nBands = 4, k = 3,
+        annMode = "ivfadc")
+      assert(key(routed) == key(forcedIvf) && key(routed).nonEmpty)
+    } finally emb.unpersist()
+  }
+
+  test("ivfAdcCosineSelfTopK: finds planted near-duplicate neighbors") {
+    // 3 tight clusters of 4 + noise: each clustered vector's top-1
+    // cosine neighbor is a clustermate, and the routed engine must
+    // find it through cell routing + residual ADC + exact rerank
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]) =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val bases = (0 until 3).map(_ => Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val clustered = for {
+      (b, c) <- bases.zipWithIndex; i <- 0 until 4
+    } yield ((c * 4 + i).toLong, jitter(b))
+    val noise = (12 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val emb = (clustered ++ noise).toDF("vec_id", "embedding")
+    val got = Similarity.ivfAdcCosineSelfTopK(emb, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    for (q <- 0L until 12L)
+      assert(got(q) / 4 == q / 4,
+        s"query $q: expected a clustermate, got ${got(q)}")
+  }
+
   test("residual ADC index: increment equals full rebuild; rerank=0 schema stable") {
     import graft.operators.{IvfCentroids, PqCodebooks}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
