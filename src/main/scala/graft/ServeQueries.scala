@@ -84,6 +84,19 @@ object ServeQueries {
   private def q90(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentMp4Frames(s, d)
 
+  /** Frame-level video near-dup: MJPEG frame hashes → per-video frame
+    * sets → Jaccard ≥ 0.4 pairs (measured separation on this corpus:
+    * duplicate families ≥ 0.8, incidental shared chunks < 0.2) — see
+    * [[graft.operators.Multimodal.documentVideoNearDups]]. */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentVideoNearDups(s, d, tau = 0.4)
+
+  /** Codec-true audio frame units: MP3 frame-sync walk (even doc_ids)
+    * and ADTS frame-length walk (odd doc_ids) over real fixture
+    * streams — see [[graft.operators.Multimodal.documentAudioFrames]]. */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentAudioFrames(s, d)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -166,7 +179,9 @@ object ServeQueries {
     "q45_frame_sample" -> (q45 _),
     "q75_pixel_decode" -> (q75 _),
     "q89_mjpeg_frames" -> (q89 _),
-    "q90_mp4_frames"   -> (q90 _))
+    "q90_mp4_frames"   -> (q90 _),
+    "q92_video_neardup" -> (q92 _),
+    "q93_audio_frames" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -249,6 +264,87 @@ object ServeQueries {
         |         || [255,217]::BIGINT[]),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
         |FROM s""".stripMargin,
+    "q93_audio_frames" ->
+      // The oracle never parses MPEG audio: it recomputes each
+      // fixture's frame layout — MP3 (even ids): 288-byte frames of
+      // [FF FB 74 00] + chunk + 268 zeros (V1 L3, 96 kbps / 48 kHz →
+      // exact length, the header's own 144·bitrate/rate arithmetic);
+      // ADTS (odd ids): 23-byte frames of the 7-byte header (length
+      // field = 23 spread over bytes 3–5) + chunk — and byte-folds the
+      // whole frame. The Spark side must recover those boundaries from
+      // the real sync words + header length fields to match.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 4)) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'adts' END AS container,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(frame_idx * (CASE WHEN doc_id % 2 = 0 THEN 288 ELSE 23 END)
+        |            AS BIGINT) AS byte_off,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 288 ELSE 23 END
+        |            AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 1024 END
+        |            AS INTEGER) AS samples,
+        |       CAST(48000 AS INTEGER) AS sample_rate,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         (CASE WHEN doc_id % 2 = 0
+        |               THEN [255,251,116,0]::BIGINT[]
+        |               ELSE [255,241,76,128,2,255,252]::BIGINT[] END)
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || (CASE WHEN doc_id % 2 = 0
+        |                  THEN list_transform(range(0, 268), x -> CAST(0 AS BIGINT))
+        |                  ELSE []::BIGINT[] END)),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
+        |FROM s""".stripMargin,
+    "q92_video_neardup" ->
+      // Frame hashes by the q89 fixture arithmetic (constant SOF width
+      // 8 — frame identity depends on chunk content alone), then the
+      // video-level Jaccard join: distinct frame-hash sets, inverted-
+      // index pairing on the hash, shared/(|A|+|B|−shared) ≥ 0.4. The
+      // Spark side must recover identical frame bytes from the real
+      // MJPEG containers AND reproduce the set join for the pair list
+      // to hash-match.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+        |  FROM f
+        |), fh AS (
+        |  SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [255,216,255,192,0,11,8,0,8,0, 8,
+        |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,208]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,217]::BIGINT[]),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM s
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, h FROM fh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |       CAST(p.shared AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.shared AS DOUBLE) /
+        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
     "q90_mp4_frames" ->
       // The oracle reproduces the mp4Fixture arithmetic: uniform
       // 16-byte samples at a constant data offset (moov size is

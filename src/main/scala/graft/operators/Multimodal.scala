@@ -225,6 +225,251 @@ object Multimodal {
       .drop("container") // constant of the fixture
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual frame fingerprint: grayscale the pixels (integer
+    * 299/587/114 luma), sample a 9×8 grid (nearest-neighbor,
+    * x_i = ⌊i·w/9⌋, y_j = ⌊j·h/8⌋), emit one bit per horizontal
+    * gradient sign (g[x_{i+1}] > g[x_i]). Gradient SIGNS survive
+    * uniform brightness/contrast shifts and mild re-encoding noise —
+    * the property that makes frame-level video dedup catch re-encoded
+    * duplicates where an exact byte hash cannot. Pure integer
+    * arithmetic → deterministic across engines. */
+  def dHash64(img: PixelDecode.PixelImage): Long = {
+    val w = img.width
+    val h = img.height
+    def lumaAt(x: Int, y: Int): Int = {
+      val i = (y * w + x) * 3
+      val r = img.rgb(i) & 0xff
+      val g = img.rgb(i + 1) & 0xff
+      val b = img.rgb(i + 2) & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        val xa = i * w / 9
+        val xb = (i + 1) * w / 9
+        if (lumaAt(xb, y) > lumaAt(xa, y))
+          bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Per-frame perceptual hash with an honest fallback tier: dHash
+    * over REAL decoded pixels when the frame payload is
+    * pixel-decodable ([[PixelDecode]]: BMP/PNG — the seam a full
+    * JPEG/video decoder slots into), byte-fold hash otherwise (exact
+    * byte identity — still catches container-level re-muxing, where
+    * identical frame bytes land at different offsets). */
+  def perceptualFrameHash(bytes: Array[Byte]): Long =
+    PixelDecode.decode(bytes) match {
+      case Some(img) => dHash64(img)
+      case None      => byteFoldHash(bytes)
+    }
+
+  /** Per-video frame-hash rows for near-dup detection: container-true
+    * frame units ([[VideoContainers]] — MJPEG marker walk / MP4 sample
+    * tables; fixed-size fallback) hashed by [[perceptualFrameHash]].
+    * Output: (doc_id, frame_idx, frame_phash). Same plumbing contract
+    * as [[sampleContainerFrames]]: binary never shuffles, only the
+    * slim hash rows flow downstream. */
+  def videoFramePHashes(media: DataFrame, stride: Int,
+      fallbackFrameBytes: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && fallbackFrameBytes > 0, "positive stride / frame size")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            if (VideoContainers.looksLikeMp4(bytes))
+              VideoContainers.parseMp4(bytes).map(_.frames).getOrElse(Nil)
+            else if (VideoContainers.looksLikeMjpeg(bytes))
+              VideoContainers.scanMjpeg(bytes)
+            else Nil
+          val resolved =
+            if (frames.nonEmpty) frames
+            else {
+              val n = bytes.length / fallbackFrameBytes
+              (0 until n).map(f => VideoContainers.Frame(f.toLong,
+                f.toLong * fallbackFrameBytes, fallbackFrameBytes.toLong,
+                f.toLong, 0, 0))
+            }
+          resolved.iterator.filter(_.idx % stride == 0).map { fr =>
+            val slice = java.util.Arrays.copyOfRange(bytes,
+              fr.off.toInt, (fr.off + fr.len).toInt)
+            (id, fr.idx, perceptualFrameHash(slice))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_phash")
+  }
+
+  /** Video-level near-duplicate pairs over frame-hash sets — the
+    * standard training-data video dedup primitive: two videos are
+    * near-dups when the Jaccard of their DISTINCT sampled-frame-hash
+    * sets reaches `tau` (re-encoded/re-muxed duplicates share most
+    * frame hashes; unrelated videos share ~none). Input: (doc_id,
+    * frame_phash) rows ([[videoFramePHashes]]).
+    *
+    * Scale shape: an inverted-index pair generation — equi-join on
+    * frame_phash (never all-pairs), so candidate volume is Σ over
+    * hashes of n_h², fat only for duplicate families and boilerplate
+    * frames (intros/black frames). `maxPostings` > 0 drops hashes
+    * shared by more than that many videos before pairing (the
+    * stop-frame cut, the standard fix for boilerplate blowup); the
+    * dropped hashes still count in each video's set size, so Jaccard
+    * stays a lower bound — dropping a shared frame can only lower
+    * similarity, never create a false pair. Output:
+    * (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
+  def videoNearDupPairs(frames: DataFrame, tau: Double,
+      maxPostings: Int = 0): DataFrame = {
+    val sets = frames.select(col("doc_id"), col("frame_phash")).distinct()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val postings =
+      if (maxPostings <= 0) sets
+      else {
+        val keep = sets.groupBy("frame_phash")
+          .agg(count(lit(1)).as("nv"))
+          .filter(col("nv") <= maxPostings)
+          .select("frame_phash")
+        sets.join(keep, "frame_phash")
+      }
+    val a = postings.select(col("doc_id").as("doc_a"), col("frame_phash"))
+    val b = postings.select(col("doc_id").as("doc_b"), col("frame_phash"))
+    a.join(b, Seq("frame_phash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+  }
+
+  /** One codec-true audio frame ([[AudioHeaders.scanMpegFrames]] /
+    * [[AudioHeaders.scanAdtsFrames]]): byte range from the frame
+    * header's own length arithmetic, decode units from the header. */
+  final case class AudioFrameRow(
+      doc_id: Long,
+      container: String, // mp3 | adts | raw
+      frame_idx: Long,
+      byte_off: Long,
+      n_bytes: Long,
+      samples: Int,
+      sample_rate: Int,
+      frame_hash: Long)
+
+  /** Codec-true audio frame sampling — the audio leg of
+    * [[sampleContainerFrames]]: MPEG audio (MP3) payloads walked by
+    * 11-bit frame sync + header-derived lengths, ADTS (AAC) by the
+    * 13-bit frame-length field; unknown formats take the fixed-size
+    * fallback tier (container = "raw"). Frame hashes feed the same
+    * frame-set dedup as video ([[videoNearDupPairs]] — select
+    * (doc_id, frame_hash as frame_phash)). Same plumbing contract:
+    * binary never shuffles, only the slim frame row flows downstream. */
+  def sampleAudioFrames(media: DataFrame, stride: Int,
+      fallbackFrameBytes: Int = 16)(
+      implicit spark: SparkSession): Dataset[AudioFrameRow] = {
+    import spark.implicits._
+    require(stride > 0 && fallbackFrameBytes > 0, "positive stride / frame size")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (container, frames) =
+            if (AudioHeaders.looksLikeAdts(bytes))
+              ("adts", AudioHeaders.scanAdtsFrames(bytes))
+            else if (AudioHeaders.looksLikeMpegAudio(bytes))
+              ("mp3", AudioHeaders.scanMpegFrames(bytes))
+            else ("raw", Nil)
+          val resolved =
+            if (frames.nonEmpty) frames
+            else {
+              val n = bytes.length / fallbackFrameBytes
+              (0 until n).map(f => AudioHeaders.AudioFrame(f.toLong,
+                f.toLong * fallbackFrameBytes, fallbackFrameBytes.toLong, 0, 0))
+            }
+          resolved.iterator.filter(_.idx % stride == 0).map { fr =>
+            val slice = java.util.Arrays.copyOfRange(bytes,
+              fr.off.toInt, (fr.off + fr.len).toInt)
+            AudioFrameRow(id, if (frames.nonEmpty) container else "raw",
+              fr.idx, fr.off, fr.len, fr.samples, fr.sampleRateHz,
+              byteFoldHash(slice))
+          }
+        }
+      }
+  }
+
+  /** Demo pipeline (q93): codec-true audio frame units end-to-end.
+    * Each document's 16-byte text chunks become one audio frame each —
+    * even doc_ids an MP3 stream ([[AudioHeaders.mp3Fixture]]: V1
+    * Layer III 96 kbps / 48 kHz, exact 288-byte frames), odd doc_ids
+    * an ADTS stream ([[AudioHeaders.adtsFixture]]: AAC-LC 48 kHz,
+    * 23-byte frames) — and the sampler takes every 4th frame. The
+    * DuckDB oracle reproduces offsets, lengths, decode units and
+    * whole-frame byte-fold hashes from the fixtures' arithmetic
+    * layout, so the Spark side must walk real sync words and
+    * header-length fields to match (the q89 pattern, audio form). */
+  def documentAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        val payload =
+          if (id % 2 == 0) AudioHeaders.mp3Fixture(chunks)
+          else AudioHeaders.adtsFixture(chunks)
+        (id, payload)
+      }
+      .toDF("doc_id", "media")
+    sampleAudioFrames(media, stride = 4).toDF()
+  }
+
+  /** Demo pipeline (q92): frame-level video near-dup end-to-end over
+    * the shared testdata. Each document becomes an MJPEG stream of its
+    * 16-byte text chunks (the q89 fixture at a CONSTANT SOF width, so
+    * frame identity depends on content alone — the re-encode analog);
+    * every frame is perceptually hashed (byte-fold tier here: JPEG
+    * entropy payloads are not pixel-decodable, the dHash tier is
+    * spec-pinned on BMP frames) and videos pair on frame-set Jaccard ≥
+    * `tau`. Near-duplicate document families share most 16-byte chunks
+    * → their videos share most frames → pairs; unrelated docs share
+    * boilerplate chunks at most. The oracle reproduces frame hashes
+    * from the fixture arithmetic (q89's construction) and the Jaccard
+    * join in SQL, so the whole chain — container scan, frame
+    * boundaries, hashing, set join — must be right for the hash match. */
+  def documentVideoNearDups(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        (id, VideoContainers.mjpegFixture(8, chunks))
+      }
+      .toDF("doc_id", "media")
+    videoNearDupPairs(videoFramePHashes(media, stride = 1), tau)
+  }
+
   /** Decoded-content statistics for one image blob ([[PixelDecode]]
     * formats only). Integer channel sums are the oracle-checkable
     * truth; means are one exact IEEE division of those sums. */

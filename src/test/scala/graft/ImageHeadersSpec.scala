@@ -120,4 +120,78 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(raw.format == "unknown" && raw.content_hash == h &&
       raw.width == (h % 640).toInt && raw.height == (h % 480).toInt)
   }
+
+  test("MP3 frame walk: header-derived lengths, truncated tail dropped, garbage stops the walk") {
+    import graft.operators.AudioHeaders
+    def chunk(seed: Int) = Array.tabulate(16)(i => ((seed * 13 + i) % 100 + 1).toByte)
+    val b = AudioHeaders.mp3Fixture(Seq(chunk(1), chunk(2), chunk(3)))
+    val frames = AudioHeaders.scanMpegFrames(b)
+    assert(frames.map(f => (f.idx, f.off, f.len)) ==
+      Seq((0L, 0L, 288L), (1L, 288L, 288L), (2L, 576L, 288L)))
+    assert(frames.forall(f => f.samples == 1152 && f.sampleRateHz == 48000))
+    // truncated tail: the last frame's declared 288 bytes overrun the
+    // buffer -> it is DROPPED, the complete frames still parse
+    val truncated = AudioHeaders.scanMpegFrames(b.slice(0, 288 * 2 + 100))
+    assert(truncated.map(_.idx) == Seq(0L, 1L))
+    // a non-sync byte after a valid frame stops the walk cleanly
+    val garbageTail = b.slice(0, 288) ++ "xx".getBytes
+    assert(AudioHeaders.scanMpegFrames(garbageTail).size == 1)
+    // free-bitrate (idx 0) and reserved-layer headers are refused
+    val free = b.clone(); free(2) = 0x04.toByte // brIdx 0
+    assert(AudioHeaders.scanMpegFrames(free).isEmpty)
+    assert(AudioHeaders.scanMpegFrames("not audio".getBytes).isEmpty)
+    // a Layer-I header uses the x4 slot-length arithmetic:
+    // (12*bitrate/rate + pad)*4 at 448 kbps / 44.1 kHz = 484
+    val l1 = Array(0xff, 0xff, 0xe0, 0x00).map(_.toByte) ++ new Array[Byte](480)
+    val fl1 = AudioHeaders.scanMpegFrames(l1)
+    assert(fl1.size == 1 && fl1.head.len == 484L - 480 + 480 &&
+      fl1.head.samples == 384)
+  }
+
+  test("ADTS frame walk: 13-bit length field, truncated tail dropped") {
+    import graft.operators.AudioHeaders
+    def chunk(seed: Int) = Array.tabulate(16)(i => ((seed * 17 + i) % 100 + 1).toByte)
+    val b = AudioHeaders.adtsFixture(Seq(chunk(1), chunk(2)))
+    val frames = AudioHeaders.scanAdtsFrames(b)
+    assert(frames.map(f => (f.idx, f.off, f.len)) ==
+      Seq((0L, 0L, 23L), (1L, 23L, 23L)))
+    assert(frames.forall(f => f.samples == 1024 && f.sampleRateHz == 48000))
+    // truncated tail dropped
+    assert(AudioHeaders.scanAdtsFrames(b.slice(0, 30)).map(_.idx) == Seq(0L))
+    // a declared length < header size is malformed -> stop
+    val badLen = b.clone(); badLen(4) = 0; badLen(5) = (3 << 5).toByte // flen 3
+    assert(AudioHeaders.scanAdtsFrames(badLen).isEmpty)
+    // MP3 bytes are not ADTS (layer bits != 00) and vice versa
+    val mp3 = AudioHeaders.mp3Fixture(Seq(chunk(3)))
+    assert(!AudioHeaders.looksLikeAdts(mp3) && AudioHeaders.looksLikeMpegAudio(mp3))
+    assert(AudioHeaders.looksLikeAdts(b) && !AudioHeaders.looksLikeMpegAudio(b))
+  }
+
+  test("sampleAudioFrames: container dispatch + raw fallback (Spark plumbing)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    import graft.operators.{AudioHeaders, Multimodal}
+    def chunk(seed: Int) = Array.tabulate(16)(i => ((seed * 19 + i) % 100 + 1).toByte)
+    val media = Seq(
+      (1L, AudioHeaders.mp3Fixture(Seq(chunk(1), chunk(2)))),
+      (2L, AudioHeaders.adtsFixture(Seq(chunk(1), chunk(2), chunk(3)))),
+      (3L, "0123456789abcdef0123456789abcdef".getBytes)
+    ).toDF("doc_id", "media")
+    val got = Multimodal.sampleAudioFrames(media, stride = 1)
+      .collect().groupBy(_.doc_id)
+    assert(got(1L).forall(_.container == "mp3") && got(1L).size == 2)
+    assert(got(2L).forall(_.container == "adts") && got(2L).size == 3)
+    assert(got(3L).forall(f => f.container == "raw" && f.n_bytes == 16L))
+    // identical chunks at DIFFERENT codec framings hash differently
+    // (frame bytes include the header), but the same chunk in the same
+    // codec hashes identically across videos -- the dedup feed contract
+    val mp3b = Seq((9L, AudioHeaders.mp3Fixture(Seq(chunk(1)))))
+      .toDF("doc_id", "media")
+    val h9 = Multimodal.sampleAudioFrames(mp3b, 1).collect().head.frame_hash
+    assert(h9 == got(1L).minBy(_.frame_idx).frame_hash)
+  }
 }

@@ -209,4 +209,70 @@ class VideoContainersSpec extends AnyFunSuite {
     assert(bad.isEmpty)
     assert(out.count() > 0)
   }
+
+  test("dHash64: brightness-shifted re-encode keeps the perceptual hash, byte hash differs") {
+    // gradient SIGNS survive a uniform brightness shift — the property
+    // that lets frame-level dedup catch re-encodes; the byte-fold hash
+    // (exact identity) breaks on the very first shifted byte
+    val w = 18; val h = 16
+    def img(shift: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        rgb((y * w + x) * 3 + c) =
+          (((x * 11 + y * 7 + c * 3) % 120) + shift).toByte
+      graft.operators.PixelDecode.bmpFixture(w, h, rgb)
+    }
+    val base = img(0)
+    val brighter = img(60)
+    assert(Multimodal.perceptualFrameHash(base) ==
+      Multimodal.perceptualFrameHash(brighter))
+    assert(Multimodal.byteFoldHash(base) != Multimodal.byteFoldHash(brighter))
+    // non-decodable payloads take the byte-fold tier
+    val rawBytes = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.perceptualFrameHash(rawBytes) ==
+      Multimodal.byteFoldHash(rawBytes))
+  }
+
+  test("videoNearDupPairs: re-muxed duplicate caught despite shifted byte offsets") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 31 + i * 7) % 120 + 1).toByte)
+    val shared = Seq(chunk(1), chunk(2), chunk(3))
+    // B carries an extra leading frame: every shared frame sits at a
+    // DIFFERENT byte offset than in A — whole-file or offset-keyed
+    // hashing misses this; per-frame hashing does not
+    val vidA = VideoContainers.mjpegFixture(8, shared)
+    val vidB = VideoContainers.mjpegFixture(8, chunk(9) +: shared)
+    val vidC = VideoContainers.mjpegFixture(8, Seq(chunk(4), chunk(5), chunk(6)))
+    val media = Seq((1L, vidA), (2L, vidB), (3L, vidC)).toDF("doc_id", "media")
+    val frames = Multimodal.videoFramePHashes(media, stride = 1)
+    val pairs = Multimodal.videoNearDupPairs(frames, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // A~B (jaccard 3/4); C unrelated
+  }
+
+  test("videoNearDupPairs: maxPostings drops boilerplate frames, jaccard stays a lower bound") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 37 + i * 5) % 120 + 1).toByte)
+    val boiler = chunk(0) // an intro frame every video shares
+    val media = Seq(
+      (1L, VideoContainers.mjpegFixture(8, Seq(boiler, chunk(1), chunk(2)))),
+      (2L, VideoContainers.mjpegFixture(8, Seq(boiler, chunk(1), chunk(2)))),
+      (3L, VideoContainers.mjpegFixture(8, Seq(boiler, chunk(7), chunk(8)))),
+      (4L, VideoContainers.mjpegFixture(8, Seq(boiler, chunk(5), chunk(6))))
+    ).toDF("doc_id", "media")
+    val frames = Multimodal.videoFramePHashes(media, stride = 1)
+    // the boilerplate hash appears in all 4 videos -> dropped at
+    // maxPostings=3; true dups still pair (2 of 3 frames shared), and
+    // the boiler-only overlaps (1 of 3) never reach tau
+    val pairs = Multimodal.videoNearDupPairs(frames, tau = 0.5, maxPostings = 3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // set sizes keep the dropped hash: jaccard 2/(3+3-2), not 2/(2+2-2)
+    assert(pairs.head._3 == 0.5)
+  }
 }
