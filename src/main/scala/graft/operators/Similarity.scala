@@ -875,9 +875,20 @@ object Similarity {
         val worst = // all rows in one bucket per band — zero-job bound
           if (n < 1000000L) nBands.toLong * n * (n - 1) * (probeBits + 1)
           else Long.MaxValue
-        if (worst <= budget) {
+        // second zero-job shortcut: if even the DEGENERATE join volume
+        // (every vector in one bucket, n² pairs) fits the salted join's
+        // plain-join escape, the LSH engine is bounded-cheap no matter
+        // the bucket distribution — measuring the real bound could only
+        // re-confirm lsh, so don't spend the stats job (this keeps the
+        // gate/bench scales at zero routing overhead)
+        val degenerate =
+          if (n < 3037000499L) n * n else Long.MaxValue
+        if (worst <= budget ||
+            (degenerate <= Parallelism.DefaultTargetPairsPerTask &&
+              degenerate <= budget)) {
           Parallelism.logDispatch("lshTopKAuto",
-            s"annMode=auto worstCaseBound=$worst <= budget=$budget -> lsh")
+            s"annMode=auto worstCaseBound=$worst budget=$budget " +
+              s"degenerate=$degenerate -> lsh (zero-job)")
           "lsh"
         } else {
           // the Dedup.lshPairBound shape: cache the signature rel

@@ -50,6 +50,58 @@ object AdcProbe {
     val nRes = res.count()
     val tSearch = (System.nanoTime() - t3) / 1e9
     println(f"""{"stage":"search","queries":$nQ,"results":$nRes,"nProbe":$nProbe,"k":$k,"rerank":$rerank,"sec":$tSearch%.2f,"ms_per_query":${tSearch * 1000 / math.max(nQ, 1)}%.1f}""")
+
+    // ---- residual tier A/B (same budget, same probes) -------------- //
+    val t4 = System.nanoTime()
+    val (rcbs, rdsub) = PqCodebooks.forCorpusResidual(emb, cents)
+    val tRcbs = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val rIndex = Similarity.buildResidualAdcIndex(emb, cents, rcbs, rdsub)
+      .cache()
+    val rIdxRows = rIndex.count()
+    val tRIdx = (System.nanoTime() - t5) / 1e9
+    println(f"""{"stage":"residual_build","rows":$rIdxRows,"cbs_sec":$tRcbs%.2f,"index_sec":$tRIdx%.2f}""")
+    val t6 = System.nanoTime()
+    val rRes = Similarity.ivfAdcResidualSearchAgainst(q, rIndex, cents, rcbs,
+      rdsub, nProbe, k, rerank, rawVectors = Some(emb))
+    val nRRes = rRes.count()
+    val tRSearch = (System.nanoTime() - t6) / 1e9
+    println(f"""{"stage":"residual_search","queries":$nQ,"results":$nRRes,"sec":$tRSearch%.2f,"ms_per_query":${tRSearch * 1000 / math.max(nQ, 1)}%.1f}""")
+
+    // recall A/B vs exact L2 ground truth (brute force over the query
+    // batch only: nQ × n dots — fine at probe scale)
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def topSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_b"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("embedding").as("e_a"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", Similarity.dot(col("e_a"), col("e_a"))
+        - lit(2.0) * Similarity.dot(col("e_a"), col("e_b"))
+        + Similarity.dot(col("e_b"), col("e_b")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rank") <= k))
+    val recNon = (exact & topSet(res)).size.toDouble / exact.size
+    val recRes = (exact & topSet(rRes)).size.toDouble / exact.size
+    println(f"""{"stage":"recall_ab","k":$k,"nonresidual":$recNon%.3f,"residual":$recRes%.3f}""")
+
+    // ---- persisted bucketed index: write + pruned search ----------- //
+    val dir2 = java.nio.file.Files.createTempDirectory("adc_probe_tbl").toString
+    val buckets = math.max(8, cents.size / 4)
+    val t7 = System.nanoTime()
+    Similarity.writeAdcIndexBucketed(rIndex, "adc_probe_idx", buckets,
+      Some(s"$dir2/adc_probe_idx"))
+    val tWrite = (System.nanoTime() - t7) / 1e9
+    val t8 = System.nanoTime()
+    val persisted = Similarity.ivfAdcSearchPruned(q, spark.table("adc_probe_idx"),
+      cents, rcbs, rdsub, nProbe, k, rerank, Some(emb), residual = true)
+    val nP = persisted.count()
+    val tPersist = (System.nanoTime() - t8) / 1e9
+    println(f"""{"stage":"persisted_search","buckets":$buckets,"write_sec":$tWrite%.2f,"results":$nP,"sec":$tPersist%.2f,"ms_per_query":${tPersist * 1000 / math.max(nQ, 1)}%.1f}""")
     spark.stop()
   }
 }

@@ -136,6 +136,6 @@ pq.write_table(pa.table({
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]:
     dst = f"{OUT}/{t}.parquet"
-    if not os.path.exists(dst):
+    if not os.path.exists(dst) and os.path.exists(f"{SRC}/{t}.parquet"):
         os.link(f"{SRC}/{t}.parquet", dst)
 print(f"done -> {OUT} (s={S}, frac={FRAC})")
