@@ -652,9 +652,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
           .as("approx_dist"))
-    // top-R per query as a hash aggregate (the lshTopK tail's shape:
-    // never a window sort over all scored rows)
-    val short = scored
+    // Top-R per query in TWO stages, the first a bounded streaming heap
+    // fold INSIDE the join partitions ([[partialTopKPerQuery]]): the
+    // scored candidate stream is ~Σ probed-cell² rows on a clustered
+    // corpus (the sf100skew run measured ~10¹⁰ — a giant embedding
+    // cluster concentrates in few IVF cells, so probing your own
+    // cluster's cell scans the whole cluster), and ANY aggregation that
+    // materializes it through an exchange — hash-agg partial
+    // collect_list included, its map-side buffers are unbounded — spills
+    // the full stream to disk (measured: filled the device at 2 M
+    // vectors). The heap fold emits ≤ R rows per (partition, query), so
+    // the exchange and the final exact fold see ≤ nProbe·R rows/query.
+    val short = partialTopKPerQuery(scored, r)
       .withColumn("cand", struct(col("approx_dist"), col("neighbor_id")))
       .groupBy("query_id")
       .agg(slice(array_sort(collect_list(col("cand"))), 1, r).as("top"))
@@ -684,6 +693,57 @@ object Similarity {
       .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("cand.cosine").as("cosine"))
+  }
+
+  /** Bounded per-partition partial top-k: stream (query_id,
+    * neighbor_id, dist) rows through one per-partition pass keeping a
+    * k-bounded binary heap per query under (dist asc, neighbor asc) —
+    * the exact order the final fold ranks by, so partial-then-final
+    * equals global top-k. Memory is queries-in-partition × k tuples
+    * (never the candidate stream), output ≤ k rows per (partition,
+    * query); this is what makes the ADC self-search's candidate volume
+    * safe to aggregate — a collect_list hash agg buffers its ENTIRE
+    * partition's candidates map-side before combining, which is
+    * exactly the quadratic spill the fold exists to avoid.
+    * `mapPartitions` is justified: Spark has no bounded-heap
+    * aggregate, and the alternative (window + WindowGroupLimit) sorts
+    * the full stream per partition first. */
+  private[graft] def partialTopKPerQuery(scored: DataFrame,
+      k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"), col("approx_dist").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        import java.util.{Comparator, HashMap, PriorityQueue}
+        // head = current WORST under (dist, neighbor) ascending rank
+        val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {
+          def compare(a: (Double, Long), b: (Double, Long)): Int = {
+            val c = java.lang.Double.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        val heaps = new HashMap[Long, PriorityQueue[(Double, Long)]]()
+        it.foreach { case (q, nb, d) =>
+          var h = heaps.get(q)
+          if (h == null) {
+            h = new PriorityQueue[(Double, Long)](k + 1, cmp)
+            heaps.put(q, h)
+          }
+          if (h.size < k) h.offer((d, nb))
+          else {
+            val worst = h.peek()
+            val c = java.lang.Double.compare(d, worst._1)
+            if (c < 0 || (c == 0 && nb < worst._2)) { h.poll(); h.offer((d, nb)) }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap { e =>
+          e.getValue.iterator().asScala.map(v => (e.getKey, v._2, v._1))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx_dist")
   }
 
   /** Random ±1 projection to `k` dimensions (the Achlioptas form of

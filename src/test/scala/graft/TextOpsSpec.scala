@@ -250,6 +250,34 @@ class TextOpsSpec extends AnyFunSuite {
     } finally emb.unpersist()
   }
 
+  test("partialTopKPerQuery: bounded heap fold == global sort top-k, incl. ties") {
+    // skewed stream: query 1 gets 5000 candidates spread over many
+    // partitions (the giant-cell regime the fold exists for), query 2
+    // gets ties that must break on the lowest neighbor id
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 5000).map(i =>
+        (1L, i.toLong, rnd.nextInt(100).toDouble)) ++
+      (0 until 20).map(i => (2L, i.toLong, 7.0))
+    val scored = rows.toDF("query_id", "neighbor_id", "approx_dist")
+      .repartition(16)
+    val k = 9
+    val got = Similarity.partialTopKPerQuery(scored, k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"approx_dist", $"neighbor_id")))
+      .filter($"rk" <= k)
+      .select("query_id", "neighbor_id", "approx_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(k)
+    }.toSet
+    assert(got == expect)
+    // the partial output itself never exceeds k rows per (partition, query)
+    val counts = Similarity.partialTopKPerQuery(scored, k)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 16L * k))
+  }
+
   test("ivfAdcCosineSelfTopK: finds planted near-duplicate neighbors") {
     // 3 tight clusters of 4 + noise: each clustered vector's top-1
     // cosine neighbor is a clustermate, and the routed engine must
