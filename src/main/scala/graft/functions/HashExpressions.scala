@@ -1162,6 +1162,64 @@ object HashExpressions {
       copy(res = newLeft, codes = newRight)
   }
 
+  /** Elementwise vector difference (double): out[i] = (double)a[i] −
+    * b[i] over min(len) — the residual compute x − centroid(cell) as
+    * one codegen'd loop instead of an interpreted `zip_with` lambda
+    * per element (bit-identical values: same cast, same IEEE
+    * subtraction; HashExprSpec pins parity). Hot on the self-search
+    * probe side (n·nProbe rows × dim lambda evals otherwise). */
+  case class VecSub(a: Expression, b: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] =
+      Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)),
+        ArrayType(DoubleType))
+    override def left: Expression = a
+    override def right: Expression = b
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_sub"
+
+    private lazy val isFloat = a.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val getX = if (isFloat) s"(double) $x.getFloat($i)"
+                   else s"$x.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $getX - $y.getDouble($i);
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
+      })
+
+    override def nullSafeEval(x: Any, y: Any): Any = {
+      val xa = x.asInstanceOf[ArrayData]
+      val ya = y.asInstanceOf[ArrayData]
+      val n = math.min(xa.numElements(), ya.numElements())
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (if (isFloat) xa.getFloat(i).toDouble else xa.getDouble(i)) -
+          ya.getDouble(i)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecSub =
+      copy(a = newLeft, b = newRight)
+  }
+
   /** PQ asymmetric-distance sum: Σ_s dtab[s·nCodes + codes[s]] as a
     * sequential double fold over the code array — bit-equal to the
     * `aggregate(sequence(0, m−1), acc + element_at(...))` HOF form
@@ -1347,6 +1405,9 @@ object HashExpressions {
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): Column =
     ColumnBridge.column(PqEncodeResidual(ColumnBridge.expression(c),
       centroids, codebooks, dsub))
+  def vecSub(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSub(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
   def adcDirectDist(res: Column, codes: Column,
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int): Column =
     ColumnBridge.column(AdcDirectDist(ColumnBridge.expression(res),

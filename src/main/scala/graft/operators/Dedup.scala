@@ -443,14 +443,48 @@ object Dedup {
     *    [[minHashLshPairs]] (sub-linear, measured 7.9× at 10× data)
     *    when approximate candidates are acceptable.
     */
+  /** `maxCandidatePairs` (>0 to enable): refuse to run when the
+    * all-pairs candidate volume Σ_b n_b² exceeds it — the
+    * [[minHashLshPairs]] `maxOutputPairs` contract, block-join form.
+    * Block sizes grow ∝ N under coarse block columns (lang × source),
+    * so the candidate volume is DATA-quadratic: the r12 sf100 run
+    * measured 3.2×10¹¹ candidates at 5 M docs, whose tile payload
+    * exchange is hundreds of GB on any engine that materializes it
+    * (it filled this box's disk). A 100 TB caller that needs near-dup
+    * EDGES should generate them through the banded route
+    * ([[lshDupGroups]], O(nBands·N)); the guard names it instead of
+    * launching the exchange. Left at −1 the operator runs unbounded
+    * (the gate/oracle shape, where the exact pair list is the spec). */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       n: Int, threshold: Double, strategy: String = "auto",
-      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register,
+      maxCandidatePairs: Long = -1L): DataFrame = {
     // intersect on hashed shingles (integer arrays), same rationale and
     // oracle-mirroring as minHashLshPairs; widen() because the shingle
     // hashing runs in the projection BEFORE the join exchange — on a
     // single-partition input both join sides would hash on one core
     require(threshold > 0.0, "prefix filter requires threshold > 0")
+    if (maxCandidatePairs > 0L) {
+      val bound = docs
+        .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
+        .agg(coalesce(sum(col("nb") * col("nb")), lit(0L)).cast("long"))
+        .head.getLong(0)
+      if (bound > maxCandidatePairs) {
+        Parallelism.logDispatch("ngramJaccardPairs",
+          s"candidatePairBound=$bound > maxCandidatePairs=" +
+            s"$maxCandidatePairs -> REFUSED (quadratic block join; " +
+            "route to lshDupGroups for survivors/labels)")
+        throw new IllegalStateException(
+          s"ngramJaccardPairs: all-pairs candidate volume ≈ $bound " +
+            s"exceeds maxCandidatePairs=$maxCandidatePairs. Block sizes " +
+            "grow with the corpus, so this volume is data-quadratic — " +
+            "if you only need near-dup edges/labels, use " +
+            "Dedup.lshDupGroups (linear edge volume); to enumerate " +
+            "exact jaccard pairs anyway, raise or disable the bound.")
+      }
+      Parallelism.logDispatch("ngramJaccardPairs",
+        s"candidatePairBound=$bound <= maxCandidatePairs=$maxCandidatePairs -> ok")
+    }
     val sh = Parallelism.widen(docs).select(
       (col("doc_id") +: blockCols.map(col)) :+
         HashExpressions.shingleHashes(col("text"), n).as("sh"): _*)

@@ -141,8 +141,8 @@ object Pq {
         col("embedding"))
       .join(broadcast(centDf), "cell")
       .select(col("vec_id"),
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => x.cast("double") - c).as("embedding"))
+        graft.functions.HashExpressions
+          .vecSub(col("embedding"), col("centroid")).as("embedding"))
   }
 
   /** Train the per-subspace codebooks: one seeded k-means per

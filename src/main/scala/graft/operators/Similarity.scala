@@ -550,8 +550,8 @@ object Similarity {
       .select(col("query_id"), col("embedding"), col("dc.cell").as("cell"))
       .join(broadcast(centDf), "cell")
       .select(col("query_id"), col("cell"),
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => x.cast("double") - c).as("res"))
+        graft.functions.HashExpressions
+          .vecSub(col("embedding"), col("centroid")).as("res"))
     val cb = Pq.codebookDF(q, codebooks)
     val dtabs = probes.crossJoin(broadcast(cb))
       .withColumn("pdist", HashExpressions.subSquaredDist(
@@ -645,8 +645,8 @@ object Similarity {
       .select(col("query_id"), col("embedding"), col("dc.cell").as("cell"))
       .join(broadcast(centDf), "cell")
       .select(col("query_id"), col("cell"),
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => x.cast("double") - c).as("res"))
+        graft.functions.HashExpressions
+          .vecSub(col("embedding"), col("centroid")).as("res"))
     val scored = index.join(probes, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

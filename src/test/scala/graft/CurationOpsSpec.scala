@@ -430,6 +430,23 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ngramJaccardPairs maxCandidatePairs guard: refuses the quadratic block join") {
+    // familyDocs in one block: Σ n_b² = 40² = 1600 candidates
+    val docs = familyDocs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(docs, Seq("lang", "source"), 3, 0.5,
+        maxCandidatePairs = 100L)
+    }
+    assert(e.getMessage.contains("lshDupGroups")) // routing recommendation
+    val guarded = Dedup.ngramJaccardPairs(docs, Seq("lang", "source"), 3, 0.5,
+      maxCandidatePairs = 100000L)
+    val unguarded = Dedup.ngramJaccardPairs(docs, Seq("lang", "source"), 3, 0.5)
+    assert(guarded.exceptAll(unguarded).isEmpty &&
+      unguarded.exceptAll(guarded).isEmpty)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("incremental maxOutputPairs guard: bipartite bound, same contract") {
     val newDocs = familyDocs.filter(col("doc_id") > 20)
     val idx = Dedup.minHashBandRel(familyDocs.filter(col("doc_id") <= 20))

@@ -192,6 +192,27 @@ class HashExprSpec extends AnyFunSuite {
     assert(fused == staged)
   }
 
+  test("vecSub == zip_with cast-subtract bit-exact (float and double inputs)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 10).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextDouble() - 0.5)))
+      .toDF("id", "emb", "cent")
+    val both = rows.select(col("id"),
+        HashExpressions.vecSub(col("emb"), col("cent")).as("fast"),
+        zip_with(col("emb"), col("cent"),
+          (x, c) => x.cast("double") - c).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Double](1) == r.getSeq[Double](2)))
+    // double-typed left input too (the residualView fit path)
+    val d = rows.select(col("id"),
+        col("emb").cast("array<double>").as("emb"), col("cent"))
+      .select(HashExpressions.vecSub(col("emb"), col("cent")).as("fast"),
+        zip_with(col("emb"), col("cent"), (x, c) => x - c).as("ref"))
+      .collect()
+    d.foreach(r => assert(r.getSeq[Double](0) == r.getSeq[Double](1)))
+  }
+
   test("adcDirectDist == dtab build + adcSum bit-exact") {
     import graft.operators.PqCodebooks
     val rnd = new scala.util.Random(13)
