@@ -167,6 +167,23 @@ object ServeLatency {
     val cold = runPhase()   // every request is a memo miss
     val memo = runPhase()   // identical requests: TrieMap hits
 
+    // http mode: decompose the memoized latency — in-process rendered-
+    // bytes memo hit (the server-side cost alone) vs the full socket
+    // round trip, plus the response SIZE that the transport moves.
+    // The byte memo (r12) removed per-hit serialization; whatever
+    // remains on the wire path is transfer + client decode.
+    if (mode == "http") {
+      val sizes = reqs.zip(csvMask).map { case (r, csv) =>
+        if (csv) api.tableCsv(r).length else api.usageJson(r).length }
+      val inproc = reqs.zip(csvMask).map { case (r, csv) =>
+        val t0 = System.nanoTime()
+        if (csv) api.tableCsv(r) else api.usageJson(r)
+        (System.nanoTime() - t0) / 1e6 }
+      def pct0(xs: Seq[Double], p: Double): Double = {
+        val s = xs.sorted; s(math.min(s.size - 1, (p * s.size).toInt)) }
+      println(f"""{"stage":"serve_memo_inproc","p50_ms":${pct0(inproc, 0.5)}%.2f,"p95_ms":${pct0(inproc, 0.95)}%.2f,"median_resp_kb":${sizes.sorted.apply(sizes.size / 2) / 1024},"max_resp_kb":${sizes.max / 1024}}""")
+    }
+
     def pct(xs: Seq[Double], p: Double): Double = {
       val s = xs.sorted
       s(math.min(s.size - 1, (p * s.size).toInt))

@@ -26,6 +26,14 @@ final class UsageServer(api: UsageApi, port: Int = 0) {
   private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
   import org.json4s.jackson.Serialization
 
+  // TCP_NODELAY: the JDK server writes headers and body as separate
+  // small segments, and Nagle + the peer's delayed ACK turns every
+  // response into a flat ~40 ms stall (measured: memoized P50 44 ms
+  // while the in-process byte-memo hit is 0.00 ms and the median
+  // response is 1 KB — pure transport artifact, not rendering). The
+  // property must be set before the first HttpServer is created.
+  UsageServer.enableNoDelay()
+
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -93,6 +101,12 @@ final class UsageServer(api: UsageApi, port: Int = 0) {
 }
 
 object UsageServer {
+
+  /** See the instance-side note: disable Nagle on the built-in
+    * HttpServer's sockets (read once at server-socket setup, so it
+    * must be set before `HttpServer.create`). Idempotent. */
+  def enableNoDelay(): Unit =
+    System.setProperty("sun.net.httpserver.nodelay", "true")
 
   /** Build the SparkSession a DEDICATED serving process should run —
     * the profile the round-10 ServeLatency campaign measured (STRESS
