@@ -128,4 +128,47 @@ class StreamingAnnSpec extends AnyFunSuite {
       s"stream ${streamed.size} vs batch ${batchRes.size}")
     assert(batchRes.nonEmpty)
   }
+
+  test("residual micro-batch increments equal the one-shot residual search") {
+    // the residual tier's streaming contract mirrors the non-residual
+    // one: a static slim residual index, arriving query batches
+    // searched via ivfAdcResidualSearchAgainst — accumulated results
+    // equal the one-shot batch (no stream machinery needed to prove
+    // batch-equivalence here: the search is stateless per batch, so
+    // partitioned query batches ARE the micro-batch semantics)
+    import graft.operators.PqCodebooks
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter($"vec_id" >= 40)
+    val queries = emb.filter($"vec_id" < 40)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val idx = Similarity.buildResidualAdcIndex(corpus,
+      IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16, 8)
+    def search(q: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAdcResidualSearchAgainst(q, idx,
+          IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16, 8,
+          nProbe = 2, k = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val oneShot = search(queries)
+    val batched = search(queries.filter($"query_id" < 20)) ++
+      search(queries.filter($"query_id" >= 20))
+    assert(batched == oneShot && oneShot.nonEmpty)
+  }
+
+  test("audio frame hashes feed the same frame-set near-dup operator") {
+    import graft.operators.{AudioHeaders, Multimodal}
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int) = Array.tabulate(16)(i => ((seed * 23 + i) % 100 + 1).toByte)
+    val shared = Seq(chunk(1), chunk(2), chunk(3))
+    val media = Seq(
+      (1L, AudioHeaders.mp3Fixture(shared)),
+      (2L, AudioHeaders.mp3Fixture(chunk(9) +: shared)), // re-cut: offsets shift
+      (3L, AudioHeaders.adtsFixture(Seq(chunk(4), chunk(5), chunk(6))))
+    ).toDF("doc_id", "media")
+    val frames = Multimodal.sampleAudioFrames(media, stride = 1).toDF()
+      .select($"doc_id", $"frame_hash".as("frame_phash"))
+    val pairs = Multimodal.videoNearDupPairs(frames, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // re-cut audio caught, ADTS doc unrelated
+  }
 }
