@@ -167,11 +167,18 @@ object ServeLatency {
     val cold = runPhase()   // every request is a memo miss
     val memo = runPhase()   // identical requests: TrieMap hits
 
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+
     // http mode: decompose the memoized latency — in-process rendered-
     // bytes memo hit (the server-side cost alone) vs the full socket
     // round trip, plus the response SIZE that the transport moves.
     // The byte memo (r12) removed per-hit serialization; whatever
-    // remains on the wire path is transfer + client decode.
+    // remains on the wire path is transfer + client decode. Runs AFTER
+    // both measured phases: the in-process api calls touch the byte
+    // memos, which must not perturb the measured mix.
     if (mode == "http") {
       val sizes = reqs.zip(csvMask).map { case (r, csv) =>
         if (csv) api.tableCsv(r).length else api.usageJson(r).length }
@@ -179,15 +186,9 @@ object ServeLatency {
         val t0 = System.nanoTime()
         if (csv) api.tableCsv(r) else api.usageJson(r)
         (System.nanoTime() - t0) / 1e6 }
-      def pct0(xs: Seq[Double], p: Double): Double = {
-        val s = xs.sorted; s(math.min(s.size - 1, (p * s.size).toInt)) }
-      println(f"""{"stage":"serve_memo_inproc","p50_ms":${pct0(inproc, 0.5)}%.2f,"p95_ms":${pct0(inproc, 0.95)}%.2f,"median_resp_kb":${sizes.sorted.apply(sizes.size / 2) / 1024},"max_resp_kb":${sizes.max / 1024}}""")
+      println(f"""{"stage":"serve_memo_inproc","p50_ms":${pct(inproc, 0.5)}%.2f,"p95_ms":${pct(inproc, 0.95)}%.2f,"median_resp_kb":${sizes.sorted.apply(sizes.size / 2) / 1024},"max_resp_kb":${sizes.max / 1024}}""")
     }
 
-    def pct(xs: Seq[Double], p: Double): Double = {
-      val s = xs.sorted
-      s(math.min(s.size - 1, (p * s.size).toInt))
-    }
     def emit(phase: String, lat: Seq[Double]): Unit =
       println(f"""{"stage":"serve_$phase","requests":${lat.size},"p50_ms":${pct(lat, 0.50)}%.1f,"p95_ms":${pct(lat, 0.95)}%.1f,"max_ms":${lat.max}%.1f}""")
     emit("cold", cold.map(_._2))

@@ -454,7 +454,16 @@ object Dedup {
     * EDGES should generate them through the banded route
     * ([[lshDupGroups]], O(nBands·N)); the guard names it instead of
     * launching the exchange. Left at −1 the operator runs unbounded
-    * (the gate/oracle shape, where the exact pair list is the spec). */
+    * (the gate/oracle shape, where the exact pair list is the spec).
+    *
+    * NOTE: enabling the guard (and the `"auto"` strategy) runs an
+    * EAGER narrow aggregation over `docs`' block columns at CALL time
+    * — a deliberate departure from the otherwise-lazy contract (the
+    * bound must exist before the plan is chosen). The pre-pass scans
+    * block columns only (column-pruned at a columnar source) and is
+    * computed ONCE, shared between the guard and the auto dispatch;
+    * callers invoking this repeatedly over an uncached non-columnar
+    * source should cache `docs` first. */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String],
       n: Int, threshold: Double, strategy: String = "auto",
       pin: DataFrame => Unit = OperatorCaches.register,
@@ -464,11 +473,15 @@ object Dedup {
     // hashing runs in the projection BEFORE the join exchange — on a
     // single-partition input both join sides would hash on one core
     require(threshold > 0.0, "prefix filter requires threshold > 0")
+    // one narrow block-col scan serves BOTH the guard and the auto
+    // dispatch (they need the same Σ_b n_b² statistic); lazy so the
+    // forced-strategy unguarded paths stay zero-pre-pass
+    lazy val blockPairBound: Long = docs
+      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
+      .agg(coalesce(sum(col("nb") * col("nb")), lit(0L)).cast("long"))
+      .head.getLong(0)
     if (maxCandidatePairs > 0L) {
-      val bound = docs
-        .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
-        .agg(coalesce(sum(col("nb") * col("nb")), lit(0L)).cast("long"))
-        .head.getLong(0)
+      val bound = blockPairBound
       if (bound > maxCandidatePairs) {
         Parallelism.logDispatch("ngramJaccardPairs",
           s"candidatePairBound=$bound > maxCandidatePairs=" +
@@ -498,9 +511,7 @@ object Dedup {
         // flat at sf0.1/sf1); above it the join's sort-merge over
         // wide shingle rows dominates (sf10: 233 s join vs 106 s
         // tiled) and the kernel's in-merge early-exit pays.
-        val allPairsCands = docs
-          .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
-          .agg(sum(col("nb") * col("nb"))).head.getLong(0)
+        val allPairsCands = blockPairBound
         if (allPairsCands <= 2e8.toLong) {
           Parallelism.logDispatch("ngramJaccardPairs",
             s"cands=$allPairsCands -> allpairs")

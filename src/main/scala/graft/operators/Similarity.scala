@@ -398,13 +398,25 @@ object Similarity {
     * `residual = true` dispatches to the residual search (codebooks
     * must then be the residual flavor). AdcIndexSpec pins the plan
     * shape: pruned bucket count + zero Exchange on the index side. */
-  def ivfAdcSearchPruned(q: DataFrame, index: DataFrame,
+  def ivfAdcSearchPruned(q0: DataFrame, index: DataFrame,
       centroids: Seq[(Int, Seq[Double])],
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int,
       nProbe: Int, k: Int, rerank: Int = 0,
       rawVectors: Option[DataFrame] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     import graft.functions.HashExpressions
+    // The query rel is evaluated twice — driver-side for the probe-cell
+    // predicate, then inside the dispatched search. Cache it so both
+    // read ONE materialization: a non-deterministic q (a sampled query
+    // batch, a source mutating between the two evaluations) would
+    // otherwise push a predicate that excludes cells the search probes,
+    // silently dropping valid neighbors. The driver-side collect below
+    // is the first action, so the cache is fully populated before the
+    // search plan is scheduled (no concurrent-miss race); lifecycle via
+    // `pin` as everywhere else.
+    val q = q0.cache()
+    pin(q)
     val cells = q
       .select(explode(transform(
         HashExpressions.nearestCells(col("embedding"), centroids,

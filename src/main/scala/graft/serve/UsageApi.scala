@@ -84,15 +84,22 @@ final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
     .sortWithinPartitions("cluster", "user", "time")
   fact.cache()
 
-  private val memo = TrieMap.empty[UsageRequest, UsageResponse]
-  // rendered-response memos: for a memoized request the response BYTES
-  // are deterministic, and re-serializing thousands of (tick, value)
-  // points per hit measured ~44 ms of the memoized HTTP path's latency
-  // (STRESS r11) — so the rendered UTF-8 is cached alongside the
-  // response, same TrieMap lifecycle (cleared / refreshed by the same
-  // invalidate() the response memo follows)
-  private val usageBytes = TrieMap.empty[UsageRequest, Array[Byte]]
-  private val tableBytes = TrieMap.empty[UsageRequest, Array[Byte]]
+  // One memo entry carries the response AND its rendered byte forms
+  // (lazy — rendered only for the routes that serve this shape, and
+  // re-serializing thousands of (tick, value) points per hit measured
+  // ~44 ms of the memoized HTTP path's latency, STRESS r11). Bytes
+  // living INSIDE the entry is load-bearing for the swr mode: with
+  // separate response/byte maps, a first-time byte render racing the
+  // refresher's swap could pair stale bytes with a newer response and
+  // serve them until the NEXT invalidate (the refresher's
+  // contains-check ran before the insert). Here a refresh swaps the
+  // whole entry, so bytes are always derived from the response they
+  // are served with.
+  private final class Entry(req: UsageRequest, val resp: UsageResponse) {
+    lazy val json: Array[Byte] = renderUsage(resp)
+    lazy val csv: Array[Byte] = renderTable(req, resp)
+  }
+  private val memo = TrieMap.empty[UsageRequest, Entry]
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.DefaultFormats
   // per-cluster time bounds are request-invariant between ingests —
@@ -128,7 +135,7 @@ final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
     fact.unpersist()
     fact.cache()
     if (refreshMode == "clear") {
-      memo.clear(); usageBytes.clear(); tableBytes.clear()
+      memo.clear()
       boundsMemo.clear()
       return
     }
@@ -142,21 +149,16 @@ final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
         }
         staleReqs.foreach { r =>
           try {
-            val resp = compute(r)
-            memo.update(r, resp)
-            // swap the rendered forms the server has served for this
-            // shape, so a byte-memo hit never outlives its response
-            if (usageBytes.contains(r))
-              usageBytes.update(r, renderUsage(resp))
-            if (tableBytes.contains(r))
-              tableBytes.update(r, renderTable(r, resp))
+            // swapping the ENTRY swaps response and rendered forms
+            // atomically — a byte-memo hit never outlives its response
+            memo.update(r, new Entry(r, compute(r)))
           } catch {
             // a request that no longer computes (e.g. its cluster
             // vanished from the new fact) must not wedge the refresh
             // of the others — drop it; the next live request recomputes
             // and surfaces the error to its caller
             case scala.util.control.NonFatal(_) =>
-              memo.remove(r); usageBytes.remove(r); tableBytes.remove(r)
+              memo.remove(r)
           }
         }
       }
@@ -177,9 +179,11 @@ final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
   def clusters(): Seq[String] = UsageQueries.clusters(fact)
   def users(cluster: String): Seq[String] = UsageQueries.users(fact, cluster)
 
+  private def entry(req: UsageRequest): Entry =
+    memo.getOrElseUpdate(req, new Entry(req, compute(req)))
+
   /** `POST /api/usage` (`app.rb:44-106`). */
-  def usage(req: UsageRequest): UsageResponse =
-    memo.getOrElseUpdate(req, compute(req))
+  def usage(req: UsageRequest): UsageResponse = entry(req).resp
 
   private def renderUsage(resp: UsageResponse): Array[Byte] =
     org.json4s.jackson.Serialization.write(resp)
@@ -194,13 +198,11 @@ final class UsageApi(fact0: DataFrame, refreshMode: String = "clear")(
     * re-serializes a repeat dashboard hit (the ~44 ms/hit json4s cost
     * STRESS r11 measured on the hottest path). Lifecycle follows
     * [[invalidate]] exactly. */
-  def usageJson(req: UsageRequest): Array[Byte] =
-    usageBytes.getOrElseUpdate(req, renderUsage(usage(req)))
+  def usageJson(req: UsageRequest): Array[Byte] = entry(req).json
 
   /** The `/api/table` response as rendered UTF-8 CSV, memoized (same
     * contract as [[usageJson]]). */
-  def tableCsv(req: UsageRequest): Array[Byte] =
-    tableBytes.getOrElseUpdate(req, renderTable(req, usage(req)))
+  def tableCsv(req: UsageRequest): Array[Byte] = entry(req).csv
 
   private def compute(req: UsageRequest): UsageResponse = {
       val qt = QueryType.All.getOrElse(req.queryType,
