@@ -97,6 +97,13 @@ object ServeQueries {
   private def q93(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentAudioFrames(s, d)
 
+  /** Frame-level AUDIO near-dup — the q92 composition over the q93
+    * codec-true audio fixtures, proving the frame-set Jaccard join is
+    * media-agnostic — see
+    * [[graft.operators.Multimodal.documentAudioNearDups]]. */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentAudioNearDups(s, d, tau = 0.4)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -181,7 +188,8 @@ object ServeQueries {
     "q89_mjpeg_frames" -> (q89 _),
     "q90_mp4_frames"   -> (q90 _),
     "q92_video_neardup" -> (q92 _),
-    "q93_audio_frames" -> (q93 _))
+    "q93_audio_frames" -> (q93 _),
+    "q94_audio_neardup" -> (q94 _))
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -326,6 +334,50 @@ object ServeQueries {
         |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
         |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
         |         || [255,217]::BIGINT[]),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM s
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, h FROM fh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |       CAST(p.shared AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.shared AS DOUBLE) /
+        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
+    "q94_audio_neardup" ->
+      // Frame hashes by the q93 fixture arithmetic — per-parity fold
+      // (even ids: the 288-byte MP3 frame [FF FB 74 00]+chunk+268·00,
+      // odd: the 23-byte ADTS frame header+chunk) at stride 1 — then
+      // the SAME inverted-index Jaccard join as q92. Cross-parity
+      // family members share no frame bytes (different containers), so
+      // pairs form within a container only; the Spark side must walk
+      // real sync words AND reproduce the set join to hash-match.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+        |  FROM f
+        |), fh AS (
+        |  SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         (CASE WHEN doc_id % 2 = 0
+        |               THEN [255,251,116,0]::BIGINT[]
+        |               ELSE [255,241,76,128,2,255,252]::BIGINT[] END)
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || (CASE WHEN doc_id % 2 = 0
+        |                  THEN list_transform(range(0, 268), x -> CAST(0 AS BIGINT))
+        |                  ELSE []::BIGINT[] END)),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
         |  FROM s
         |), sets AS (

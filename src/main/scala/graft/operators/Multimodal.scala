@@ -327,18 +327,87 @@ object Multimodal {
     * stop-frame cut, the standard fix for boilerplate blowup); the
     * dropped hashes still count in each video's set size, so Jaccard
     * stays a lower bound — dropping a shared frame can only lower
-    * similarity, never create a false pair. Output:
-    * (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
+    * similarity, never create a false pair.
+    *
+    * `maxCandidatePairs` (>0 to enable) is the MEASURED guard the rest
+    * of the pair-generator family has ([[Dedup.lshPairBound]] /
+    * `ngramJaccardPairs.maxCandidatePairs`): one narrow aggregation
+    * over the distinct (hash, doc) rel computes the candidate volume
+    * Σ_h n_h·(n_h−1)/2, and when it exceeds the budget the operator
+    * AUTO-DERIVES the largest stop-frame cut whose residual volume
+    * fits (per-n_h histogram, driver-small) — safe to apply silently
+    * precisely because of the lower-bound contract above. The guard
+    * also caches the distinct rel (it is read by the statistic, the
+    * sizes agg and both join sides — recomputing a container walk 4×
+    * is the real cost at scale; lifecycle via `pin`). If even
+    * n_h = 2 hashes blow the budget the operator refuses, naming the
+    * budget — that mass is genuine pairwise duplication, and cutting
+    * it would return an empty (vacuous) result. Enabling the guard
+    * runs the statistic EAGERLY at call time (the plan depends on it).
+    * Output: (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
   def videoNearDupPairs(frames: DataFrame, tau: Double,
-      maxPostings: Int = 0): DataFrame = {
-    val sets = frames.select(col("doc_id"), col("frame_phash")).distinct()
+      maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    val sets0 = frames.select(col("doc_id"), col("frame_phash")).distinct()
+    val sets =
+      if (maxCandidatePairs > 0L) { val c = sets0.cache(); pin(c); c }
+      else sets0
+    val cut: Int =
+      if (maxCandidatePairs <= 0L) maxPostings
+      else {
+        // per-hash posting counts → (n_h, how many hashes) histogram;
+        // distinct n_h values are ≤ O(√Σ postings) — driver-small
+        val hist = sets.groupBy("frame_phash").agg(count(lit(1)).as("nv"))
+          .groupBy("nv").agg(count(lit(1)).as("nh"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        def pairsAtMost(p: Long): Long = hist.iterator
+          .takeWhile(_._1 <= p)
+          .foldLeft(0L) { case (acc, (nv, nh)) =>
+            val perHash = nv * (nv - 1) / 2
+            val add =
+              if (perHash > 0 && nh > Long.MaxValue / perHash) Long.MaxValue
+              else perHash * nh
+            if (acc > Long.MaxValue - add) Long.MaxValue else acc + add
+          }
+        val maxNv = hist.lastOption.map(_._1).getOrElse(0L)
+        val bound = pairsAtMost(maxNv)
+        if (bound <= maxCandidatePairs) {
+          Parallelism.logDispatch("videoNearDupPairs",
+            s"postingsPairBound=$bound <= budget=$maxCandidatePairs -> ok" +
+              (if (maxPostings > 0) s" (caller cut maxPostings=$maxPostings)"
+               else ""))
+          maxPostings
+        } else {
+          // largest p whose residual candidate volume fits the budget,
+          // respecting a caller-supplied tighter cut
+          val fits = hist.map(_._1)
+            .filter(p => pairsAtMost(p) <= maxCandidatePairs)
+          val derived = fits.lastOption.getOrElse(1L)
+          if (derived < 2L)
+            throw new IllegalStateException(
+              s"videoNearDupPairs: candidate volume ≈ $bound exceeds " +
+                s"maxCandidatePairs=$maxCandidatePairs even after cutting " +
+                "every hash shared by >2 videos — the residual mass is " +
+                "genuine pairwise duplication, not boilerplate; raise the " +
+                "budget or pre-partition the corpus.")
+          val p = if (maxPostings > 0) math.min(maxPostings.toLong, derived)
+                  else derived
+          Parallelism.logDispatch("videoNearDupPairs",
+            s"postingsPairBound=$bound > budget=$maxCandidatePairs -> " +
+              s"auto stop-frame cut maxPostings=$p (residual bound " +
+              s"${pairsAtMost(p)}; dropped hashes still count in set " +
+              "sizes, jaccard stays a lower bound)")
+          p.toInt
+        }
+      }
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val postings =
-      if (maxPostings <= 0) sets
+      if (cut <= 0) sets
       else {
         val keep = sets.groupBy("frame_phash")
           .agg(count(lit(1)).as("nv"))
-          .filter(col("nv") <= maxPostings)
+          .filter(col("nv") <= cut)
           .select("frame_phash")
         sets.join(keep, "frame_phash")
       }
@@ -355,6 +424,50 @@ object Multimodal {
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "shared", "jaccard")
+  }
+
+  /** Per-audio frame-hash rows for near-dup detection — the audio leg
+    * of [[videoFramePHashes]] (the composition [[AudioHeaders]]'s
+    * frame walk exists to feed): codec-true frame units (MP3 11-bit
+    * sync walk / ADTS 13-bit length walk; fixed-size fallback) hashed
+    * by [[perceptualFrameHash]] (byte-fold tier for audio payloads —
+    * exact frame-byte identity, which catches re-muxed/re-chunked
+    * duplicates; the pixel tier never fires on audio frames, but the
+    * shared hash keeps the downstream join media-agnostic). Output:
+    * (doc_id, frame_idx, frame_phash) — directly consumable by
+    * [[videoNearDupPairs]], whose set-Jaccard join does not care what
+    * the frames were. Same plumbing contract: binary never shuffles,
+    * only the slim hash rows flow downstream. */
+  def audioFramePHashes(media: DataFrame, stride: Int,
+      fallbackFrameBytes: Int = 16)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(stride > 0 && fallbackFrameBytes > 0, "positive stride / frame size")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val frames =
+            if (AudioHeaders.looksLikeAdts(bytes))
+              AudioHeaders.scanAdtsFrames(bytes)
+            else if (AudioHeaders.looksLikeMpegAudio(bytes))
+              AudioHeaders.scanMpegFrames(bytes)
+            else Nil
+          val resolved =
+            if (frames.nonEmpty) frames
+            else {
+              val n = bytes.length / fallbackFrameBytes
+              (0 until n).map(f => AudioHeaders.AudioFrame(f.toLong,
+                f.toLong * fallbackFrameBytes, fallbackFrameBytes.toLong, 0, 0))
+            }
+          resolved.iterator.filter(_.idx % stride == 0).map { fr =>
+            val slice = java.util.Arrays.copyOfRange(bytes,
+              fr.off.toInt, (fr.off + fr.len).toInt)
+            (id, fr.idx, perceptualFrameHash(slice))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_phash")
   }
 
   /** One codec-true audio frame ([[AudioHeaders.scanMpegFrames]] /
@@ -468,6 +581,38 @@ object Multimodal {
       }
       .toDF("doc_id", "media")
     videoNearDupPairs(videoFramePHashes(media, stride = 1), tau)
+  }
+
+  /** Demo pipeline (q94): frame-level AUDIO near-dup end-to-end — the
+    * q92 composition with audio containers, proving the set-Jaccard
+    * join is media-agnostic. Each document becomes a codec-true audio
+    * stream of its 16-byte text chunks (even doc_ids MP3, odd ADTS —
+    * the q93 fixtures at constant headers, so frame identity depends
+    * on chunk content + container alone); every frame is hashed
+    * ([[audioFramePHashes]], byte-fold tier) and docs pair on
+    * frame-set Jaccard ≥ `tau` via [[videoNearDupPairs]]. Near-dup
+    * families sharing a container emit pairs; cross-container members
+    * of a family do NOT (identical chunks wrap into different frame
+    * bytes) — the contract a mixed-media corpus actually wants, and
+    * the oracle reproduces it arithmetically (per-parity fold). */
+  def documentAudioNearDups(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        val payload =
+          if (id % 2 == 0) AudioHeaders.mp3Fixture(chunks)
+          else AudioHeaders.adtsFixture(chunks)
+        (id, payload)
+      }
+      .toDF("doc_id", "media")
+    videoNearDupPairs(audioFramePHashes(media, stride = 1), tau)
   }
 
   /** Decoded-content statistics for one image blob ([[PixelDecode]]

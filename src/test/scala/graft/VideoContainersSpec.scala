@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, VideoContainers}
+import graft.operators.{AudioHeaders, Multimodal, VideoContainers}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -274,5 +274,75 @@ class VideoContainersSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     // set sizes keep the dropped hash: jaccard 2/(3+3-2), not 2/(2+2-2)
     assert(pairs.head._3 == 0.5)
+  }
+
+  test("videoNearDupPairs: maxCandidatePairs auto-derives the stop-frame cut") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 37 + i * 5) % 120 + 1).toByte)
+    val boiler = chunk(0) // shared by ALL videos -> n_h = 12
+    // 6 exact-duplicate pairs (2k+1, 2k+2 carry identical frames) +
+    // the boilerplate frame across all 12: boiler alone contributes
+    // 12·11/2 = 66 candidates, the 12 dup hashes 1 each
+    val media = (0 until 6).flatMap { k =>
+      val fr = Seq(boiler, chunk(k + 1), chunk(k + 50))
+      Seq((2L * k + 1, VideoContainers.mjpegFixture(8, fr)),
+          (2L * k + 2, VideoContainers.mjpegFixture(8, fr)))
+    }.toDF("doc_id", "media")
+    val frames = Multimodal.videoFramePHashes(media, stride = 1).cache()
+    val expected = Multimodal
+      .videoNearDupPairs(frames, tau = 0.5, maxPostings = 2)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(expected.map(p => (p._1, p._2)) ==
+      (0 until 6).map(k => (2L * k + 1, 2L * k + 2)).toSet)
+    // budget 30 < 78 total candidates -> the guard must cut the
+    // boilerplate hash (n_h=12) but keep the dup hashes (n_h=2):
+    // residual volume = 12, largest fitting cut p = 2
+    val guarded = Multimodal
+      .videoNearDupPairs(frames, tau = 0.5, maxCandidatePairs = 30L)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(guarded == expected) // auto cut ≡ the explicit stop-frame cut
+    // within budget -> no cut: boiler-inflated jaccard pairs everything
+    val unguarded = Multimodal
+      .videoNearDupPairs(frames, tau = 0.5, maxCandidatePairs = 1000L)
+      .count()
+    assert(unguarded ==
+      Multimodal.videoNearDupPairs(frames, tau = 0.5).count())
+    // a budget below even the n_h=2 mass refuses, naming the cause
+    val ex = intercept[IllegalStateException] {
+      Multimodal.videoNearDupPairs(frames, tau = 0.5,
+        maxCandidatePairs = 3L).count()
+    }
+    assert(ex.getMessage.contains("genuine pairwise duplication"))
+    frames.unpersist()
+  }
+
+  test("audioFramePHashes feeds videoNearDupPairs: re-chunked audio dup caught, cross-container not") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 41 + i * 11) % 120 + 1).toByte)
+    val shared = Seq(chunk(1), chunk(2), chunk(3))
+    // B prepends a frame: every shared MP3 frame shifts to a different
+    // byte offset — per-frame hashing still pairs A~B. C carries the
+    // SAME chunks as A but as ADTS: different frame bytes, no pair
+    // (the documented cross-container contract). D is unrelated MP3.
+    val media = Seq(
+      (1L, AudioHeaders.mp3Fixture(shared)),
+      (2L, AudioHeaders.mp3Fixture(chunk(9) +: shared)),
+      (3L, AudioHeaders.adtsFixture(shared)),
+      (4L, AudioHeaders.mp3Fixture(Seq(chunk(4), chunk(5), chunk(6))))
+    ).toDF("doc_id", "media")
+    val frames = Multimodal.audioFramePHashes(media, stride = 1)
+    val pairs = Multimodal.videoNearDupPairs(frames, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // jaccard 3/4; C,D unrelated
+    // frame units are codec-true: MP3 frames are 288 bytes apart
+    val offs = Multimodal.sampleAudioFrames(media.filter($"doc_id" === 1L),
+      stride = 1).select("byte_off").as[Long].collect().sorted
+    assert(offs.toSeq == Seq(0L, 288L, 576L))
   }
 }
