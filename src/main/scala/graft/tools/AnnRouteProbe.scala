@@ -12,7 +12,20 @@ import org.apache.spark.sql.functions._
   * clustered corpus is the catastrophic case — request it explicitly
   * (`engines=lsh`) only at scales you can afford.
   *
-  * Usage: sbt "runMain graft.tools.AnnRouteProbe <sfDir> [k] [engines]"
+  * `recallQueries` > 0 adds the QUALITY row the cost A/B lacks: a
+  * deterministic sample of queries gets an exact cosine top-k
+  * (brute force: broadcast sample × one corpus scan — Q·n dots, cheap
+  * next to any engine), and each engine's output is scored
+  * recall@k = |engine ∩ exact| / (Q·k) over the sample. This is what
+  * proves auto is quality-parity at the routing boundary, not just
+  * cost-parity.
+  *
+  * `repeat` > 1 re-runs each engine; with the session QuantizerMemo
+  * the second routed run must cost ≈ search only (the fit memoized —
+  * VERDICT r12 item 2's A/B row).
+  *
+  * Usage: sbt "runMain graft.tools.AnnRouteProbe <sfDir> [k] [engines]
+  *             [recallQueries] [repeat]"
   *   engines: comma list of auto|lsh|ivfadc (default "auto,ivfadc")
   */
 object AnnRouteProbe {
@@ -21,6 +34,8 @@ object AnnRouteProbe {
     val k = if (args.length > 1) args(1).toInt else 3
     val engines = (if (args.length > 2) args(2) else "auto,ivfadc")
       .split(',').map(_.trim).filter(_.nonEmpty)
+    val recallQueries = if (args.length > 3) args(3).toInt else 0
+    val repeat = if (args.length > 4) args(4).toInt else 1
     val spark = graft.GraftSession.create("ann-route-probe")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
@@ -32,18 +47,45 @@ object AnnRouteProbe {
     // the same thing internally on the auto path)
     val planes = Similarity.autoPlanes(n, 4)
     val budget = 4096L * n
-    println(f"""{"stage":"config","dir":"$dir","n":$n,"nPlanes":$planes,"budget":$budget}""")
+    println(f"""{"stage":"config","dir":"$dir","n":$n,"nPlanes":$planes,"budget":$budget,"recallQueries":$recallQueries,"repeat":$repeat}""")
+
+    // deterministic spread sample + its exact cosine top-k, computed
+    // ONCE and shared across engines (the scoring reference)
+    val exact =
+      if (recallQueries <= 0) None
+      else {
+        val step = math.max(n / recallQueries, 1L)
+        val q = emb.filter(col("vec_id") % step === 0)
+          .orderBy("vec_id").limit(recallQueries).cache()
+        val nq = q.count()
+        val t0 = System.nanoTime()
+        val ex = Similarity.bruteForceTopK(q, emb, k)
+          .select("query_id", "neighbor_id").cache()
+        val exRows = ex.count()
+        println(f"""{"stage":"exact","queries":$nq,"rows":$exRows,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        Some((q, ex, nq))
+      }
 
     engines.foreach { eng =>
-      val t0 = System.nanoTime()
-      val out = Similarity.lshTopKAuto(emb, dim = 64, nBands = 4, k = k,
-        annMode = eng)
-      val rows = out.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"stage":"engine","mode":"$eng","rows":$rows,"sec":$sec%.2f}""")
-      // free operator caches between engines so runs don't subsidize
-      // each other
-      graft.operators.OperatorCaches.releaseAll()
+      (1 to repeat).foreach { run =>
+        val t0 = System.nanoTime()
+        val out = Similarity.lshTopKAuto(emb, dim = 64, nBands = 4, k = k,
+          annMode = eng)
+        val rows = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recallField = exact.map { case (q, ex, nq) =>
+          val hits = out
+            .join(q.select(col("vec_id").as("query_id")), "query_id")
+            .join(ex, Seq("query_id", "neighbor_id"))
+            .count()
+          f""","recall@$k":${hits.toDouble / (nq * k)}%.3f"""
+        }.getOrElse("")
+        println(f"""{"stage":"engine","mode":"$eng","run":$run,"rows":$rows,"sec":$sec%.2f$recallField}""")
+        // free operator caches between engines so runs don't subsidize
+        // each other (the QuantizerMemo deliberately survives — that
+        // reuse is what the repeat runs measure)
+        graft.operators.OperatorCaches.releaseAll()
+      }
     }
     spark.stop()
   }

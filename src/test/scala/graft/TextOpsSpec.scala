@@ -347,6 +347,42 @@ class TextOpsSpec extends AnyFunSuite {
     pinned.foreach(_.unpersist())
   }
 
+  test("QuantizerMemo: same fingerprint ⇒ no new fit job; different corpus refits") {
+    import graft.operators.{IvfCentroids, QuantizerMemo}
+    QuantizerMemo.clear()
+    // unit: one compute per key, hits served from the memo
+    var computes = 0
+    val a = QuantizerMemo.getOrCompute("k1") { computes += 1; Seq(1) }
+    val b = QuantizerMemo.getOrCompute("k1") { computes += 1; Seq(2) }
+    assert(computes == 1 && (a eq b))
+    assert(QuantizerMemo.getOrCompute("k2") { computes += 1; Seq(3) } == Seq(3))
+    assert(computes == 2)
+    QuantizerMemo.clear()
+    // integration on the routed path's dominant cost: a >50k corpus
+    // sends forCorpus to the in-query fit tier; the SECOND call over
+    // the same corpus must be a memo hit (fingerprint job only, no
+    // k-means), and a content-different corpus of the same size must
+    // MISS (the staleness discipline artifacts get, in-session form)
+    val emb = spark.range(0, 50001)
+      .selectExpr("id as vec_id",
+        "array(cast(id % 97 as double), cast(id % 89 as double)) as embedding")
+      .cache()
+    emb.count()
+    val m0 = QuantizerMemo.misses
+    val c1 = IvfCentroids.forCorpus(emb)
+    assert(QuantizerMemo.misses == m0 + 1)
+    val c2 = IvfCentroids.forCorpus(emb)
+    assert(QuantizerMemo.misses == m0 + 1) // hit: no new fit
+    assert(c1 eq c2) // the identical fitted table, not a re-fit
+    val emb2 = spark.range(0, 50001)
+      .selectExpr("id as vec_id",
+        "array(cast(id % 101 as double), cast(id % 89 as double)) as embedding")
+    IvfCentroids.forCorpus(emb2)
+    assert(QuantizerMemo.misses == m0 + 2) // new content -> refit
+    emb.unpersist()
+    QuantizerMemo.clear()
+  }
+
   test("quantizer artifact lifecycle: fingerprint staleness check") {
     import graft.operators.IvfCentroids
     val dir = java.nio.file.Files.createTempDirectory("ivf_art").toString
