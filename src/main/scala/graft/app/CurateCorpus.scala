@@ -70,8 +70,8 @@ object CurateCorpus {
       fastGrams: Boolean = false,
       dedupMode: String = "auto")(
       implicit spark: SparkSession): StageCounts = {
-    require(Set("pairs", "groups", "auto")(dedupMode),
-      s"dedupMode must be pairs|groups|auto, got $dedupMode")
+    require(Set("pairs", "groups", "auto", "jaccard")(dedupMode),
+      s"dedupMode must be pairs|groups|auto|jaccard, got $dedupMode")
     // Each stage output is pinned and materialized by its count —
     // without the persist, every downstream stage (and the final
     // write) re-executes the whole upstream chain, making the
@@ -142,7 +142,23 @@ object CurateCorpus {
         case m => m
       }
       val (near, nNear) =
-        if (dedupChosen == "groups") {
+        if (dedupChosen == "jaccard") {
+          // the exact blocked n-gram jaccard EDGE family instead of
+          // minhash pairs — routed by the same measured-statistic
+          // discipline ([[Dedup.jaccardEdgesAuto]]: exact block pairs
+          // within budget, banded star edges beyond — the r12 sf100
+          // refusal turned into a route), then transitive labeling
+          // keeps each component's min-id member (the "groups"
+          // survivor contract)
+          val edges = Dedup.jaccardEdgesAuto(exact, Seq("lang", "source"),
+            n = 3, threshold = 0.6, pin = pinned += _)
+          val comp = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+          val survivors = exact.select("doc_id")
+            .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+            .filter(col("component").isNull || col("doc_id") === col("component"))
+            .select("doc_id")
+          stage(exact.join(survivors, "doc_id"))
+        } else if (dedupChosen == "groups") {
           val survivors = Dedup.lshDupGroups(exact, 0.6, pinned += _)
             .filter(col("doc_id") === col("canonical_id"))
             .select("doc_id")
@@ -229,9 +245,11 @@ object CurateCorpus {
       case Some(v) => v != "0"
       case None    => ver != "1"
     }
-    // SPARK_GRAFT_DEDUP=pairs|groups|auto (default auto): force the
-    // near-dup survivor strategy; auto routes on the measured
-    // candidate-pair bound (see run()'s stage-3 comment)
+    // SPARK_GRAFT_DEDUP=pairs|groups|auto|jaccard (default auto):
+    // force the near-dup survivor strategy; auto routes on the
+    // measured candidate-pair bound (see run()'s stage-3 comment);
+    // jaccard switches to the exact blocked n-gram edge family,
+    // itself auto-routed to banded star edges past its block bound
     val dedup = sys.env.getOrElse("SPARK_GRAFT_DEDUP", "auto")
     val counts = run(docs, probes, args(1), fastGrams = fast,
       dedupMode = dedup)

@@ -389,20 +389,7 @@ object Dedup {
   def lshDupGroups(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     val bandRel = minHashBandRel(docs, pin)
-    val reps = bandRel.groupBy("band_idx", "band_hash")
-      .agg(min("doc_id").as("rep"))
-    val cand = bandRel.select("band_idx", "band_hash", "doc_id")
-      .join(reps, Seq("band_idx", "band_hash"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
-      .distinct()
-    val sigs = bandRel.select("doc_id", "hs").dropDuplicates("doc_id")
-    val edges = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .filter(HashExpressions.sortedJaccard(col("hs_a"), col("hs_b"))
-        >= threshold)
-      .select("doc_a", "doc_b")
+    val edges = lshStarEdgesFrom(bandRel, threshold)
     val comp = connectedComponents(edges, "doc_a", "doc_b")
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
@@ -412,6 +399,73 @@ object Dedup {
       .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
       .na.fill(1L, Seq("cluster_size"))
       .select("doc_id", "canonical_id", "cluster_size")
+  }
+
+  /** The verified star-edge stage of [[lshDupGroups]], exposed for
+    * callers that feed edges into their OWN labeling (the q48 shape:
+    * union with exact-dup edges, then connected components): per
+    * minhash band bucket, members connect to the bucket's min doc_id
+    * (≤ nBands·N edges regardless of skew), verified with exact
+    * jaccard on the distinct shingle-hash sets. Output: (doc_a, doc_b)
+    * directed high→low id. */
+  def lshStarEdges(docs: DataFrame, threshold: Double,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
+    lshStarEdgesFrom(minHashBandRel(docs, pin), threshold)
+
+  private def lshStarEdgesFrom(bandRel: DataFrame,
+      threshold: Double): DataFrame = {
+    val reps = bandRel.groupBy("band_idx", "band_hash")
+      .agg(min("doc_id").as("rep"))
+    val cand = bandRel.select("band_idx", "band_hash", "doc_id")
+      .join(reps, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("doc_a"), col("rep").as("doc_b"))
+      .distinct()
+    val sigs = bandRel.select("doc_id", "hs").dropDuplicates("doc_id")
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .filter(HashExpressions.sortedJaccard(col("hs_a"), col("hs_b"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Near-dup EDGES for transitive labeling, ROUTED — the q48-class
+    * caller surface ([[ngramJaccardPairs]]'s refusal turned into a
+    * route): one narrow block-col scan measures the coarse-block
+    * all-pairs candidate volume Σ_b n_b², and
+    *  - within `budgetPerDoc`·N (floor 10⁶ — the CurateCorpus auto
+    *    convention): the EXACT blocked n-gram jaccard pair list,
+    *  - beyond it: the banded star-edge generator ([[lshStarEdges]],
+    *    ≤ nBands·N edges by construction) — the linear route the
+    *    refusal message names, taken automatically.
+    * The two edge sets differ (exact block pairs vs verified bucket
+    * star edges — member↔member edges inside a family are skipped on
+    * the routed path), but their TRANSITIVE CLOSURE agrees on
+    * mutually-similar duplicate families, which is what a labeling /
+    * survivor caller consumes — the documented [[lshDupGroups]] trade.
+    * `threshold` applies to the exact path's char-n-gram jaccard and
+    * the routed path's shingle-set jaccard verify. Block sizes grow
+    * ∝ N under coarse block columns, so a skewed 100 TB corpus routes
+    * itself off the quadratic edge generator instead of dying in the
+    * exchange (the r12 sf100 DNF, measured: 3.2×10¹¹ candidates at
+    * 5 M docs). Eager pre-pass contract as [[ngramJaccardPairs]]. */
+  def jaccardEdgesAuto(docs: DataFrame, blockCols: Seq[String],
+      n: Int, threshold: Double, budgetPerDoc: Long = 256L,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    val stats = docs
+      .groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("nb"))
+      .agg(coalesce(sum(col("nb") * col("nb")), lit(0L)).cast("long"),
+        coalesce(sum(col("nb")), lit(0L)).cast("long"))
+      .head
+    val (bound, nDocs) = (stats.getLong(0), stats.getLong(1))
+    val budget = math.max(budgetPerDoc * nDocs, 1000000L)
+    val pick = if (bound > budget) "starEdges" else "exactPairs"
+    Parallelism.logDispatch("jaccardEdgesAuto",
+      s"blockCandidateBound=$bound budget=$budget -> $pick")
+    if (pick == "starEdges") lshStarEdges(docs, threshold, pin)
+    else ngramJaccardPairs(docs, blockCols, n, threshold, pin = pin)
+      .select("doc_a", "doc_b")
   }
 
   /** N-gram (character 3-shingle) jaccard near-dup pairs inside

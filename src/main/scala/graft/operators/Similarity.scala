@@ -386,6 +386,34 @@ object Similarity {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Compact a persisted bucketed ADC index with its accumulated
+    * increments — the maintenance path [[writeAdcIndexBucketed]]'s
+    * scaladoc promises: increments ([[appendAdcIndex]] /
+    * [[appendResidualAdcIndex]] output, or any (vec_id, cell, codes)
+    * rel) are unioned onto the base table and the result re-bucketed
+    * into `outTable`. Per window this restores the two properties the
+    * bucketed layout buys (probe-cell bucket pruning at the scan, zero
+    * exchange on the index side of the probe join) that a read-time
+    * union of unbucketed increment files progressively erodes.
+    *
+    * `outTable` must differ from `baseTable`: the compaction READS the
+    * base while writing, and the warehouse pattern is version-suffixed
+    * tables swapped by rename/view-repoint once the write commits (an
+    * in-place overwrite of a table being scanned is the classic
+    * self-read corruption). Row identity and pruned-search parity with
+    * the pre-compaction (base + increment) view are spec-pinned in
+    * AdcIndexSpec. */
+  def compactAdcIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String, increments: DataFrame, outTable: String,
+      buckets: Int, path: Option[String] = None): Unit = {
+    require(outTable != baseTable,
+      "compact into a NEW table (version-suffixed), then swap — " +
+        "overwriting the table being read corrupts the scan")
+    writeAdcIndexBucketed(
+      spark.table(baseTable).unionByName(increments),
+      outTable, buckets, path)
+  }
+
   /** Search a persisted slim index with PROBE-CELL PRUNING: the
     * queries' probe cells are collected driver-side (bounded by
     * min(queries × nProbe, nCells) ints — driver-small by

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement main (not part of the driver contract): decade
+  * scaling of the multimodal frame family — container-true frame
+  * extraction (MJPEG marker walk / MP4 sample tables / MP3+ADTS sync
+  * walks) and the frame-set near-dup join — on synthetic media corpora
+  * orders of magnitude past gate scale. The container walks are
+  * `mapPartitions` over full payload bytes; this probe is what tells
+  * us their ×/decade before a 100 TB deployment does.
+  *
+  * Two stages per run:
+  *  1. `gen`: documents(sfDir).text → one real container per doc
+  *     (MJPEG / MP4 / MP3 / ADTS round-robin by doc_id%4), chunks
+  *     repeated `repeat`× to inflate per-doc payload — written once to
+  *     a parquet media table so the MEASURED stages read bytes from
+  *     disk like a real pipeline (not fused with fixture generation).
+  *  2. measured: (a) frame extraction counts over all four container
+  *     kinds (the decode-side scan); (b) q92-shape video near-dup
+  *     (stride-1 frame hashes → set-Jaccard pairs) over the MJPEG+MP4
+  *     half, with the measured postings guard enabled.
+  *
+  * Usage: sbt "runMain graft.tools.MediaScaleProbe <sfDir> <workDir>
+  *             [repeat] [tau]"
+  */
+object MediaScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: MediaScaleProbe <sfDir> <workDir> [repeat] [tau]")
+    val dir = args(0)
+    val work = args(1)
+    val repeat = if (args.length > 2) args(2).toInt else 1
+    val tau = if (args.length > 3) args(3).toDouble else 0.4
+    val spark = graft.GraftSession.create("media-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.operators.{AudioHeaders, Multimodal, VideoContainers}
+
+    val mediaPath = s"$work/media.parquet"
+    val tGen = System.nanoTime()
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val base = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        val chunks = Seq.fill(repeat)(base).flatten
+        val payload = (id % 4) match {
+          case 0 => VideoContainers.mjpegFixture(8, chunks)
+          case 1 => VideoContainers.mp4Fixture((id % 16 + 1).toInt,
+            (id % 12 + 1).toInt, 90000L, 3600L, chunks)
+          case 2 => AudioHeaders.mp3Fixture(chunks)
+          case _ => AudioHeaders.adtsFixture(chunks)
+        }
+        (id, payload)
+      }
+      .toDF("doc_id", "media")
+      .write.mode("overwrite").parquet(mediaPath)
+    val genSec = (System.nanoTime() - tGen) / 1e9
+    val media = spark.read.parquet(mediaPath)
+    val stats = media.agg(count(lit(1)), sum(length(col("media")))).head
+    val (nDocs, payloadBytes) = (stats.getLong(0), stats.getLong(1))
+    println(f"""{"stage":"gen","dir":"$dir","docs":$nDocs,"payload_mb":${payloadBytes / 1048576}, "repeat":$repeat,"sec":$genSec%.1f}""")
+
+    // (a) frame extraction across all containers: video walks on the
+    // mjpeg/mp4 half, audio walks on the mp3/adts half — one narrow
+    // mapPartitions pass each, counts + a checksum so nothing is
+    // optimized away
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val video = media.filter(col("doc_id") % 4 < 2)
+    val audio = media.filter(col("doc_id") % 4 >= 2)
+    val t1 = System.nanoTime()
+    val vf = Multimodal.sampleContainerFrames(video, stride = 1).toDF()
+      .agg(count(lit(1)), coalesce(sum(col("frame_hash")), lit(0L))).head
+    val videoSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val af = Multimodal.sampleAudioFrames(audio, stride = 1).toDF()
+      .agg(count(lit(1)), coalesce(sum(col("frame_hash")), lit(0L))).head
+    val audioSec = (System.nanoTime() - t2) / 1e9
+    println(f"""{"stage":"frames","video_frames":${vf.getLong(0)},"video_sec":$videoSec%.1f,"audio_frames":${af.getLong(0)},"audio_sec":$audioSec%.1f}""")
+
+    // (b) frame-set near-dup over the video half (q92 shape at scale),
+    // measured guard on: budget 256 candidates/doc (the dedup-family
+    // convention), floor 10^6
+    val t3 = System.nanoTime()
+    val budget = math.max(256L * nDocs, 1000000L)
+    val pairs = Multimodal.videoNearDupPairs(
+      Multimodal.videoFramePHashes(video, stride = 1), tau,
+      maxCandidatePairs = budget)
+    val nPairs = pairs.count()
+    val ndSec = (System.nanoTime() - t3) / 1e9
+    println(f"""{"stage":"neardup","pairs":$nPairs,"budget":$budget,"sec":$ndSec%.1f}""")
+    graft.operators.OperatorCaches.releaseAll()
+    spark.stop()
+  }
+}

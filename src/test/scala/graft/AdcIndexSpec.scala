@@ -97,6 +97,70 @@ class AdcIndexSpec extends AnyFunSuite {
     assert(persisted.nonEmpty)
   }
 
+  test("append -> compact: pruned search identical; bucket pruning + no-exchange preserved") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // base = first half of the corpus, increment = the rest (the daily
+    // append), both encoded against the SAME pinned artifacts
+    val base = emb.filter($"vec_id" < 1000L)
+    val incr = emb.filter($"vec_id" >= 1000L)
+    val baseIdx = Similarity.buildAdcIndex(base, IvfCentroids.Centroids16,
+      PqCodebooks.Codebooks8x16, 8)
+    val incrIdx = Similarity.buildAdcIndex(incr, IvfCentroids.Centroids16,
+      PqCodebooks.Codebooks8x16, 8)
+    val dir = java.nio.file.Files.createTempDirectory("adc_cmp").toString
+    Similarity.writeAdcIndexBucketed(baseIdx, "adc_cmp_base",
+      buckets = 8, path = Some(s"$dir/base"))
+    // pre-compaction truth: persisted base unioned with the in-memory
+    // increment at read time (what a deployment serves mid-window)
+    val preCompact = Similarity.ivfAdcSearchPruned(queries,
+        spark.table("adc_cmp_base").unionByName(incrIdx),
+        IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, 8,
+        nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // compact-per-window: union re-bucketed into a versioned table
+    Similarity.compactAdcIndexBucketed(spark, "adc_cmp_base", incrIdx,
+      "adc_cmp_v2", buckets = 8, path = Some(s"$dir/v2"))
+    // row identity: the compacted table IS base + increment
+    val compactRows = spark.table("adc_cmp_v2")
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val expectRows = baseIdx.unionByName(incrIdx)
+      .select("vec_id", "cell", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(compactRows == expectRows)
+    // search parity with the pre-compaction view
+    val postCompact = Similarity.ivfAdcSearchPruned(queries,
+        spark.table("adc_cmp_v2"),
+        IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, 8,
+        nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(postCompact == preCompact && postCompact.nonEmpty)
+    // and the compacted table keeps the bucketed-layout plan wins
+    withPlanConfs {
+      val res = Similarity.ivfAdcSearchPruned(queries,
+        spark.table("adc_cmp_v2"),
+        IvfCentroids.Centroids16, PqCodebooks.Codebooks8x16, 8,
+        nProbe = 2, k = 3)
+      val plan = res.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+        .filter(_.metadata.get("Location").exists(_.contains("v2")))
+      assert(scans.size == 1, plan.toString.take(3000))
+      val sel = scans.head.metadata.get("SelectedBucketsCount")
+      val m = sel.flatMap("(\\d+) out of (\\d+)".r.findFirstMatchIn)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"expected pruned buckets on the compacted table, got $sel")
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+        .filter(_.leftKeys.exists(_.toString.contains("cell")))
+      assert(bhj.size == 1 && bhj.head.left.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        plan.toString.take(3000))
+    }
+    spark.sql("DROP TABLE IF EXISTS adc_cmp_base")
+    spark.sql("DROP TABLE IF EXISTS adc_cmp_v2")
+  }
+
   test("pruned search dispatches to the residual engine too") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rIndex = Similarity.buildResidualAdcIndex(emb,

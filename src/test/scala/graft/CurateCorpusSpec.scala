@@ -119,4 +119,38 @@ class CurateCorpusSpec extends AnyFunSuite {
     assert(auto.nearDedup < auto.exactDedup / 5)
     assert(auto.nearDedup >= 1)
   }
+
+  test("dedupMode jaccard: the edge family routes the quadratic block to star edges") {
+    // same quadratic-family corpus shape as the auto test, but driven
+    // through the exact blocked-jaccard EDGE surface: all 1200 family
+    // docs share (lang, source) blocks, so the coarse-block candidate
+    // bound (~1200² ≈ 1.4M) trips jaccardEdgesAuto's 10⁶ floor and the
+    // refusal becomes a ROUTE (banded star edges), not an exception —
+    // survivors still collapse the family to its min-id member
+    val base = "the curious engineer walked across a long bridge and " +
+      "noted every single data value detail about water flowing near town copy"
+    val docs = ((1L to 1200L).map(i => (i, "en", "web", s"$base num$i")) ++
+      (10001L to 10050L).map(i => (i, "de", "web",
+        s"meanwhile a separate report number $i from the archive covers " +
+          s"data value topics with plenty of varied wording on subject ${i * 7}")))
+      .toDF("doc_id", "lang", "source", "text")
+    val probes = docs.filter(col("doc_id") < 0)
+    spark.sharedState.cacheManager.clearCache()
+    val outJ = java.nio.file.Files.createTempDirectory("curate_jac").toString
+    val jac = CurateCorpus.run(docs, probes, outJ, dedupMode = "jaccard")
+    // the family collapsed through the routed star-edge path
+    assert(jac.nearDedup < jac.exactDedup / 5)
+    assert(jac.nearDedup >= 1)
+    // below the budget the SAME surface returns the exact pair list's
+    // edges — parity with ngramJaccardPairs on a small mutual family
+    spark.sharedState.cacheManager.clearCache()
+    val small = docs.filter(col("doc_id") <= 40 || col("doc_id") > 10000L)
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(small, Seq("lang", "source"), 3, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val routed = graft.operators.Dedup
+      .jaccardEdgesAuto(small, Seq("lang", "source"), 3, 0.6)
+      .as[(Long, Long)].collect().toSet
+    assert(routed == exact && exact.nonEmpty)
+  }
 }

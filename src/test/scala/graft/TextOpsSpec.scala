@@ -299,6 +299,52 @@ class TextOpsSpec extends AnyFunSuite {
         s"query $q: expected a clustermate, got ${got(q)}")
   }
 
+  test("routed-engine recall floor: ivfadc >= lsh recall on the clustered regime that routes") {
+    // The routing A/B proves auto picks the CHEAPER engine; this pins
+    // the QUALITY side (VERDICT r12 item 1): on a clustered corpus —
+    // the regime where auto actually routes to ivfadc — the routed
+    // engine's sampled recall@k against exact cosine top-k must not be
+    // worse than the lsh engine it replaced. 50 clusters of 8 around
+    // deterministic bases (cosine ~0.99 intra-cluster) + 600 noise:
+    // clustered queries have REAL near neighbors (the case that
+    // matters — on noise queries "neighbors" are arbitrary and both
+    // engines score low for the same reason).
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val bases = (0 until 50).map(_ => Array.fill(64)(rnd.nextFloat() - 0.5f))
+    val clustered = for {
+      (b, c) <- bases.zipWithIndex; i <- 0 until 8
+    } yield ((c * 8 + i).toLong, jitter(b))
+    val noise = (400 until 1000).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val emb = (clustered ++ noise).toDF("vec_id", "embedding").cache()
+    emb.count()
+    val k = 3
+    // exact reference over the clustered queries only
+    val q = emb.filter($"vec_id" < 400L)
+    val exact = Similarity.bruteForceTopK(q, emb, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(out: org.apache.spark.sql.DataFrame): Double = {
+      val got = out.filter($"query_id" < 400L)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val lshRecall = recallOf(Similarity.lshTopKAuto(emb, 64, nBands = 4,
+      k = k, annMode = "lsh"))
+    val routedRecall = recallOf(Similarity.lshTopKAuto(emb, 64, nBands = 4,
+      k = k, annMode = "ivfadc"))
+    info(f"clustered recall@$k: lsh=$lshRecall%.3f routed=$routedRecall%.3f")
+    // floor: the routed engine must match-or-beat lsh within a 0.02
+    // sampling-noise band, and clear an absolute quality bar on the
+    // planted-cluster queries
+    assert(routedRecall >= lshRecall - 0.02,
+      f"routed ivfadc recall $routedRecall%.3f < lsh $lshRecall%.3f")
+    assert(routedRecall >= 0.8,
+      f"routed ivfadc recall $routedRecall%.3f under the 0.8 floor")
+    emb.unpersist()
+  }
+
   test("residual ADC index: increment equals full rebuild; rerank=0 schema stable") {
     import graft.operators.{IvfCentroids, PqCodebooks}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
