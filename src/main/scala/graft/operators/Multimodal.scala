@@ -348,10 +348,15 @@ object Multimodal {
   def videoNearDupPairs(frames: DataFrame, tau: Double,
       maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
       pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
-    val sets0 = frames.select(col("doc_id"), col("frame_phash")).distinct()
-    val sets =
-      if (maxCandidatePairs > 0L) { val c = sets0.cache(); pin(c); c }
-      else sets0
+    // The distinct frame-set rel is read FOUR times (the sizes agg,
+    // both pairing sides, and the guard statistic when enabled) — and
+    // upstream of it sits the container walk over full payload bytes,
+    // the expensive part. Cache it unconditionally: the rel is slim
+    // (two longs per distinct frame) and one walk beats four at every
+    // scale. Lifecycle via `pin` as everywhere else.
+    val sets = frames.select(col("doc_id"), col("frame_phash")).distinct()
+      .cache()
+    pin(sets)
     val cut: Int =
       if (maxCandidatePairs <= 0L) maxPostings
       else {
