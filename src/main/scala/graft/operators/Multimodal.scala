@@ -475,6 +475,75 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_phash")
   }
 
+  /** Incremental frame-set near-dup — the production maintenance path
+    * of [[videoNearDupPairs]] at 100 TB (the
+    * [[Dedup.incrementalNearDupPairs]] discipline, media form): a
+    * daily video/audio ingest must NOT re-pair the whole corpus. New
+    * media's frame-hash rows join the PERSISTED corpus frame index
+    * `corpusSets` — (doc_id, frame_phash) distinct rows, at scale a
+    * parquet table bucketed on frame_phash so the corpus side of the
+    * postings join never shuffles — plus a self-join among the new
+    * batch; existing corpus payloads are never re-walked.
+    *
+    * `maxPostings` (>0) drops hashes whose COMBINED (corpus + new)
+    * posting count exceeds it, before pairing — cut-for-cut identical
+    * to the one-shot operator's stop-frame cut over the unioned
+    * corpus, so increment results stay parity with a full re-run
+    * (spec-pinned); set sizes keep dropped hashes (Jaccard lower
+    * bound, as ever).
+    *
+    * Output: (doc_a, doc_b, shared, jaccard, vs_corpus) — doc_a is
+    * always the new document; new-new pairs are doc_a < doc_b
+    * (the [[Dedup.incrementalNearDupPairs]] contract). */
+  def incrementalFrameNearDupPairs(newFrames: DataFrame,
+      corpusSets: DataFrame, tau: Double, maxPostings: Int = 0,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    val newSets = newFrames.select(col("doc_id"), col("frame_phash"))
+      .distinct().cache()
+    pin(newSets)
+    val corpus = corpusSets.select(col("doc_id"), col("frame_phash"))
+    val newSizes = newSets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val corpusSizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val (newPost, corpusPost) =
+      if (maxPostings <= 0) (newSets, corpus)
+      else {
+        // combined per-hash counts — identical to the one-shot cut
+        // over union(corpus, new)
+        val keep = corpus.unionByName(newSets)
+          .groupBy("frame_phash").agg(count(lit(1)).as("nv"))
+          .filter(col("nv") <= maxPostings)
+          .select("frame_phash")
+        (newSets.join(keep, "frame_phash"), corpus.join(keep, "frame_phash"))
+      }
+    def scored(pairs: DataFrame, sizesB: DataFrame): DataFrame = pairs
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(newSizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sizesB.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= tau)
+    val vsCorpus = scored(
+      newPost.select(col("doc_id").as("doc_a"), col("frame_phash"))
+        .join(corpusPost.select(col("doc_id").as("doc_b"), col("frame_phash")),
+          Seq("frame_phash"))
+        .filter(col("doc_a") =!= col("doc_b")),
+      corpusSizes)
+      .withColumn("vs_corpus", lit(true))
+    val newNew = scored(
+      newPost.select(col("doc_id").as("doc_a"), col("frame_phash"))
+        .join(newPost.select(col("doc_id").as("doc_b"), col("frame_phash")),
+          Seq("frame_phash"))
+        .filter(col("doc_a") < col("doc_b")),
+      newSizes)
+      .withColumn("vs_corpus", lit(false))
+    vsCorpus.unionByName(newNew)
+      .select("doc_a", "doc_b", "shared", "jaccard", "vs_corpus")
+  }
+
   /** One codec-true audio frame ([[AudioHeaders.scanMpegFrames]] /
     * [[AudioHeaders.scanAdtsFrames]]): byte range from the frame
     * header's own length arithmetic, decode units from the header. */

@@ -320,6 +320,52 @@ class VideoContainersSpec extends AnyFunSuite {
     frames.unpersist()
   }
 
+  test("incrementalFrameNearDupPairs: increment ≡ full re-run restricted to new docs, incl. the cut") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 43 + i * 13) % 120 + 1).toByte)
+    val boiler = chunk(0)
+    def vid(chunks: Array[Byte]*) =
+      VideoContainers.mjpegFixture(8, boiler +: chunks.toSeq)
+    // corpus: 3 videos, one duplicate pair (1,2); new batch: 10 dups
+    // 1's frames (vs_corpus), 11/12 duplicate each other (new-new),
+    // 13 unrelated
+    val corpusMedia = Seq(
+      (1L, vid(chunk(1), chunk(2))), (2L, vid(chunk(1), chunk(2))),
+      (3L, vid(chunk(5), chunk(6)))).toDF("doc_id", "media")
+    val newMedia = Seq(
+      (10L, vid(chunk(1), chunk(2))),
+      (11L, vid(chunk(7), chunk(8))), (12L, vid(chunk(7), chunk(8))),
+      (13L, vid(chunk(20), chunk(21)))).toDF("doc_id", "media")
+    val corpusSets = Multimodal.videoFramePHashes(corpusMedia, stride = 1)
+      .select("doc_id", "frame_phash").distinct()
+    val newFrames = Multimodal.videoFramePHashes(newMedia, stride = 1)
+    val allFrames = Multimodal.videoFramePHashes(
+      corpusMedia.unionByName(newMedia), stride = 1)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, sh, j) => (math.min(a, b), math.max(a, b), sh, j) }
+      .toSet
+    for (cut <- Seq(0, 4)) { // unguarded, and with the boiler cut
+      val incr = Multimodal.incrementalFrameNearDupPairs(
+        newFrames, corpusSets, tau = 0.5, maxPostings = cut)
+      val full = Multimodal.videoNearDupPairs(allFrames, tau = 0.5,
+        maxPostings = cut)
+        .filter(col("doc_a") >= 10L || col("doc_b") >= 10L)
+      assert(norm(incr) == norm(full), s"cut=$cut")
+      assert(norm(incr).nonEmpty)
+    }
+    // the vs_corpus flag discriminates correctly
+    val flags = Multimodal.incrementalFrameNearDupPairs(
+      newFrames, corpusSets, tau = 0.5)
+      .select("doc_a", "doc_b", "vs_corpus")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(flags.filter(_._3).map(_._1).forall(_ >= 10L)) // doc_a is new
+    assert(flags.exists(f => f._3) && flags.exists(f => !f._3))
+  }
+
   test("audioFramePHashes feeds videoNearDupPairs: re-chunked audio dup caught, cross-container not") {
     import spark.implicits._
     implicit val s: SparkSession = spark
