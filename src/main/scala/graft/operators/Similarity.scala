@@ -30,18 +30,28 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`candidates`: (id, embedding). Self-pairs excluded.
-    * Output: query_id, neighbor_id, rank, cosine. */
+    * Output: query_id, neighbor_id, rank, cosine.
+    *
+    * The scored rel is SLIMMED to (query_id, neighbor_id, cosine)
+    * before the rank window: the window's exchange otherwise carries
+    * both embedding payloads on every scored pair — harmless at gate
+    * scale, but at a 2 M-corpus × 200-query probe that is ~200 GB of
+    * rank-shuffle for columns the rank never reads (measured: the r13
+    * recall campaign's exact stage spilled for 40+ min before this
+    * slim; 523 s after). `candidates` is widened so a single-file
+    * corpus doesn't cap the scan at a handful of tasks. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       l2Norm(col("embedding")).as("q_norm"))
-    val c = candidates.select(
+    val c = Parallelism.widen(candidates).select(
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       l2Norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
