@@ -167,10 +167,17 @@ object Pq {
         val n = math.max(embeddings.count(), 1L)
         math.min(1.0, maxSample.toDouble / n.toDouble)
       }
-    val sample = embeddings
+    // capped tier: widen before caching (the Similarity.fitQuantizer
+    // parallelism fix — a single-file corpus leaves the sample on ~2
+    // partitions and the m×nCodes Lloyd iterations on ~2 cores);
+    // widening after the sample keeps the sampled row set unchanged,
+    // and the legacy path keeps the exact plan the pinned
+    // Codebooks8x16 were trained with
+    val sample0 = embeddings
       .select(col("embedding"))
       .sample(withReplacement = false, fraction, seed = 42L)
-      .cache()
+    val sample = (if (maxSample > 0L) Parallelism.widen(sample0)
+                  else sample0).cache()
     try {
       (0 until m).flatMap { s =>
         val sliced = sample.select(

@@ -177,10 +177,21 @@ object Similarity {
         val n = math.max(embeddings.count(), 1L)
         math.min(1.0, maxSample.toDouble / n.toDouble)
       }
-    val sample = embeddings
+    // capped tier: WIDEN the sample before caching — the sample
+    // inherits the corpus scan's partitioning (a single-file corpus:
+    // ~2 partitions), and every Lloyd iteration then runs sample×k×dim
+    // flops on that many cores (measured: the r12 "25 min of in-query
+    // fits" at 2 M vectors was ~2 executor threads saturated, 30 idle
+    // — a parallelism bug, not inherent fit cost). Widening AFTER the
+    // sample keeps the sampled row SET unchanged (Bernoulli sampling
+    // is per-partition-seeded, so it must run on the original
+    // partitioning); the legacy maxSample<=0 path keeps its exact
+    // historical plan so the pinned tables stay reproducible.
+    val sample0 = embeddings
       .select(array_to_vector(col("embedding")).as("features"))
       .sample(withReplacement = false, fraction, seed = 42L)
-      .cache()
+    val sample = (if (maxSample > 0L) Parallelism.widen(sample0)
+                  else sample0).cache()
     try {
       val km = new KMeans()
         .setK(nCentroids).setSeed(42L).setMaxIter(5)
