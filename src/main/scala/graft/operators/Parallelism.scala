@@ -99,9 +99,21 @@ object Parallelism {
     math.min(totalBytes, perPartBytes * slots) <= pool / 2.0
   }
 
+  /** Even out `df` for heavy downstream per-row compute. ALWAYS
+    * repartitions (round-robin), never narrows. The former
+    * `getNumPartitions < target` no-op was a measured lie at scale: a
+    * single 522 MB parquet file with ~4 large row groups splits into
+    * 32 byte-range tasks of which only ~4 are non-empty (a row group
+    * belongs to the split holding its midpoint), so the partition
+    * COUNT said "wide" while the ROWS sat on 4 cores — the 2 M-vector
+    * routed-ANN campaign ran its quantizer fits and index encode at
+    * 4/32 threads behind that check (rows, not splits — the tile-
+    * kernel lesson again). Call sites gate work that is orders of
+    * magnitude heavier than one linear exchange of their input; that
+    * exchange is the insurance premium, paid unconditionally. */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    df.repartition(math.max(target, df.rdd.getNumPartitions))
   }
 
   /** Exact skew-aware blocked self-join — the pair-volume twin of

@@ -697,7 +697,17 @@ object Similarity {
     val r = if (shortlist > 0) math.max(shortlist, k) else math.max(8 * k, 64)
     val cents = IvfCentroids.forCorpus(embeddings)
     val (cbs, dsub) = PqCodebooks.forCorpusResidual(embeddings, cents)
-    val index = buildResidualAdcIndex(embeddings, cents, cbs, dsub)
+    // CACHE the slim index (vec_id, cell, m code bytes — ~60 B/row).
+    // Beyond reuse, the cache is a PUSHDOWN BARRIER: the candidate
+    // join infers `isnotnull(cell)` on this side, and with cell =
+    // pqEncodeResidual(embedding).cell the optimizer pushes that
+    // predicate through the widen exchange to the parquet scan —
+    // re-running the full 4096-cell encode per row on the scan's few
+    // effective partitions (measured: the encode stage of the
+    // 2 M-vector campaign, ~15 min on 4 threads). Materialized once
+    // behind InMemoryRelation, the filter lands on stored bytes.
+    val index = buildResidualAdcIndex(embeddings, cents, cbs, dsub).cache()
+    OperatorCaches.register(index)
     val centDf = cents.toDF("cell", "centroid")
     val probes = Parallelism.widen(embeddings)
       .select(col("vec_id").as("query_id"), col("embedding"),
@@ -708,7 +718,34 @@ object Similarity {
       .select(col("query_id"), col("cell"),
         graft.functions.HashExpressions
           .vecSub(col("embedding"), col("centroid")).as("res"))
-    val scored = index.join(probes, "cell")
+    // SALT the candidate join on (cell, salt): a clustered corpus
+    // concentrates in few IVF cells, so the plain equi-join on cell
+    // lands ~all of the Σ na·nb candidate volume on a handful of
+    // shuffle partitions (AQE can't split it — skew is in the join
+    // OUTPUT, not input bytes; the r12 sf100skew run was wall-bound at
+    // ~1 core for ~3000 s on exactly this). The probes side keeps one
+    // copy (salted by query_id); the SLIM index side replicates r_b-
+    // fold — r_b from the index cell histogram (one narrow agg over
+    // the cache; the probes histogram would cost a full NearestCells
+    // pass). nb²·nProbe is the pair proxy (probes-per-cell ≈ index
+    // rows × probe fan-in ≤ nProbe); r capped so replication stays
+    // ≤ maxSalt× the hot cells' slim rows. partialTopKPerQuery below
+    // is a partial fold — correct under ANY partitioning — so salting
+    // changes nothing but evenness.
+    val maxSalt = 4 * spark.sparkContext.defaultParallelism
+    val factors = index.groupBy("cell")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("r", least(lit(maxSalt.toLong), greatest(lit(1L),
+        ceil(col("nb") * col("nb") * lit(math.max(nProbe, 1)) /
+          lit(Parallelism.DefaultTargetPairsPerTask)))).cast("int"))
+      .select(col("cell"), col("r"))
+    val probesS = probes.join(broadcast(factors), "cell")
+      .withColumn("salt", pmod(hash(col("query_id")), col("r")))
+      .drop("r")
+    val indexS = index.join(broadcast(factors), "cell")
+      .withColumn("salt", explode(sequence(lit(0), col("r") - 1)))
+      .drop("r")
+    val scored = indexS.join(probesS, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
