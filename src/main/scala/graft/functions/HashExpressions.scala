@@ -1111,7 +1111,7 @@ object HashExpressions {
     * cross-checks). */
   case class AdcDirectDist(res: Expression, codes: Expression,
       codebooks: Seq[(Int, Int, Seq[Double])], dsub: Int)
-      extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[TypeBridge.AbstractType] =
       Seq(ArrayType(DoubleType), ArrayType(IntegerType))
     require(dsub >= 1, "dsub >= 1")
@@ -1155,6 +1155,38 @@ object HashExpressions {
         s += 1
       }
       java.lang.Double.valueOf(acc)
+    }
+
+    // Real codegen, not the ShingleHashes reference-object hybrid: the
+    // output is one scalar with one consumer (no build-once/read-many
+    // duplication risk), and this runs once per CANDIDATE of the ADC
+    // self-search join (~10¹⁰ rows at 2 M vectors) where the
+    // interpreted path's Double boxing + megamorphic eval dominate.
+    // The loop reproduces nullSafeEval exactly (per-sub partial, then
+    // one outer add) so codegen ≡ interpreted bit-for-bit.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cwRef = ctx.addReferenceObj("adcCw", cw, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (r, c) => {
+        val m = ctx.freshName("m"); val acc = ctx.freshName("acc")
+        val s = ctx.freshName("s"); val j = ctx.freshName("j")
+        val word = ctx.freshName("word"); val off = ctx.freshName("off")
+        val sub = ctx.freshName("sub"); val d = ctx.freshName("d")
+        s"""
+        final int $m = $c.numElements();
+        double $acc = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          final double[] $word = $cwRef[$s][$c.getInt($s)];
+          final int $off = $s * $dsub;
+          double $sub = 0.0;
+          for (int $j = 0; $j < $dsub; $j++) {
+            final double $d = $r.getDouble($off + $j) - $word[$j];
+            $sub += $d * $d;
+          }
+          $acc += $sub;
+        }
+        ${ev.value} = $acc;
+        """
+      })
     }
 
     override protected def withNewChildrenInternal(

@@ -797,24 +797,43 @@ object Similarity {
     * neighbor_id, dist) rows through one per-partition pass keeping a
     * k-bounded binary heap per query under (dist asc, neighbor asc) —
     * the exact order the final fold ranks by, so partial-then-final
-    * equals global top-k. Memory is queries-in-partition × k tuples
-    * (never the candidate stream), output ≤ k rows per (partition,
-    * query); this is what makes the ADC self-search's candidate volume
-    * safe to aggregate — a collect_list hash agg buffers its ENTIRE
-    * partition's candidates map-side before combining, which is
+    * equals global top-k. Output ≤ k rows per (partition, query,
+    * flush window); this is what makes the ADC self-search's candidate
+    * volume safe to aggregate — a collect_list hash agg buffers its
+    * ENTIRE partition's candidates map-side before combining, which is
     * exactly the quadratic spill the fold exists to avoid.
     * `mapPartitions` is justified: Spark has no bounded-heap
     * aggregate, and the alternative (window + WindowGroupLimit) sorts
-    * the full stream per partition first. */
+    * the full stream per partition first.
+    *
+    * Memory is bounded ABSOLUTELY, not per query: the heap map is
+    * flushed (emitted downstream and swapped for a fresh one) whenever
+    * it reaches `maxEntries` (≈ tuples held, queries × k). Without the
+    * window bound, memory is distinct-queries-per-partition × k — and
+    * an evenly salted join scatters EVERY query's probes across all
+    * partitions, so at 2 M self-search queries each of 32 CONCURRENT
+    * tasks held ~440 k heaps ≈ 2 GB and the executor OOM'd (the r12
+    * skew-serialized run only survived because one giant partition ran
+    * at a time). Flushing preserves exactness by heap dominance: a
+    * candidate evicted in a window was strictly worse — under the same
+    * (dist, neighbor) total order the final rank uses — than the k
+    * rows that window emitted for its query (the heap's worst only
+    * improves within a window), so it cannot belong to the global
+    * top-k the downstream fold re-derives from the emitted union.
+    * Worst-case output stays ≤ input rows; with cell-clustered arrival
+    * (the sort-merge join's output order) windows mostly partition the
+    * query set and output stays ≈ k per (partition, query). */
   private[graft] def partialTopKPerQuery(scored: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, maxEntries: Int = 1 << 21): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    val maxQ = math.max(1024, maxEntries / math.max(k, 1))
     scored.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"), col("approx_dist").cast("double"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         import java.util.{Comparator, HashMap, PriorityQueue}
+        import scala.jdk.CollectionConverters._
         // head = current WORST under (dist, neighbor) ascending rank
         val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {
           def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -822,23 +841,46 @@ object Similarity {
             if (c != 0) c else java.lang.Long.compare(b._2, a._2)
           }
         }
-        val heaps = new HashMap[Long, PriorityQueue[(Double, Long)]]()
-        it.foreach { case (q, nb, d) =>
-          var h = heaps.get(q)
-          if (h == null) {
-            h = new PriorityQueue[(Double, Long)](k + 1, cmp)
-            heaps.put(q, h)
+        type Heaps = HashMap[Long, PriorityQueue[(Double, Long)]]
+        def drain(m: Heaps): Iterator[(Long, Long, Double)] =
+          m.entrySet().iterator().asScala.flatMap { e =>
+            e.getValue.iterator().asScala.map(v => (e.getKey.longValue, v._2, v._1))
           }
-          if (h.size < k) h.offer((d, nb))
-          else {
-            val worst = h.peek()
-            val c = java.lang.Double.compare(d, worst._1)
-            if (c < 0 || (c == 0 && nb < worst._2)) { h.poll(); h.offer((d, nb)) }
+        new Iterator[(Long, Long, Double)] {
+          private var heaps = new Heaps()
+          private var out: Iterator[(Long, Long, Double)] = Iterator.empty
+          private def fill(): Unit = {
+            // consume input until a window flush triggers or input ends
+            while (!out.hasNext && it.hasNext) {
+              val (q, nb, d) = it.next()
+              var h = heaps.get(q)
+              if (h == null) {
+                if (heaps.size >= maxQ) {
+                  // swap-and-iterate, no copy: the old map is consumed
+                  // lazily downstream and becomes garbage when done
+                  out = drain(heaps)
+                  heaps = new Heaps()
+                }
+                h = new PriorityQueue[(Double, Long)](k + 1, cmp)
+                heaps.put(q, h)
+              }
+              if (h.size < k) h.offer((d, nb))
+              else {
+                val worst = h.peek()
+                val c = java.lang.Double.compare(d, worst._1)
+                if (c < 0 || (c == 0 && nb < worst._2)) { h.poll(); h.offer((d, nb)) }
+              }
+            }
+            if (!out.hasNext && !heaps.isEmpty) { // input ended: final drain
+              out = drain(heaps)
+              heaps = new Heaps()
+            }
           }
-        }
-        import scala.jdk.CollectionConverters._
-        heaps.entrySet().iterator().asScala.flatMap { e =>
-          e.getValue.iterator().asScala.map(v => (e.getKey, v._2, v._1))
+          def hasNext: Boolean = { if (!out.hasNext) fill(); out.hasNext }
+          def next(): (Long, Long, Double) = {
+            if (!hasNext) throw new NoSuchElementException
+            out.next()
+          }
         }
       }
       .toDF("query_id", "neighbor_id", "approx_dist")

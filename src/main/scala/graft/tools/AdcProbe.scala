@@ -102,6 +102,41 @@ object AdcProbe {
     val nP = persisted.count()
     val tPersist = (System.nanoTime() - t8) / 1e9
     println(f"""{"stage":"persisted_search","buckets":$buckets,"write_sec":$tWrite%.2f,"results":$nP,"sec":$tPersist%.2f,"ms_per_query":${tPersist * 1000 / math.max(nQ, 1)}%.1f}""")
+
+    // ---- increment + compaction (the maintenance window) ----------- //
+    // A 1% "daily" increment: fresh vec_ids past the corpus max,
+    // encoded against the SAME pinned artifacts (appendResidualAdcIndex
+    // semantics — base corpus never rescanned).
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val incVecs = emb.filter(pmod(col("vec_id"), lit(100L)) === 7)
+      .select((col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding"))
+    val nInc = incVecs.count()
+    val t9a = System.nanoTime()
+    val increment = Similarity.buildResidualAdcIndex(incVecs, cents, rcbs, rdsub)
+      .cache()
+    val incRows = increment.count()
+    val tEncode = (System.nanoTime() - t9a) / 1e9
+    require(incRows == nInc, s"increment encode dropped rows: $incRows != $nInc")
+    val t9 = System.nanoTime()
+    val unioned = Similarity.ivfAdcSearchPruned(q,
+      spark.table("adc_probe_idx").unionByName(increment),
+      cents, rcbs, rdsub, nProbe, k, rerank,
+      Some(emb.unionByName(incVecs)), residual = true)
+    val nU = unioned.count()
+    val tUnion = (System.nanoTime() - t9) / 1e9
+    val t10 = System.nanoTime()
+    Similarity.compactAdcIndexBucketed(spark, "adc_probe_idx", increment,
+      "adc_probe_idx_v2", buckets, Some(s"$dir2/adc_probe_idx_v2"))
+    val tCompact = (System.nanoTime() - t10) / 1e9
+    val t11 = System.nanoTime()
+    val compacted = Similarity.ivfAdcSearchPruned(q,
+      spark.table("adc_probe_idx_v2"), cents, rcbs, rdsub, nProbe, k, rerank,
+      Some(emb.unionByName(incVecs)), residual = true)
+    val nC = compacted.count()
+    val tComp = (System.nanoTime() - t11) / 1e9
+    val drift = unioned.select("query_id", "neighbor_id")
+      .exceptAll(compacted.select("query_id", "neighbor_id")).count()
+    println(f"""{"stage":"compaction","increment_rows":$nInc,"encode_sec":$tEncode%.2f,"union_search_sec":$tUnion%.2f,"compact_sec":$tCompact%.2f,"compacted_search_sec":$tComp%.2f,"union_ms_per_query":${tUnion * 1000 / math.max(nQ, 1)}%.1f,"compacted_ms_per_query":${tComp * 1000 / math.max(nQ, 1)}%.1f,"results_union":$nU,"results_compacted":$nC,"result_drift":$drift}""")
     spark.stop()
   }
 }

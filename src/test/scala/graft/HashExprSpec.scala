@@ -240,6 +240,33 @@ class HashExprSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("adcDirectDist codegen == interpreted eval bit-exact") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(29)
+    val cbs = graft.operators.PqCodebooks.ResidualCodebooks8x16
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5),
+        Array.fill(8)(rnd.nextInt(16)))
+    }
+    // DataFrame path (whole-stage codegen evaluates doGenCode)
+    val viaDf = rows.toDF("id", "res", "codes")
+      .select(col("id"),
+        HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, 8).as("d"))
+      .as[(Long, Double)].collect().toMap
+    // direct interpreted eval on the same inputs
+    val expr = HashExpressions.AdcDirectDist(
+      org.apache.spark.sql.catalyst.expressions.Literal(1),
+      org.apache.spark.sql.catalyst.expressions.Literal(1), cbs, 8)
+    rows.foreach { case (id, res, codes) =>
+      val got = expr.nullSafeEval(
+        ArrayData.toArrayData(res), ArrayData.toArrayData(codes))
+        .asInstanceOf[Double]
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(viaDf(id)),
+        s"codegen/interpreted drift at id=$id")
+    }
+  }
+
   test("rolling-window update matches direct fold on a long string") {
     val rnd = new scala.util.Random(5)
     val s = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString

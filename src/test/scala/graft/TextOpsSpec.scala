@@ -278,6 +278,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(counts.values.forall(_ <= 16L * k))
   }
 
+  test("partialTopKPerQuery: windowed flushes (memory budget) stay exact") {
+    // more distinct queries than the flush budget admits (maxQ floors
+    // at 1024), candidates interleaved across queries so windows slice
+    // mid-query — the regime the absolute memory bound exists for
+    // (2 M self-search queries scattered over every partition by the
+    // salted join; one heap per query OOM'd 32 concurrent tasks)
+    val rnd = new scala.util.Random(11)
+    val nQ = 3000
+    val rows = rnd.shuffle(
+      (0 until nQ).flatMap(q => (0 until 12).map(c =>
+        (q.toLong, c.toLong, rnd.nextInt(40).toDouble))))
+    val scored = rows.toDF("query_id", "neighbor_id", "approx_dist")
+      .repartition(4)
+    val k = 3
+    val got = Similarity.partialTopKPerQuery(scored, k, maxEntries = 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy($"approx_dist", $"neighbor_id")))
+      .filter($"rk" <= k)
+      .select("query_id", "neighbor_id", "approx_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(k)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("ivfAdcCosineSelfTopK: finds planted near-duplicate neighbors") {
     // 3 tight clusters of 4 + noise: each clustered vector's top-1
     // cosine neighbor is a clustermate, and the routed engine must
