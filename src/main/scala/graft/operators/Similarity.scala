@@ -750,18 +750,26 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
           .as("approx_dist"))
-    // Top-R per query in TWO stages, the first a bounded streaming heap
-    // fold INSIDE the join partitions ([[partialTopKPerQuery]]): the
-    // scored candidate stream is ~Σ probed-cell² rows on a clustered
-    // corpus (the sf100skew run measured ~10¹⁰ — a giant embedding
-    // cluster concentrates in few IVF cells, so probing your own
-    // cluster's cell scans the whole cluster), and ANY aggregation that
-    // materializes it through an exchange — hash-agg partial
-    // collect_list included, its map-side buffers are unbounded — spills
-    // the full stream to disk (measured: filled the device at 2 M
-    // vectors). The heap fold emits ≤ R rows per (partition, query), so
-    // the exchange and the final exact fold see ≤ nProbe·R rows/query.
-    val short = partialTopKPerQuery(scored, r)
+    // Top-R per query in THREE stages, none of which ever sorts or
+    // buffers the raw candidate stream (~Σ probed-cell² rows on a
+    // clustered corpus — the sf100skew campaign measured ~10¹⁰; a
+    // giant embedding cluster concentrates in few IVF cells, so
+    // probing your own cluster's cell scans the whole cluster):
+    //  1. bounded streaming heap fold INSIDE the join partitions
+    //     ([[partialTopKPerQuery]]) — ≤ R rows per (partition, query,
+    //     flush window) reach the exchange;
+    //  2. repartition the folded rel by query_id (slim 24 B rows) and
+    //     fold AGAIN co-located — each query's survivors now meet in
+    //     one partition, so output is ≈ exactly top-R per query;
+    //  3. the exact slice agg reuses the SAME hash partitioning (no
+    //     new exchange) over ≤ R·windows tiny rows per group.
+    // Earlier shapes that aggregated the folded stream directly
+    // (collect_list hash agg) fell back to sort-based aggregation on
+    // the ~10⁹ folded rows and spilled the device dead — a sort
+    // ANYWHERE on a data-quadratic stream is the same bug the fold
+    // exists to kill, just one stage later.
+    val short = partialTopKPerQuery(
+        partialTopKPerQuery(scored, r).repartition(col("query_id")), r)
       .withColumn("cand", struct(col("approx_dist"), col("neighbor_id")))
       .groupBy("query_id")
       .agg(slice(array_sort(collect_list(col("cand"))), 1, r).as("top"))
@@ -827,13 +835,23 @@ object Similarity {
       k: Int, maxEntries: Int = 1 << 21): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val maxQ = math.max(1024, maxEntries / math.max(k, 1))
+    val kk = math.max(k, 1)
     scored.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"), col("approx_dist").cast("double"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         import java.util.{Comparator, HashMap, PriorityQueue}
         import scala.jdk.CollectionConverters._
+        // window budget: the maxEntries floor, raised on big heaps —
+        // ~15% of executor memory split across concurrent tasks at
+        // ~56 B/boxed tuple (fewer flushes ⇒ less fold output), so the
+        // 48 g profile gets wide windows while an 8 g default stays at
+        // the safe floor (evaluated executor-side: local mode shares
+        // the JVM, a cluster executor reports its own heap)
+        val dynEntries = math.max(maxEntries.toLong,
+          (Runtime.getRuntime.maxMemory() * 0.15 / 56 /
+            math.max(Runtime.getRuntime.availableProcessors, 1)).toLong)
+        val maxQ = math.max(1024L, dynEntries / kk).min(Int.MaxValue).toInt
         // head = current WORST under (dist, neighbor) ascending rank
         val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {
           def compare(a: (Double, Long), b: (Double, Long)): Int = {
