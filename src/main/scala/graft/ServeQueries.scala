@@ -104,6 +104,14 @@ object ServeQueries {
   private def q94(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentAudioNearDups(s, d, tau = 0.4)
 
+  /** Incremental frame-set near-dup: the daily-ingest maintenance path
+    * — new batch (doc_id % 4 = 0) vs the persisted corpus frame index,
+    * corpus payloads never re-walked — see
+    * [[graft.operators.Multimodal.documentIncrementalVideoNearDups]]. */
+  private def q95(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal
+      .documentIncrementalVideoNearDups(s, d, tau = 0.4)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -189,7 +197,8 @@ object ServeQueries {
     "q90_mp4_frames"   -> (q90 _),
     "q92_video_neardup" -> (q92 _),
     "q93_audio_frames" -> (q93 _),
-    "q94_audio_neardup" -> (q94 _))
+    "q94_audio_neardup" -> (q94 _),
+    "q95_incr_media_neardup" -> (q95 _))
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -393,6 +402,61 @@ object ServeQueries {
         |       CAST(p.shared AS DOUBLE) /
         |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
         |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.shared AS DOUBLE) /
+        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
+    "q95_incr_media_neardup" ->
+      // Frame hashes by the q92 fixture arithmetic, then the
+      // INCREMENTAL split: docs with doc_id % 4 = 0 are the new batch,
+      // the rest the persisted corpus index; batch×corpus pairs carry
+      // vs_corpus = true (no doc_a < doc_b — doc_a is always the new
+      // doc), batch×batch pairs are doc_a < doc_b with vs_corpus =
+      // false. Set sizes are per-doc over the full distinct frame set
+      // (each doc lives in exactly one split), Jaccard ≥ 0.4.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+        |  FROM f
+        |), fh AS (
+        |  SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [255,216,255,192,0,11,8,0,8,0, 8,
+        |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,208]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,217]::BIGINT[]),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM s
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, h FROM fh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+        |), newb AS (
+        |  SELECT * FROM sets WHERE doc_id % 4 = 0
+        |), corpus AS (
+        |  SELECT * FROM sets WHERE doc_id % 4 <> 0
+        |), up AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |         TRUE AS vs_corpus
+        |  FROM newb a JOIN corpus b ON a.h = b.h
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+        |         FALSE AS vs_corpus
+        |  FROM newb a JOIN newb b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |       CAST(p.shared AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard,
+        |       p.vs_corpus
+        |FROM up p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |WHERE CAST(p.shared AS DOUBLE) /

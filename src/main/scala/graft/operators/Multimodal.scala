@@ -657,6 +657,41 @@ object Multimodal {
     videoNearDupPairs(videoFramePHashes(media, stride = 1), tau)
   }
 
+  /** Demo pipeline (q95): INCREMENTAL frame-level near-dup end-to-end
+    * — the q92 chain run the way a daily media ingest actually runs it
+    * ([[incrementalFrameNearDupPairs]]): docs with doc_id % 4 == 0 are
+    * the "new batch", the rest are the already-indexed corpus whose
+    * payloads are NEVER re-walked — only their persisted (doc_id,
+    * frame_phash) index rows join. Same MJPEG fixture arithmetic as
+    * q92, so the DuckDB oracle reproduces the frame hashes and runs
+    * both join legs (batch×corpus with vs_corpus = true, batch×batch
+    * with doc_a < doc_b and vs_corpus = false) in SQL: container scan,
+    * frame boundaries, hashing, the split, both set joins and the
+    * Jaccard arithmetic must ALL be right for the hash match. */
+  def documentIncrementalVideoNearDups(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def mediaWhere(pred: org.apache.spark.sql.Column): DataFrame =
+      graft.Tables.documents(spark, dir)
+        .filter(pred)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val chunks = (0 until bytes.length / 16).map(f =>
+            java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+          (id, VideoContainers.mjpegFixture(8, chunks))
+        }
+        .toDF("doc_id", "media")
+    val corpusIndex = videoFramePHashes(
+      mediaWhere(col("doc_id") % 4 =!= 0), stride = 1)
+      .select("doc_id", "frame_phash").distinct()
+    val newFrames = videoFramePHashes(
+      mediaWhere(col("doc_id") % 4 === 0), stride = 1)
+    incrementalFrameNearDupPairs(newFrames, corpusIndex, tau)
+  }
+
   /** Demo pipeline (q94): frame-level AUDIO near-dup end-to-end — the
     * q92 composition with audio containers, proving the set-Jaccard
     * join is media-agnostic. Each document becomes a codec-true audio
