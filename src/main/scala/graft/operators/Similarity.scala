@@ -816,7 +816,10 @@ object Similarity {
     *
     * Memory is bounded ABSOLUTELY, not per query: the heap map is
     * flushed (emitted downstream and swapped for a fresh one) whenever
-    * it reaches `maxEntries` (≈ tuples held, queries × k). Without the
+    * its QUERY count reaches the window budget — ~10% of the executor
+    * heap divided by concurrent tasks at the measured per-heap cost
+    * (~120 B of map/heap objects + ~56 B per boxed tuple), capped by
+    * `maxEntries` total tuples. Without the
     * window bound, memory is distinct-queries-per-partition × k — and
     * an evenly salted join scatters EVERY query's probes across all
     * partitions, so at 2 M self-search queries each of 32 CONCURRENT
@@ -842,16 +845,27 @@ object Similarity {
       .mapPartitions { it =>
         import java.util.{Comparator, HashMap, PriorityQueue}
         import scala.jdk.CollectionConverters._
-        // window budget: the maxEntries floor, raised on big heaps —
-        // ~15% of executor memory split across concurrent tasks at
-        // ~56 B/boxed tuple (fewer flushes ⇒ less fold output), so the
-        // 48 g profile gets wide windows while an 8 g default stays at
-        // the safe floor (evaluated executor-side: local mode shares
-        // the JVM, a cluster executor reports its own heap)
-        val dynEntries = math.max(maxEntries.toLong,
-          (Runtime.getRuntime.maxMemory() * 0.15 / 56 /
-            math.max(Runtime.getRuntime.availableProcessors, 1)).toLong)
-        val maxQ = math.max(1024L, dynEntries / kk).min(Int.MaxValue).toInt
+        // Window budget in QUERIES, from measured per-heap cost: a
+        // HashMap entry + PriorityQueue + backing array is ~120 B
+        // BEFORE any tuple, plus k boxed (Double, Long) tuples at
+        // ~56 B — at small k (the common case) the per-heap overhead
+        // dominates, which is why an entries-only budget undercounts
+        // ~5×. ~10% of the executor heap split across CONCURRENT
+        // tasks (evaluated executor-side: local mode shares the JVM,
+        // a cluster executor reports its own heap); `maxEntries`
+        // remains the absolute entry cap. The r13 2 M-vector campaign
+        // OOM'd the 8 g default exactly here: the old floor raised
+        // every task's window to 2²¹ entries REGARDLESS of the 32-way
+        // task concurrency, so the heap maps alone wanted ~6 GB —
+        // a floor must never exceed what the heap divided by
+        // concurrency affords.
+        val procs = math.max(Runtime.getRuntime.availableProcessors, 1)
+        val perQueryBytes = 120L + 56L * kk
+        val budgetBytes =
+          (Runtime.getRuntime.maxMemory() * 0.10 / procs).toLong
+        val maxQ = math.max(1024L,
+          math.min(budgetBytes / perQueryBytes, maxEntries.toLong / kk))
+          .min(Int.MaxValue).toInt
         // head = current WORST under (dist, neighbor) ascending rank
         val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {
           def compare(a: (Double, Long), b: (Double, Long)): Int = {
