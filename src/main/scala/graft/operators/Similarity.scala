@@ -776,14 +776,25 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("cand"))
       .select(col("query_id"), col("cand.neighbor_id").as("neighbor_id"))
     // exact cosine on the shortlist only: two linear joins against the
-    // raw vectors (n·R slim rows — never the corpus against itself)
+    // raw vectors (n·R slim rows — never the corpus against itself).
+    // Both joins are hinted SHUFFLE_HASH with the corpus side as the
+    // build (n slim rows per partition): sort-merge would SORT the
+    // n·R-row pair stream — and after join 1 those rows carry the
+    // neighbor vector, so at 2 M × R=64 the join-2 sort is ~38 GB of
+    // UnsafeExternalSorter spill ON TOP of the shuffle files (the r13
+    // campaign filled the disk exactly there). A hash join streams the
+    // fat side through unsorted; the pair stream still shuffles once
+    // per join (unavoidable — each pair needs both vectors), but
+    // nothing re-materializes it.
     val withB = short.join(
       embeddings.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("e_b"), l2Norm(col("embedding")).as("n_b")),
+        col("embedding").as("e_b"), l2Norm(col("embedding")).as("n_b"))
+        .hint("shuffle_hash"),
       "neighbor_id")
     val rescored = withB.join(
       embeddings.select(col("vec_id").as("query_id"),
-        col("embedding").as("e_a"), l2Norm(col("embedding")).as("n_a")),
+        col("embedding").as("e_a"), l2Norm(col("embedding")).as("n_a"))
+        .hint("shuffle_hash"),
       "query_id")
       .withColumn("cosine",
         dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
