@@ -25,6 +25,13 @@ object GraftSession {
       // cheap so they pack into few tasks (the reference's 100 MB
       // CombineFileInputFormat splits, base.properties:39-40)
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill codec, env-tunable: lz4 (default) optimizes CPU;
+      // zstd buys ~25% on the candidate-stream shuffles whose BYTES are
+      // the binding constraint when a data-quadratic campaign runs on
+      // one machine's disk (at fleet scale the same knob trades shuffle
+      // network for codec CPU — a standard large-shuffle lever)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
 
   /** Build (or reuse) the session and register SQL functions plus the
     * range-join rewrite rule (idempotent). */

@@ -745,7 +745,21 @@ object Similarity {
     val indexS = index.join(broadcast(factors), "cell")
       .withColumn("salt", explode(sequence(lit(0), col("r") - 1)))
       .drop("r")
-    val scored = indexS.join(probesS, Seq("cell", "salt"))
+    // JOIN ORDER IS LOAD-BEARING for the fold downstream: the probes
+    // side STREAMS (left of a shuffle-hash join whose build is the
+    // slim index cell group), so the join emits each query's
+    // candidates for a cell as ONE contiguous run — the query's heap
+    // completes inside the run and fold-1 emits ≤ R once per
+    // (query, cell). With the sides flipped (index streaming), output
+    // is index-row-major: every query in the cell stays "active"
+    // across the whole cell run, each window flush re-opens every
+    // active heap, and in a mega-cell (probing queries > window
+    // budget) fold output degenerates to ≈ the RAW candidate stream —
+    // the r13 2 M campaign measured that as ~10¹⁰ rows of exchange
+    // (~200 GB) instead of ~10⁹ (~30 GB). The build side is safe to
+    // hash: ≤ nb slim rows per (cell, salt) group (~60 B each).
+    val scored = probesS.join(indexS.hint("shuffle_hash"),
+        Seq("cell", "salt"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
