@@ -756,10 +756,14 @@ object Similarity {
     // active heap, and in a mega-cell (probing queries > window
     // budget) fold output degenerates to ≈ the RAW candidate stream —
     // the r13 2 M campaign measured that as ~10¹⁰ rows of exchange
-    // (~200 GB) instead of ~10⁹ (~30 GB). The build side is safe to
-    // hash: ≤ nb slim rows per (cell, salt) group (~60 B each).
-    val scored = probesS.join(indexS.hint("shuffle_hash"),
-        Seq("cell", "salt"))
+    // (~200 GB) instead of ~10⁹ (~30 GB). Sort-merge, NOT shuffle-hash:
+    // the hash build side is a whole index PARTITION (Σ replicated
+    // rows/32 — the same campaign then died UNABLE_TO_ACQUIRE_MEMORY
+    // building it), while SMJ buffers only one (cell, salt) group of
+    // slim index rows at a time and streams the left (probes) side in
+    // key order — per-key memory is the mega-cell's ~9 MB, not the
+    // partition's gigabytes.
+    val scored = probesS.join(indexS, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
