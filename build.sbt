@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JNI codecs (zstd-jni via SPARK_GRAFT_SHUFFLE_CODEC) hold
+  // GetPrimitiveArrayCritical across compression calls; with 32
+  // concurrent tasks the GC locker can starve G1 until allocations
+  // spuriously OOM ("Retried waiting for GCLocker too often").
+  // More retries before giving up is the documented JDK17 mitigation.
+  "-XX:GCLockerRetryAllocationCount=100",
 )

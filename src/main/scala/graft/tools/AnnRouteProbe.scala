@@ -60,10 +60,11 @@ object AnnRouteProbe {
         val nq = q.count()
         val t0 = System.nanoTime()
         val ex = Similarity.bruteForceTopK(q, emb, k)
-          .select("query_id", "neighbor_id").cache()
+          .select("query_id", "neighbor_id", "cosine").cache()
         val exRows = ex.count()
-        println(f"""{"stage":"exact","queries":$nq,"rows":$exRows,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-        Some((q, ex, nq))
+        val exAvgCos = ex.agg(avg("cosine")).head.getDouble(0)
+        println(f"""{"stage":"exact","queries":$nq,"rows":$exRows,"avg_cos":$exAvgCos%.6f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        Some((q, ex, nq, exAvgCos))
       }
 
     engines.foreach { eng =>
@@ -73,12 +74,23 @@ object AnnRouteProbe {
           annMode = eng)
         val rows = out.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        val recallField = exact.map { case (q, ex, nq) =>
-          val hits = out
+        val recallField = exact.map { case (q, ex, nq, exAvgCos) =>
+          // recall counts exact id matches; on a near-dup-clustered
+          // corpus the true top-k among ~10⁵ cosine near-ties is a
+          // lottery NO sub-exact engine wins, so also report cosine
+          // REGRET: how much worse the returned neighbors' mean
+          // cosine is than the exact top-k's — the quality measure
+          // that survives tie-dense regimes.
+          val sample = out
             .join(q.select(col("vec_id").as("query_id")), "query_id")
-            .join(ex, Seq("query_id", "neighbor_id"))
+            .cache()
+          val hits = sample
+            .join(ex.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"))
             .count()
-          f""","recall@$k":${hits.toDouble / (nq * k)}%.3f"""
+          val engAvgCos = sample.agg(avg("cosine")).head.getDouble(0)
+          sample.unpersist()
+          f""","recall@$k":${hits.toDouble / (nq * k)}%.3f,"avg_cos":$engAvgCos%.6f,"cos_regret":${exAvgCos - engAvgCos}%.6f"""
         }.getOrElse("")
         println(f"""{"stage":"engine","mode":"$eng","run":$run,"rows":$rows,"sec":$sec%.2f$recallField}""")
         // free operator caches between engines so runs don't subsidize
