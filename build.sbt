@@ -31,6 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GetPrimitiveArrayCritical across compression calls; with 32
   // concurrent tasks the GC locker can starve G1 until allocations
   // spuriously OOM ("Retried waiting for GCLocker too often").
-  // More retries before giving up is the documented JDK17 mitigation.
+  // More retries before giving up is the documented JDK17 mitigation
+  // (diagnostic flag — needs the unlock switch first).
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
