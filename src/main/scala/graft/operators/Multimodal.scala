@@ -348,15 +348,21 @@ object Multimodal {
   def videoNearDupPairs(frames: DataFrame, tau: Double,
       maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
       pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
-    // The distinct frame-set rel is read FOUR times (the sizes agg,
-    // both pairing sides, and the guard statistic when enabled) — and
-    // upstream of it sits the container walk over full payload bytes,
-    // the expensive part. Cache it unconditionally: the rel is slim
-    // (two longs per distinct frame) and one walk beats four at every
-    // scale. Lifecycle via `pin` as everywhere else.
-    val sets = frames.select(col("doc_id"), col("frame_phash")).distinct()
-      .cache()
-    pin(sets)
+    // The distinct frame-set rel is read FOUR times when the guard is
+    // enabled (the sizes agg, both pairing sides, the guard statistic)
+    // and upstream of it sits the container walk over full payload
+    // bytes — so the GUARDED (production-scale) path caches it: one
+    // walk instead of four, slim rows (two longs per distinct frame).
+    // The unguarded path does NOT cache: at gate scale the
+    // materialization costs more than the three lazy re-reads of a
+    // cheap fixture walk (q92 regressed 1.4× when this cache was
+    // unconditional — r13 verdict item 2, ab_bench-adjudicated r14),
+    // and an unguarded caller at real scale should be guard-enabled
+    // anyway ([[frameNearDupPairsAuto]]). Lifecycle via `pin`.
+    val setsRaw = frames.select(col("doc_id"), col("frame_phash")).distinct()
+    val sets = if (maxCandidatePairs > 0L) {
+      val c = setsRaw.cache(); pin(c); c
+    } else setsRaw
     val cut: Int =
       if (maxCandidatePairs <= 0L) maxPostings
       else {
@@ -429,6 +435,29 @@ object Multimodal {
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "shared", "jaccard")
+  }
+
+  /** Production entry point for frame-set near-dup — [[videoNearDupPairs]]
+    * with the measured guard ALWAYS on, at the corpus-proportional
+    * default budget the rest of the dedup family uses
+    * ([[graft.app.CurateCorpus]]'s `dedupMode=auto` discipline):
+    * 256 candidate pairs per document, floored at 10⁶. A pipeline
+    * caller reaching for media near-dup gets the auto-derived
+    * stop-frame cut (or the refuse-with-budget-named error) by
+    * default instead of the unguarded quadratic — the gate shapes
+    * (q92/q94/q95) stay on the raw operator deliberately, their
+    * oracles pin the uncut join. One extra narrow count over the
+    * distinct doc ids prices the budget; the guard statistic then
+    * reuses the cached frame-set rel. */
+  def frameNearDupPairsAuto(frames: DataFrame, tau: Double,
+      maxPostings: Int = 0,
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    val nDocs = frames.select("doc_id").distinct().count()
+    val budget = math.max(256L * nDocs, 1000000L)
+    Parallelism.logDispatch("frameNearDupPairsAuto",
+      s"nDocs=$nDocs -> maxCandidatePairs=$budget (256/doc, floor 1e6)")
+    videoNearDupPairs(frames, tau, maxPostings = maxPostings,
+      maxCandidatePairs = budget, pin = pin)
   }
 
   /** Per-audio frame-hash rows for near-dup detection — the audio leg

@@ -762,8 +762,11 @@ object Similarity {
     // building it), while SMJ buffers only one (cell, salt) group of
     // slim index rows at a time and streams the left (probes) side in
     // key order — per-key memory is the mega-cell's ~9 MB, not the
-    // partition's gigabytes.
-    val scored = probesS.join(indexS, Seq("cell", "salt"))
+    // partition's gigabytes. The hint PINS the strategy the argument
+    // above depends on: without it the choice rides on
+    // preferSortMergeJoin + AQE defaults, and a config change would
+    // silently reintroduce the measured 10×-output / OOM failure.
+    val scored = probesS.hint("merge").join(indexS, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         HashExpressions.adcDirectDist(col("res"), col("codes"), cbs, dsub)
@@ -882,7 +885,10 @@ object Similarity {
         // ~5×. ~10% of the executor heap split across CONCURRENT
         // tasks (evaluated executor-side: local mode shares the JVM,
         // a cluster executor reports its own heap); `maxEntries`
-        // remains the absolute entry cap. The r13 2 M-vector campaign
+        // remains the absolute entry cap — the 1024-query safety
+        // floor applies only to the heap-budget term, so a caller's
+        // tiny cap (specs use 1) is honored exactly. The r13
+        // 2 M-vector campaign
         // OOM'd the 8 g default exactly here: the old floor raised
         // every task's window to 2²¹ entries REGARDLESS of the 32-way
         // task concurrency, so the heap maps alone wanted ~6 GB —
@@ -892,8 +898,9 @@ object Similarity {
         val perQueryBytes = 120L + 56L * kk
         val budgetBytes =
           (Runtime.getRuntime.maxMemory() * 0.10 / procs).toLong
-        val maxQ = math.max(1024L,
-          math.min(budgetBytes / perQueryBytes, maxEntries.toLong / kk))
+        val maxQ = math.min(
+            math.max(1024L, budgetBytes / perQueryBytes),
+            math.max(1L, maxEntries.toLong / kk))
           .min(Int.MaxValue).toInt
         // head = current WORST under (dist, neighbor) ascending rank
         val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {

@@ -80,17 +80,25 @@ object AnnRouteProbe {
           // lottery NO sub-exact engine wins, so also report cosine
           // REGRET: how much worse the returned neighbors' mean
           // cosine is than the exact top-k's — the quality measure
-          // that survives tie-dense regimes.
+          // that survives tie-dense regimes. BOTH means are
+          // normalized by the FULL slot count nq·k (a missing slot —
+          // an engine returning < k neighbors or dropping a query —
+          // contributes cosine 0), so an engine cannot improve its
+          // regret by answering fewer queries; `sample_rows` makes
+          // the fill rate visible next to the means.
           val sample = out
             .join(q.select(col("vec_id").as("query_id")), "query_id")
             .cache()
+          val sampleRows = sample.count()
           val hits = sample
             .join(ex.select("query_id", "neighbor_id"),
               Seq("query_id", "neighbor_id"))
             .count()
-          val engAvgCos = sample.agg(avg("cosine")).head.getDouble(0)
+          val engCosSum = sample.agg(sum("cosine")).head.getDouble(0)
           sample.unpersist()
-          f""","recall@$k":${hits.toDouble / (nq * k)}%.3f,"avg_cos":$engAvgCos%.6f,"cos_regret":${exAvgCos - engAvgCos}%.6f"""
+          val slots = nq * k
+          val engAvgCos = engCosSum / slots
+          f""","recall@$k":${hits.toDouble / slots}%.3f,"sample_rows":$sampleRows,"slots":$slots,"avg_cos":$engAvgCos%.6f,"cos_regret":${exAvgCos - engAvgCos}%.6f"""
         }.getOrElse("")
         println(f"""{"stage":"engine","mode":"$eng","run":$run,"rows":$rows,"sec":$sec%.2f$recallField}""")
         // free operator caches between engines so runs don't subsidize

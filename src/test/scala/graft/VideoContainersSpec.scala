@@ -320,6 +320,44 @@ class VideoContainersSpec extends AnyFunSuite {
     frames.unpersist()
   }
 
+  test("frameNearDupPairsAuto: guard always on at the 256/doc (floor 1e6) budget") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 37 + i * 5) % 120 + 1).toByte)
+    val boiler = chunk(0)
+    val media = (0 until 6).flatMap { k =>
+      val fr = Seq(boiler, chunk(k + 1), chunk(k + 50))
+      Seq((2L * k + 1, VideoContainers.mjpegFixture(8, fr)),
+          (2L * k + 2, VideoContainers.mjpegFixture(8, fr)))
+    }.toDF("doc_id", "media")
+    val frames = Multimodal.videoFramePHashes(media, stride = 1).cache()
+    // capture the dispatch line: the production entry must price the
+    // budget from the doc count (12 docs -> floor 1e6 wins) and hand
+    // it to the guard — no caller opt-in required
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    val auto =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+        Multimodal.frameNearDupPairsAuto(frames, tau = 0.5)
+          .select("doc_a", "doc_b", "shared", "jaccard")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      } finally System.setErr(oldErr)
+    val log = errBuf.toString("UTF-8")
+    assert(log.contains(
+      "frameNearDupPairsAuto: nDocs=12 -> maxCandidatePairs=1000000"))
+    assert(log.contains("videoNearDupPairs: postingsPairBound=")
+      && log.contains("<= budget=1000000 -> ok"))
+    // 78 candidates fit the 1e6 floor -> no cut -> parity with the
+    // raw operator at this scale
+    val raw = Multimodal.videoNearDupPairs(frames, tau = 0.5)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(auto == raw)
+    frames.unpersist()
+  }
+
   test("incrementalFrameNearDupPairs: increment ≡ full re-run restricted to new docs, incl. the cut") {
     import spark.implicits._
     implicit val s: SparkSession = spark
