@@ -504,15 +504,39 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_phash")
   }
 
+  /** Persist a distinct (doc_id, frame_phash) frame-set index as a
+    * parquet table BUCKETED BY `frame_phash` — the warehouse form
+    * [[incrementalFrameNearDupPairs]]'s corpus side wants at 100 TB
+    * (the [[Similarity.writeAdcIndexBucketed]] discipline, media
+    * form). What the layout buys: the daily batch's postings join
+    * adopts the bucketed scan's hash partitioning, so the CORPUS side
+    * joins with ZERO exchange — only the (small) new batch shuffles,
+    * into exactly `buckets` partitions — and corpus payloads were
+    * already never re-walked (the index rows are the walk's output).
+    * Maintained by append per ingest window; spec-pinned
+    * (VideoContainersSpec: zero Exchange between the bucketed scan
+    * and the postings join + row identity with the in-memory path). */
+  def writeFrameIndexBucketed(sets: DataFrame, table: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = sets.select(col("doc_id"), col("frame_phash")).distinct()
+      .write
+      .bucketBy(buckets, "frame_phash")
+      .sortBy("frame_phash")
+      .mode("overwrite")
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Incremental frame-set near-dup — the production maintenance path
     * of [[videoNearDupPairs]] at 100 TB (the
     * [[Dedup.incrementalNearDupPairs]] discipline, media form): a
     * daily video/audio ingest must NOT re-pair the whole corpus. New
     * media's frame-hash rows join the PERSISTED corpus frame index
-    * `corpusSets` — (doc_id, frame_phash) distinct rows, at scale a
-    * parquet table bucketed on frame_phash so the corpus side of the
-    * postings join never shuffles — plus a self-join among the new
-    * batch; existing corpus payloads are never re-walked.
+    * `corpusSets` — (doc_id, frame_phash) distinct rows, at scale the
+    * [[writeFrameIndexBucketed]] table bucketed on frame_phash so the
+    * corpus side of the postings join never shuffles (spec-pinned) —
+    * plus a self-join among the new batch; existing corpus payloads
+    * are never re-walked.
     *
     * `maxPostings` (>0) drops hashes whose COMBINED (corpus + new)
     * posting count exceeds it, before pairing — cut-for-cut identical

@@ -404,6 +404,76 @@ class VideoContainersSpec extends AnyFunSuite {
     assert(flags.exists(f => f._3) && flags.exists(f => !f._3))
   }
 
+  test("writeFrameIndexBucketed: corpus side of the postings join never shuffles; rows ≡ in-memory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 43 + i * 13) % 120 + 1).toByte)
+    def vid(chunks: Array[Byte]*) =
+      VideoContainers.mjpegFixture(8, chunk(0) +: chunks.toSeq)
+    val corpusMedia = Seq(
+      (1L, vid(chunk(1), chunk(2))), (2L, vid(chunk(1), chunk(2))),
+      (3L, vid(chunk(5), chunk(6)))).toDF("doc_id", "media")
+    val newMedia = Seq(
+      (10L, vid(chunk(1), chunk(2))),
+      (11L, vid(chunk(7), chunk(8))), (12L, vid(chunk(7), chunk(8))),
+      (13L, vid(chunk(20), chunk(21)))).toDF("doc_id", "media")
+    val corpusSets = Multimodal.videoFramePHashes(corpusMedia, stride = 1)
+      .select("doc_id", "frame_phash").distinct()
+    val newFrames = Multimodal.videoFramePHashes(newMedia, stride = 1)
+    val dir = java.nio.file.Files.createTempDirectory("media_fidx").toString
+    Multimodal.writeFrameIndexBucketed(corpusSets, "media_frame_idx",
+      buckets = 4, path = Some(s"$dir/media_frame_idx"))
+    // plan pin with AQE off (stable shapes) and auto-broadcast off —
+    // a broadcast of the tiny test batch would bypass the bucketed
+    // layout this test exists to prove
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Multimodal.incrementalFrameNearDupPairs(
+        newFrames, spark.table("media_frame_idx"), tau = 0.5)
+      val plan = res.queryExecution.executedPlan
+      def scansIdx(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case sc: FileSourceScanExec => sc }
+          .exists(_.metadata.get("Location").exists(_.contains("media_frame_idx")))
+      // every shuffled join whose (right = corpus) subtree reads the
+      // bucketed table must read it exchange-free: the scan's bucket
+      // partitioning feeds the join directly, only the batch side
+      // shuffles
+      val corpusSides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("frame_phash")) => j.right
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("frame_phash")) => j.right
+      }.filter(scansIdx)
+      assert(corpusSides.nonEmpty, plan.toString.take(3000))
+      corpusSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          side.toString.take(3000))
+      }
+      // row identity with the in-memory corpus-sets path, incl. a cut
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_a", "doc_b", "shared", "jaccard", "vs_corpus")
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+      for (cut <- Seq(0, 4)) {
+        val persisted = norm(Multimodal.incrementalFrameNearDupPairs(
+          newFrames, spark.table("media_frame_idx"), tau = 0.5,
+          maxPostings = cut))
+        val inMem = norm(Multimodal.incrementalFrameNearDupPairs(
+          newFrames, corpusSets, tau = 0.5, maxPostings = cut))
+        assert(persisted == inMem && persisted.nonEmpty, s"cut=$cut")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("audioFramePHashes feeds videoNearDupPairs: re-chunked audio dup caught, cross-container not") {
     import spark.implicits._
     implicit val s: SparkSession = spark
