@@ -112,6 +112,14 @@ object ServeQueries {
     graft.operators.Multimodal
       .documentIncrementalVideoNearDups(s, d, tau = 0.4)
 
+  /** The q92 chain through the PRODUCTION guarded entry
+    * ([[graft.operators.Multimodal.frameNearDupPairsAuto]], guard
+    * always on at 256/doc floor 10⁶): at gate scale the volume fits
+    * the floor, so the rows must be bit-identical to q92's — pinning
+    * that auto dispatch does not perturb below-budget semantics. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.documentVideoNearDupsAuto(s, d, tau = 0.4)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -198,7 +206,49 @@ object ServeQueries {
     "q92_video_neardup" -> (q92 _),
     "q93_audio_frames" -> (q93 _),
     "q94_audio_neardup" -> (q94 _),
-    "q95_incr_media_neardup" -> (q95 _))
+    "q95_incr_media_neardup" -> (q95 _),
+    "q96_media_neardup_auto" -> (q96 _))
+
+  /** The q92/q96 shared oracle — frame hashes by the q89 fixture
+    * arithmetic, then the video-level Jaccard set join in SQL (see the
+    * comment at the map entries). */
+  private val videoNearDupOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+      |), s AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+      |  FROM f
+      |), fh AS (
+      |  SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         [255,216,255,192,0,11,8,0,8,0, 8,
+      |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+      |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+      |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+      |         || [255,208]::BIGINT[]
+      |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+      |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+      |         || [255,217]::BIGINT[]),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      |  FROM s
+      |), sets AS (
+      |  SELECT DISTINCT doc_id, h FROM fh
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.doc_a, p.doc_b, p.shared,
+      |       CAST(p.shared AS DOUBLE) /
+      |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.doc_id = p.doc_a
+      |JOIN sizes sb ON sb.doc_id = p.doc_b
+      |WHERE CAST(p.shared AS DOUBLE) /
+      |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q75_pixel_decode" ->
@@ -318,50 +368,17 @@ object ServeQueries {
         |                  ELSE []::BIGINT[] END)),
         |         (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash
         |FROM s""".stripMargin,
-    "q92_video_neardup" ->
-      // Frame hashes by the q89 fixture arithmetic (constant SOF width
-      // 8 — frame identity depends on chunk content alone), then the
-      // video-level Jaccard join: distinct frame-hash sets, inverted-
-      // index pairing on the hash, shared/(|A|+|B|−shared) ≥ 0.4. The
-      // Spark side must recover identical frame bytes from the real
-      // MJPEG containers AND reproduce the set join for the pair list
-      // to hash-match.
-      """WITH f AS (
-        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
-        |), s AS (
-        |  SELECT doc_id, text,
-        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
-        |  FROM f
-        |), fh AS (
-        |  SELECT doc_id,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |         [255,216,255,192,0,11,8,0,8,0, 8,
-        |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
-        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
-        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
-        |         || [255,208]::BIGINT[]
-        |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
-        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
-        |         || [255,217]::BIGINT[]),
-        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-        |  FROM s
-        |), sets AS (
-        |  SELECT DISTINCT doc_id, h FROM fh
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p.doc_a, p.doc_b, p.shared,
-        |       CAST(p.shared AS DOUBLE) /
-        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
-        |FROM pairs p
-        |JOIN sizes sa ON sa.doc_id = p.doc_a
-        |JOIN sizes sb ON sb.doc_id = p.doc_b
-        |WHERE CAST(p.shared AS DOUBLE) /
-        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
+    // Frame hashes by the q89 fixture arithmetic (constant SOF width
+    // 8 — frame identity depends on chunk content alone), then the
+    // video-level Jaccard join: distinct frame-hash sets, inverted-
+    // index pairing on the hash, shared/(|A|+|B|−shared) ≥ 0.4. The
+    // Spark side must recover identical frame bytes from the real
+    // MJPEG containers AND reproduce the set join for the pair list
+    // to hash-match. SHARED by q92 (raw operator) and q96 (the
+    // guarded production entry) — at gate scale the guard's budget
+    // floor exceeds the candidate volume, so both must equal this.
+    "q92_video_neardup" -> videoNearDupOracleSql,
+    "q96_media_neardup_auto" -> videoNearDupOracleSql,
     "q94_audio_neardup" ->
       // Frame hashes by the q93 fixture arithmetic — per-parity fold
       // (even ids: the 288-byte MP3 frame [FF FB 74 00]+chunk+268·00,

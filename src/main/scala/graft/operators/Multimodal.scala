@@ -710,6 +710,30 @@ object Multimodal {
     videoNearDupPairs(videoFramePHashes(media, stride = 1), tau)
   }
 
+  /** Demo pipeline (q96): the q92 chain through the PRODUCTION entry
+    * [[frameNearDupPairsAuto]] — the measured postings guard always
+    * on at the 256/doc (floor 10⁶) budget. At gate scale the
+    * candidate volume fits the floor, so the result must be
+    * bit-identical to q92's: the oracle pins that the auto dispatch
+    * (doc count → budget → guard statistic → "ok" branch) does not
+    * perturb below-budget semantics end-to-end. */
+  def documentVideoNearDupsAuto(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        (id, VideoContainers.mjpegFixture(8, chunks))
+      }
+      .toDF("doc_id", "media")
+    frameNearDupPairsAuto(videoFramePHashes(media, stride = 1), tau)
+  }
+
   /** Demo pipeline (q95): INCREMENTAL frame-level near-dup end-to-end
     * — the q92 chain run the way a daily media ingest actually runs it
     * ([[incrementalFrameNearDupPairs]]): docs with doc_id % 4 == 0 are

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * line per phase; the `[graft.dispatch]` stderr lines record which
   * tier each half actually took. Numbers land in STRESS.md.
   *
-  * Usage: sbt "runMain graft.tools.AdcProbe <sfDir> [nProbe] [k] [rerank]"
+  * Usage: sbt "runMain graft.tools.AdcProbe <sfDir> [nProbe] [k] [rerank]
+  *             [maintenanceWindows]"
   */
 object AdcProbe {
   def main(args: Array[String]): Unit = {
@@ -137,6 +138,56 @@ object AdcProbe {
     val drift = unioned.select("query_id", "neighbor_id")
       .exceptAll(compacted.select("query_id", "neighbor_id")).count()
     println(f"""{"stage":"compaction","increment_rows":$nInc,"encode_sec":$tEncode%.2f,"union_search_sec":$tUnion%.2f,"compact_sec":$tCompact%.2f,"compacted_search_sec":$tComp%.2f,"union_ms_per_query":${tUnion * 1000 / math.max(nQ, 1)}%.1f,"compacted_ms_per_query":${tComp * 1000 / math.max(nQ, 1)}%.1f,"results_union":$nU,"results_compacted":$nC,"result_drift":$drift}""")
+
+    // ---- maintenance LOOP: N raw append windows, then compact ------ //
+    // What a deployment actually does between compactions: each ingest
+    // window writes its encoded increment as PLAIN (unbucketed) parquet
+    // next to the bucketed base, and pruned search reads base ∪ all
+    // accumulated raw files. The raw side has no bucket metadata, so
+    // its scan cannot prune — per-window search cost should degrade
+    // proportionally to accumulated raw rows, and one compaction
+    // ([[Similarity.compactAdcIndexBucketed]]) must restore the
+    // bucketed-base latency. One JSON row per window + one after
+    // compaction; the flat-vs-degraded pair is the STRESS.md evidence
+    // the compaction scaladoc's "per window" claim was missing.
+    val windows = if (args.length > 4) args(4).toInt else 4
+    if (windows > 0) {
+      val rawDir = s"$dir2/raw_incr"
+      var wIncVecs = Vector.empty[org.apache.spark.sql.DataFrame]
+      (1 to windows).foreach { w =>
+        // a fresh ~1% slice per window, ids offset past everything
+        val off = (maxId + 1L) * (w + 1L)
+        val vecs = emb.filter(pmod(col("vec_id"), lit(100L)) === (w % 97))
+          .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+        wIncVecs :+= vecs
+        Similarity.buildResidualAdcIndex(vecs, cents, rcbs, rdsub)
+          .write.mode("append").parquet(rawDir)
+        val raws = spark.read.parquet(rawDir)
+        val rawRows = raws.count()
+        val allVecs = wIncVecs.foldLeft(emb)(_ unionByName _)
+        val tw = System.nanoTime()
+        val rws = Similarity.ivfAdcSearchPruned(q,
+          spark.table("adc_probe_idx").unionByName(raws),
+          cents, rcbs, rdsub, nProbe, k, rerank, Some(allVecs),
+          residual = true)
+        val nW = rws.count()
+        val twSec = (System.nanoTime() - tw) / 1e9
+        println(f"""{"stage":"maintenance_window","window":$w,"raw_rows":$rawRows,"results":$nW,"search_sec":$twSec%.2f,"ms_per_query":${twSec * 1000 / math.max(nQ, 1)}%.1f}""")
+      }
+      val allRaw = spark.read.parquet(rawDir)
+      val tc = System.nanoTime()
+      Similarity.compactAdcIndexBucketed(spark, "adc_probe_idx", allRaw,
+        "adc_probe_idx_v3", buckets, Some(s"$dir2/adc_probe_idx_v3"))
+      val tcSec = (System.nanoTime() - tc) / 1e9
+      val allVecs = wIncVecs.foldLeft(emb)(_ unionByName _)
+      val tf = System.nanoTime()
+      val fin = Similarity.ivfAdcSearchPruned(q,
+        spark.table("adc_probe_idx_v3"), cents, rcbs, rdsub, nProbe, k,
+        rerank, Some(allVecs), residual = true)
+      val nF = fin.count()
+      val tfSec = (System.nanoTime() - tf) / 1e9
+      println(f"""{"stage":"maintenance_compacted","windows":$windows,"compact_sec":$tcSec%.2f,"results":$nF,"search_sec":$tfSec%.2f,"ms_per_query":${tfSec * 1000 / math.max(nQ, 1)}%.1f}""")
+    }
     spark.stop()
   }
 }

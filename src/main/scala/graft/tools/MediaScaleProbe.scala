@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   *  2. measured: (a) frame extraction counts over all four container
   *     kinds (the decode-side scan); (b) q92-shape video near-dup
   *     (stride-1 frame hashes → set-Jaccard pairs) over the MJPEG+MP4
-  *     half, with the measured postings guard enabled.
+  *     half, with the measured postings guard enabled; (c) the q95
+  *     shape at scale — the video half split 7:1 into corpus/daily
+  *     batch, the corpus frame index persisted BUCKETED by frame_phash
+  *     ([[graft.operators.Multimodal.writeFrameIndexBucketed]], timed
+  *     as the one-time indexing cost), then the incremental near-dup
+  *     join of the batch against the persisted index (timed as the
+  *     per-ingest cost — this is the number that must be
+  *     increment-proportional, not corpus-proportional).
   *
   * Usage: sbt "runMain graft.tools.MediaScaleProbe <sfDir> <workDir>
-  *             [repeat] [tau]"
+  *             [repeat] [tau] [incrMaxPostings]"
   */
 object MediaScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -92,6 +99,36 @@ object MediaScaleProbe {
     val nPairs = pairs.count()
     val ndSec = (System.nanoTime() - t3) / 1e9
     println(f"""{"stage":"neardup","pairs":$nPairs,"budget":$budget,"sec":$ndSec%.1f}""")
+    graft.operators.OperatorCaches.releaseAll()
+
+    // (c) the incremental (q95) shape at scale: corpus = video docs
+    // with doc_id % 16 != 0 (walked ONCE into the persisted bucketed
+    // index), batch = the doc_id % 16 == 0 slice (~1/8 of the video
+    // half — a plausible daily ingest). The measured claim: incr_sec
+    // costs what the BATCH walk + postings join cost, independent of
+    // corpus payload bytes — the corpus enters only through its slim
+    // index rows.
+    val incrCut = if (args.length > 4) args(4).toInt else 0
+    val corpusMedia = video.filter(col("doc_id") % 16 =!= 0)
+    val batchMedia = video.filter(col("doc_id") % 16 === 0)
+    val tbl = "media_frame_idx_probe"
+    val tIdx = System.nanoTime()
+    Multimodal.writeFrameIndexBucketed(
+      Multimodal.videoFramePHashes(corpusMedia, stride = 1),
+      tbl, buckets = spark.sparkContext.defaultParallelism,
+      path = Some(s"$work/$tbl"))
+    val idxRows = spark.table(tbl).count()
+    val idxSec = (System.nanoTime() - tIdx) / 1e9
+    val corpusDocs = corpusMedia.count()
+    println(f"""{"stage":"incr_index","corpus_docs":$corpusDocs,"index_rows":$idxRows,"sec":$idxSec%.1f}""")
+    val tInc = System.nanoTime()
+    val incrPairs = Multimodal.incrementalFrameNearDupPairs(
+      Multimodal.videoFramePHashes(batchMedia, stride = 1),
+      spark.table(tbl), tau, maxPostings = incrCut)
+    val nIncr = incrPairs.count()
+    val incSec = (System.nanoTime() - tInc) / 1e9
+    val batchDocs = batchMedia.count()
+    println(f"""{"stage":"incr","batch_docs":$batchDocs,"pairs":$nIncr,"cut":$incrCut,"sec":$incSec%.1f}""")
     graft.operators.OperatorCaches.releaseAll()
     spark.stop()
   }
