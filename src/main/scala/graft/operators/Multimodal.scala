@@ -312,6 +312,44 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_phash")
   }
 
+  /** Media-agnostic per-payload frame hashing — the per-row kernel of
+    * [[videoFramePHashes]]/[[audioFramePHashes]] resolved in one place
+    * (video containers first, then audio sync walks, then the
+    * fixed-size fallback). Exposed for the streaming ingest path
+    * ([[graft.streaming.StreamingMediaNearDup]]), where the per-doc
+    * frame SET must come out of one stateless map (a flatMap + groupBy
+    * would be a stateful streaming aggregation). Returns the DISTINCT
+    * sorted hash set. */
+  private[graft] def mediaFramePHashSet(bytes: Array[Byte], stride: Int,
+      fallbackFrameBytes: Int = 16): Array[Long] = {
+    val video =
+      if (VideoContainers.looksLikeMp4(bytes))
+        VideoContainers.parseMp4(bytes).map(_.frames).getOrElse(Nil)
+      else if (VideoContainers.looksLikeMjpeg(bytes))
+        VideoContainers.scanMjpeg(bytes)
+      else Nil
+    val spans: Iterator[(Long, Long, Long)] =
+      if (video.nonEmpty) video.iterator.map(f => (f.idx, f.off, f.len))
+      else {
+        val audio =
+          if (AudioHeaders.looksLikeAdts(bytes))
+            AudioHeaders.scanAdtsFrames(bytes)
+          else if (AudioHeaders.looksLikeMpegAudio(bytes))
+            AudioHeaders.scanMpegFrames(bytes)
+          else Nil
+        if (audio.nonEmpty) audio.iterator.map(f => (f.idx, f.off, f.len))
+        else {
+          val n = bytes.length / fallbackFrameBytes
+          (0 until n).iterator.map(f => (f.toLong,
+            f.toLong * fallbackFrameBytes, fallbackFrameBytes.toLong))
+        }
+      }
+    spans.filter(_._1 % stride == 0).map { case (_, off, len) =>
+      perceptualFrameHash(java.util.Arrays.copyOfRange(bytes,
+        off.toInt, (off + len).toInt))
+    }.toArray.distinct.sorted
+  }
+
   /** Video-level near-duplicate pairs over frame-hash sets — the
     * standard training-data video dedup primitive: two videos are
     * near-dups when the Jaccard of their DISTINCT sampled-frame-hash
