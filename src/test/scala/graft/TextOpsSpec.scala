@@ -350,18 +350,28 @@ class TextOpsSpec extends AnyFunSuite {
     val k = 3
     // exact reference over the clustered queries only
     val q = emb.filter($"vec_id" < 400L)
-    val exact = Similarity.bruteForceTopK(q, emb, k)
+    val exactDf = Similarity.bruteForceTopK(q, emb, k)
+      .select("query_id", "neighbor_id", "cosine").cache()
+    val exact = exactDf
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    def recallOf(out: org.apache.spark.sql.DataFrame): Double = {
-      val got = out.filter($"query_id" < 400L)
+    val exactAvgCos = exactDf.agg(sum("cosine")).head.getDouble(0) / exact.size
+    def score(out: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val sample = out.filter($"query_id" < 400L).cache()
+      val got = sample
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-      (got intersect exact).size.toDouble / exact.size
+      // slot-normalized, like AnnRouteProbe: a missing slot scores 0
+      val regret = exactAvgCos -
+        sample.agg(sum("cosine")).head.getDouble(0) / exact.size
+      sample.unpersist()
+      ((got intersect exact).size.toDouble / exact.size, regret)
     }
-    val lshRecall = recallOf(Similarity.lshTopKAuto(emb, 64, nBands = 4,
-      k = k, annMode = "lsh"))
-    val routedRecall = recallOf(Similarity.lshTopKAuto(emb, 64, nBands = 4,
-      k = k, annMode = "ivfadc"))
+    val (lshRecall, lshRegret) = score(Similarity.lshTopKAuto(emb, 64,
+      nBands = 4, k = k, annMode = "lsh"))
+    val (routedRecall, routedRegret) = score(Similarity.lshTopKAuto(emb, 64,
+      nBands = 4, k = k, annMode = "ivfadc"))
     info(f"clustered recall@$k: lsh=$lshRecall%.3f routed=$routedRecall%.3f")
+    info(f"clustered cos_regret: lsh=$lshRegret%.5f routed=$routedRegret%.5f")
+    exactDf.unpersist()
     // floor: the routed engine must match-or-beat lsh within a 0.02
     // sampling-noise band, and clear an absolute quality bar on the
     // planted-cluster queries
@@ -369,6 +379,17 @@ class TextOpsSpec extends AnyFunSuite {
       f"routed ivfadc recall $routedRecall%.3f < lsh $lshRecall%.3f")
     assert(routedRecall >= 0.8,
       f"routed ivfadc recall $routedRecall%.3f under the 0.8 floor")
+    // regret floor (VERDICT r13 item 3): the id-recall lottery and the
+    // cosine quality MOVE OPPOSITE on tie-dense corpora (sf10skew
+    // boundary probe: lsh recall 0.637/regret 0.0140 vs ivfadc
+    // 0.613/0.00078), so the recall floor alone could pass an engine
+    // returning materially worse neighbors. Pin the cosine side too:
+    // the routed engine's slot-normalized mean cosine must sit within
+    // a hair of exact, and never behind lsh beyond noise.
+    assert(routedRegret <= lshRegret + 0.002,
+      f"routed ivfadc regret $routedRegret%.5f > lsh $lshRegret%.5f + band")
+    assert(routedRegret <= 0.01,
+      f"routed ivfadc regret $routedRegret%.5f over the 0.01 ceiling")
     emb.unpersist()
   }
 
