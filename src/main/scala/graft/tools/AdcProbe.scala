@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * tier each half actually took. Numbers land in STRESS.md.
   *
   * Usage: sbt "runMain graft.tools.AdcProbe <sfDir> [nProbe] [k] [rerank]
-  *             [maintenanceWindows]"
+  *             [maintenanceWindows] [incrDenom]"
   */
 object AdcProbe {
   def main(args: Array[String]): Unit = {
@@ -109,6 +109,9 @@ object AdcProbe {
     // encoded against the SAME pinned artifacts (appendResidualAdcIndex
     // semantics — base corpus never rescanned).
     val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    // slim to the 2 columns every union below needs (scale corpora
+    // carry extra columns, e.g. label, that would break unionByName)
+    val embSlim = emb.select("vec_id", "embedding")
     val incVecs = emb.filter(pmod(col("vec_id"), lit(100L)) === 7)
       .select((col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding"))
     val nInc = incVecs.count()
@@ -122,7 +125,7 @@ object AdcProbe {
     val unioned = Similarity.ivfAdcSearchPruned(q,
       spark.table("adc_probe_idx").unionByName(increment),
       cents, rcbs, rdsub, nProbe, k, rerank,
-      Some(emb.unionByName(incVecs)), residual = true)
+      Some(embSlim.unionByName(incVecs)), residual = true)
     val nU = unioned.count()
     val tUnion = (System.nanoTime() - t9) / 1e9
     val t10 = System.nanoTime()
@@ -132,7 +135,7 @@ object AdcProbe {
     val t11 = System.nanoTime()
     val compacted = Similarity.ivfAdcSearchPruned(q,
       spark.table("adc_probe_idx_v2"), cents, rcbs, rdsub, nProbe, k, rerank,
-      Some(emb.unionByName(incVecs)), residual = true)
+      Some(embSlim.unionByName(incVecs)), residual = true)
     val nC = compacted.count()
     val tComp = (System.nanoTime() - t11) / 1e9
     val drift = unioned.select("query_id", "neighbor_id")
@@ -151,20 +154,24 @@ object AdcProbe {
     // compaction; the flat-vs-degraded pair is the STRESS.md evidence
     // the compaction scaladoc's "per window" claim was missing.
     val windows = if (args.length > 4) args(4).toInt else 4
+    // increment fraction = 1/incrDenom of the corpus per window
+    // (default 1%; pass a smaller denom to exaggerate the erosion)
+    val incrDenom = if (args.length > 5) args(5).toLong else 100L
     if (windows > 0) {
       val rawDir = s"$dir2/raw_incr"
       var wIncVecs = Vector.empty[org.apache.spark.sql.DataFrame]
       (1 to windows).foreach { w =>
-        // a fresh ~1% slice per window, ids offset past everything
+        // a fresh 1/incrDenom slice per window, ids offset past everything
         val off = (maxId + 1L) * (w + 1L)
-        val vecs = emb.filter(pmod(col("vec_id"), lit(100L)) === (w % 97))
+        val vecs = emb
+          .filter(pmod(col("vec_id"), lit(incrDenom)) === (w % (incrDenom - 3)))
           .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
         wIncVecs :+= vecs
         Similarity.buildResidualAdcIndex(vecs, cents, rcbs, rdsub)
           .write.mode("append").parquet(rawDir)
         val raws = spark.read.parquet(rawDir)
         val rawRows = raws.count()
-        val allVecs = wIncVecs.foldLeft(emb)(_ unionByName _)
+        val allVecs = wIncVecs.foldLeft(embSlim)(_ unionByName _)
         val tw = System.nanoTime()
         val rws = Similarity.ivfAdcSearchPruned(q,
           spark.table("adc_probe_idx").unionByName(raws),
@@ -179,7 +186,7 @@ object AdcProbe {
       Similarity.compactAdcIndexBucketed(spark, "adc_probe_idx", allRaw,
         "adc_probe_idx_v3", buckets, Some(s"$dir2/adc_probe_idx_v3"))
       val tcSec = (System.nanoTime() - tc) / 1e9
-      val allVecs = wIncVecs.foldLeft(emb)(_ unionByName _)
+      val allVecs = wIncVecs.foldLeft(embSlim)(_ unionByName _)
       val tf = System.nanoTime()
       val fin = Similarity.ivfAdcSearchPruned(q,
         spark.table("adc_probe_idx_v3"), cents, rcbs, rdsub, nProbe, k,
