@@ -382,10 +382,17 @@ object Multimodal {
     * budget — that mass is genuine pairwise duplication, and cutting
     * it would return an empty (vacuous) result. Enabling the guard
     * runs the statistic EAGERLY at call time (the plan depends on it).
+    * `autoBudgetPerDoc` (>0, exclusive with `maxCandidatePairs`)
+    * derives the budget as max(perDoc × distinct docs, 10⁶) from the
+    * cached slim rel — the [[frameNearDupPairsAuto]] dispatch.
     * Output: (doc_a, doc_b, shared, jaccard), doc_a < doc_b. */
   def videoNearDupPairs(frames: DataFrame, tau: Double,
       maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
+      autoBudgetPerDoc: Int = 0,
       pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+    require(maxCandidatePairs <= 0L || autoBudgetPerDoc <= 0,
+      "pass either an explicit maxCandidatePairs or autoBudgetPerDoc, not both")
+    val guardOn = maxCandidatePairs > 0L || autoBudgetPerDoc > 0
     // The distinct frame-set rel is read FOUR times when the guard is
     // enabled (the sizes agg, both pairing sides, the guard statistic)
     // and upstream of it sits the container walk over full payload
@@ -398,11 +405,24 @@ object Multimodal {
     // and an unguarded caller at real scale should be guard-enabled
     // anyway ([[frameNearDupPairsAuto]]). Lifecycle via `pin`.
     val setsRaw = frames.select(col("doc_id"), col("frame_phash")).distinct()
-    val sets = if (maxCandidatePairs > 0L) {
+    val sets = if (guardOn) {
       val c = setsRaw.cache(); pin(c); c
     } else setsRaw
+    // `autoBudgetPerDoc` prices the budget from the CACHED slim rel —
+    // counting docs on `frames` would cost one extra full container
+    // walk (measured: q96 1.74 s vs q92 0.81 s before this was moved
+    // inside).
+    val budget: Long =
+      if (autoBudgetPerDoc > 0) {
+        val nDocs = sets.select("doc_id").distinct().count()
+        val b = math.max(autoBudgetPerDoc.toLong * nDocs, 1000000L)
+        Parallelism.logDispatch("videoNearDupPairs",
+          s"autoBudget: nDocs=$nDocs -> maxCandidatePairs=$b " +
+            s"($autoBudgetPerDoc/doc, floor 1e6)")
+        b
+      } else maxCandidatePairs
     val cut: Int =
-      if (maxCandidatePairs <= 0L) maxPostings
+      if (budget <= 0L) maxPostings
       else {
         // per-hash posting counts → (n_h, how many hashes) histogram;
         // distinct n_h values are ≤ O(√Σ postings) — driver-small
@@ -421,9 +441,9 @@ object Multimodal {
           }
         val maxNv = hist.lastOption.map(_._1).getOrElse(0L)
         val bound = pairsAtMost(maxNv)
-        if (bound <= maxCandidatePairs) {
+        if (bound <= budget) {
           Parallelism.logDispatch("videoNearDupPairs",
-            s"postingsPairBound=$bound <= budget=$maxCandidatePairs -> ok" +
+            s"postingsPairBound=$bound <= budget=$budget -> ok" +
               (if (maxPostings > 0) s" (caller cut maxPostings=$maxPostings)"
                else ""))
           maxPostings
@@ -431,19 +451,19 @@ object Multimodal {
           // largest p whose residual candidate volume fits the budget,
           // respecting a caller-supplied tighter cut
           val fits = hist.map(_._1)
-            .filter(p => pairsAtMost(p) <= maxCandidatePairs)
+            .filter(p => pairsAtMost(p) <= budget)
           val derived = fits.lastOption.getOrElse(1L)
           if (derived < 2L)
             throw new IllegalStateException(
               s"videoNearDupPairs: candidate volume ≈ $bound exceeds " +
-                s"maxCandidatePairs=$maxCandidatePairs even after cutting " +
+                s"maxCandidatePairs=$budget even after cutting " +
                 "every hash shared by >2 videos — the residual mass is " +
                 "genuine pairwise duplication, not boilerplate; raise the " +
                 "budget or pre-partition the corpus.")
           val p = if (maxPostings > 0) math.min(maxPostings.toLong, derived)
                   else derived
           Parallelism.logDispatch("videoNearDupPairs",
-            s"postingsPairBound=$bound > budget=$maxCandidatePairs -> " +
+            s"postingsPairBound=$bound > budget=$budget -> " +
               s"auto stop-frame cut maxPostings=$p (residual bound " +
               s"${pairsAtMost(p)}; dropped hashes still count in set " +
               "sizes, jaccard stays a lower bound)")
@@ -484,19 +504,15 @@ object Multimodal {
     * stop-frame cut (or the refuse-with-budget-named error) by
     * default instead of the unguarded quadratic — the gate shapes
     * (q92/q94/q95) stay on the raw operator deliberately, their
-    * oracles pin the uncut join. One extra narrow count over the
-    * distinct doc ids prices the budget; the guard statistic then
-    * reuses the cached frame-set rel. */
+    * oracles pin the uncut join. The doc count that prices the budget
+    * is computed INSIDE the operator from the cached slim frame-set
+    * rel (`autoBudgetPerDoc`) — counting on `frames` here would cost
+    * one extra full container walk. */
   def frameNearDupPairsAuto(frames: DataFrame, tau: Double,
       maxPostings: Int = 0,
-      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
-    val nDocs = frames.select("doc_id").distinct().count()
-    val budget = math.max(256L * nDocs, 1000000L)
-    Parallelism.logDispatch("frameNearDupPairsAuto",
-      s"nDocs=$nDocs -> maxCandidatePairs=$budget (256/doc, floor 1e6)")
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
     videoNearDupPairs(frames, tau, maxPostings = maxPostings,
-      maxCandidatePairs = budget, pin = pin)
-  }
+      autoBudgetPerDoc = 256, pin = pin)
 
   /** Per-audio frame-hash rows for near-dup detection — the audio leg
     * of [[videoFramePHashes]] (the composition [[AudioHeaders]]'s

@@ -346,7 +346,7 @@ class VideoContainersSpec extends AnyFunSuite {
       } finally System.setErr(oldErr)
     val log = errBuf.toString("UTF-8")
     assert(log.contains(
-      "frameNearDupPairsAuto: nDocs=12 -> maxCandidatePairs=1000000"))
+      "videoNearDupPairs: autoBudget: nDocs=12 -> maxCandidatePairs=1000000"))
     assert(log.contains("videoNearDupPairs: postingsPairBound=")
       && log.contains("<= budget=1000000 -> ok"))
     // 78 candidates fit the 1e6 floor -> no cut -> parity with the
