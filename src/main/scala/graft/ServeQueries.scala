@@ -120,6 +120,15 @@ object ServeQueries {
   private def q96(s: SparkSession, d: String): DataFrame =
     graft.operators.Multimodal.documentVideoNearDupsAuto(s, d, tau = 0.4)
 
+  /** The STREAMING media-ingest plan run statically (the identical
+    * plan runs under readStream per micro-batch — T6-style batch
+    * parity): new batch (doc_id % 4 = 0) vs the corpus frame index,
+    * zero-state exactly-once join — see
+    * [[graft.operators.Multimodal.documentStreamingMediaNearDups]]. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal
+      .documentStreamingMediaNearDups(s, d, tau = 0.4)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -207,7 +216,8 @@ object ServeQueries {
     "q93_audio_frames" -> (q93 _),
     "q94_audio_neardup" -> (q94 _),
     "q95_incr_media_neardup" -> (q95 _),
-    "q96_media_neardup_auto" -> (q96 _))
+    "q96_media_neardup_auto" -> (q96 _),
+    "q97_stream_media_neardup" -> (q97 _))
 
   /** The q92/q96 shared oracle — frame hashes by the q89 fixture
     * arithmetic, then the video-level Jaccard set join in SQL (see the
@@ -379,6 +389,53 @@ object ServeQueries {
     // floor exceeds the candidate volume, so both must equal this.
     "q92_video_neardup" -> videoNearDupOracleSql,
     "q96_media_neardup_auto" -> videoNearDupOracleSql,
+    "q97_stream_media_neardup" ->
+      // q95's batch×corpus leg alone (the streaming contract emits
+      // only stream-vs-corpus pairs): same fixture frame-hash
+      // arithmetic, the q95 split, Jaccard over full per-doc distinct
+      // sets. The streaming plan must reproduce all of it through its
+      // zero-state shape (per-payload sets, min-shared-hash
+      // exactly-once, array_intersect measures) to hash-match.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+        |  FROM f
+        |), fh AS (
+        |  SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         [255,216,255,192,0,11,8,0,8,0, 8,
+        |          1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,208]::BIGINT[]
+        |         || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+        |              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |         || [255,217]::BIGINT[]),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM s
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, h FROM fh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+        |), newb AS (
+        |  SELECT * FROM sets WHERE doc_id % 4 = 0
+        |), corpus AS (
+        |  SELECT * FROM sets WHERE doc_id % 4 <> 0
+        |), up AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM newb a JOIN corpus b ON a.h = b.h
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |       CAST(p.shared AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+        |FROM up p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.shared AS DOUBLE) /
+        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
     "q94_audio_neardup" ->
       // Frame hashes by the q93 fixture arithmetic — per-parity fold
       // (even ids: the 288-byte MP3 frame [FF FB 74 00]+chunk+268·00,

@@ -823,6 +823,39 @@ object Multimodal {
     incrementalFrameNearDupPairs(newFrames, corpusIndex, tau)
   }
 
+  /** Demo pipeline (q97): the STREAMING ingest plan
+    * ([[graft.streaming.StreamingMediaNearDup.mediaNearDupAgainstIndex]])
+    * executed statically over the q95 split — the same plan that runs
+    * under `readStream` per micro-batch (batch parity is the
+    * contract; StreamingMediaNearDupSpec pins stream ≡ static ≡ the
+    * batch incremental operator). Output: the vs-corpus pairs only
+    * (doc_a = new doc), which the DuckDB oracle reproduces as q95's
+    * batch×corpus leg — gate-pinning the zero-state join arithmetic
+    * (per-payload frame sets, minimum-shared-hash exactly-once,
+    * array_intersect set measures) against an independent engine. */
+  def documentStreamingMediaNearDups(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    def mediaWhere(pred: org.apache.spark.sql.Column): DataFrame =
+      graft.Tables.documents(spark, dir)
+        .filter(pred)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val chunks = (0 until bytes.length / 16).map(f =>
+            java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+          (id, VideoContainers.mjpegFixture(8, chunks))
+        }
+        .toDF("doc_id", "media")
+    val corpusIndex = videoFramePHashes(
+      mediaWhere(col("doc_id") % 4 =!= 0), stride = 1)
+      .select("doc_id", "frame_phash").distinct()
+    graft.streaming.StreamingMediaNearDup.mediaNearDupAgainstIndex(
+      mediaWhere(col("doc_id") % 4 === 0), corpusIndex, tau)
+  }
+
   /** Demo pipeline (q94): frame-level AUDIO near-dup end-to-end — the
     * q92 composition with audio containers, proving the set-Jaccard
     * join is media-agnostic. Each document becomes a codec-true audio
