@@ -278,6 +278,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(counts.values.forall(_ <= 16L * k))
   }
 
+  test("ADC self-search candidate join: merge hint holds — SMJ on (cell, salt), probes streamed") {
+    // The cost argument for the 2 M-vector path (STRESS r14
+    // certification) depends on the candidate join being sort-merge
+    // with the PROBES side streamed: index-streaming degenerates the
+    // fold output ~10x, shuffle-hash OOMs the partition-sized build.
+    // The operator pins the strategy with an explicit merge hint; this
+    // test pins the hint against Spark config/planner drift.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val out = Similarity.ivfAdcCosineSelfTopK(emb, k = 3, nProbe = 2)
+      val plan = out.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("salt")) => j
+      }
+      assert(smj.nonEmpty, plan.toString.take(3000))
+      // probes side = left = streamed in SMJ; it is the side carrying
+      // the residual (`res`) projection, the index side carries codes
+      assert(smj.head.left.toString.contains("res#") ||
+        smj.head.left.toString.contains("NearestCells") ||
+        !smj.head.left.toString.contains("codes"),
+        smj.head.left.toString.take(2000))
+      graft.operators.OperatorCaches.releaseAll()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("partialTopKPerQuery: windowed flushes (memory budget) stay exact") {
     // more distinct queries than the flush budget admits (maxQ floors
     // at 1024), candidates interleaved across queries so windows slice
