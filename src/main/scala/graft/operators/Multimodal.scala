@@ -350,6 +350,28 @@ object Multimodal {
     }.toArray.distinct.sorted
   }
 
+  /** Media-agnostic (doc_id, frame_phash) DISTINCT rows — the
+    * [[mediaFramePHashSet]] kernel as a DataFrame op. USE THIS to
+    * build a corpus frame index that a MIXED-media stream will join
+    * ([[writeFrameIndexBucketed]] + [[graft.streaming.StreamingMediaNearDup]]):
+    * [[videoFramePHashes]] hashes audio payloads through the
+    * fixed-size fallback while the streaming kernel takes the codec
+    * walk — an index built from the video-only op would never pair a
+    * true audio duplicate arriving on the stream. Single-medium
+    * pipelines (the gate shapes) keep the per-medium ops, whose
+    * frame_idx output this op deliberately drops. */
+  def mediaFramePHashes(media: DataFrame, stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(stride > 0, "positive stride")
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        mediaFramePHashSet(bytes, stride).iterator.map(h => (id, h))
+      })
+      .toDF("doc_id", "frame_phash")
+  }
+
   /** Video-level near-duplicate pairs over frame-hash sets — the
     * standard training-data video dedup primitive: two videos are
     * near-dups when the Jaccard of their DISTINCT sampled-frame-hash
@@ -567,16 +589,22 @@ object Multimodal {
     * joins with ZERO exchange — only the (small) new batch shuffles,
     * into exactly `buckets` partitions — and corpus payloads were
     * already never re-walked (the index rows are the walk's output).
-    * Maintained by append per ingest window; spec-pinned
-    * (VideoContainersSpec: zero Exchange between the bucketed scan
-    * and the postings join + row identity with the in-memory path). */
+    * Maintained per ingest window with `mode = "append"` (folding the
+    * window's new distinct rows in) or by a full re-bucket of
+    * old ∪ new into a version-suffixed table with the default
+    * overwrite — an overwrite call does NOT append, it replaces the
+    * table. Spec-pinned (VideoContainersSpec: zero Exchange between
+    * the bucketed scan and the postings join + row identity with the
+    * in-memory path). For a MIXED-media corpus that a stream will
+    * join, build `sets` with [[mediaFramePHashes]] (the streaming
+    * kernel) — not the video-only op. */
   def writeFrameIndexBucketed(sets: DataFrame, table: String, buckets: Int,
-      path: Option[String] = None): Unit = {
+      path: Option[String] = None, mode: String = "overwrite"): Unit = {
     val w = sets.select(col("doc_id"), col("frame_phash")).distinct()
       .write
       .bucketBy(buckets, "frame_phash")
       .sortBy("frame_phash")
-      .mode("overwrite")
+      .mode(mode)
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }

@@ -57,16 +57,29 @@ object StreamingMediaNearDup {
   }
 
   /** The static corpus side: persisted (doc_id, frame_phash) index
-    * rows grouped into per-doc sets — computed once at index-build
-    * time (batch side, so the aggregation is fine), persisted
-    * alongside the index at scale. */
+    * rows grouped into per-doc sets. In a stream-static join the
+    * static side's PLAN re-executes every micro-batch, so at scale
+    * compute this ONCE at index-build time, persist it next to the
+    * bucketed index, and hand the persisted (doc_id, fhs) table to
+    * [[mediaNearDupAgainstIndex]] directly — it detects the prebuilt
+    * shape by the `fhs` column and skips the aggregation; passing raw
+    * index rows makes every tiny ingest batch pay a corpus-wide
+    * groupBy. Build the raw rows with
+    * [[graft.operators.Multimodal.mediaFramePHashes]] (the same
+    * media-agnostic kernel the stream side hashes with) so mixed-media
+    * duplicates pair — a video-only index hashes audio payloads
+    * differently than the stream would. */
   def corpusFrameSets(corpusSets: DataFrame): DataFrame =
-    corpusSets.groupBy("doc_id")
+    if (corpusSets.columns.contains("fhs")) corpusSets
+    else corpusSets.groupBy("doc_id")
       .agg(sort_array(collect_set(col("frame_phash"))).as("fhs"))
 
   /** Match a (possibly streaming) media feed against the corpus frame
-    * sets. Output: (doc_a stream side, doc_b corpus, shared, jaccard)
-    * — one row per matching pair per micro-batch, jaccard ≥ `tau`. */
+    * sets — raw (doc_id, frame_phash) index rows or the prebuilt
+    * (doc_id, fhs) sets (see [[corpusFrameSets]]; prefer prebuilt on
+    * the ingest hot path). Output: (doc_a stream side, doc_b corpus,
+    * shared, jaccard) — one row per matching pair per micro-batch,
+    * jaccard ≥ `tau`. */
   def mediaNearDupAgainstIndex(media: DataFrame, corpusSets: DataFrame,
       tau: Double, stride: Int = 1)(
       implicit spark: SparkSession): DataFrame = {

@@ -62,7 +62,9 @@ object AnnRouteProbe {
         val ex = Similarity.bruteForceTopK(q, emb, k)
           .select("query_id", "neighbor_id", "cosine").cache()
         val exRows = ex.count()
-        val exAvgCos = ex.agg(avg("cosine")).head.getDouble(0)
+        // slot-normalized like the engine side below (missing exact
+        // slots — n <= k corpora — score 0), so regret is symmetric
+        val exAvgCos = ex.agg(sum("cosine")).head.getDouble(0) / (nq * k)
         println(f"""{"stage":"exact","queries":$nq,"rows":$exRows,"avg_cos":$exAvgCos%.6f,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         Some((q, ex, nq, exAvgCos))
       }

@@ -101,6 +101,40 @@ class StreamingMediaNearDupSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("mixed-media corpus: index built with mediaFramePHashes pairs audio dups; prebuilt sets ≡ raw rows") {
+    // A video-only index op hashes MP3 payloads through the fixed-size
+    // fallback while the stream kernel takes the codec walk — the
+    // duplicate below would silently never pair. The media-agnostic
+    // index op must close that gap (code-review r14 finding).
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 41 + i * 11) % 120 + 1).toByte)
+    val corpus = Seq(
+      (1L, graft.operators.AudioHeaders.mp3Fixture(
+        Seq(chunk(1), chunk(2), chunk(3)))),
+      (2L, VideoContainers.mjpegFixture(8,
+        Seq(chunk(10), chunk(11), chunk(12))))).toDF("doc_id", "media")
+    val fresh = Seq(
+      (20L, graft.operators.AudioHeaders.mp3Fixture( // re-chunked MP3 dup of 1
+        chunk(9) +: Seq(chunk(1), chunk(2), chunk(3)))),
+      (21L, VideoContainers.mjpegFixture(8, // exact MJPEG dup of 2
+        Seq(chunk(10), chunk(11), chunk(12))))).toDF("doc_id", "media")
+    val idx = Multimodal.mediaFramePHashes(corpus, stride = 1)
+    val raw = StreamingMediaNearDup
+      .mediaNearDupAgainstIndex(fresh, idx, tau = 0.5)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(raw.map(p => (p._1, p._2)) == Set((20L, 1L), (21L, 2L)))
+    // the prebuilt (doc_id, fhs) table — what the ingest hot path
+    // should pass so no corpus-wide aggregation runs per micro-batch —
+    // is detected by schema and gives identical rows
+    val prebuilt = StreamingMediaNearDup
+      .mediaNearDupAgainstIndex(fresh,
+        StreamingMediaNearDup.corpusFrameSets(idx), tau = 0.5)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(prebuilt == raw)
+  }
+
   test("audio payloads flow through the same media-agnostic kernel") {
     // one MP3 near-dup pair, one ADTS doc sharing chunks cross-container
     // (must NOT pair — different frame bytes), one unrelated

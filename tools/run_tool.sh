@@ -9,4 +9,6 @@ java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC -XX:+UnlockDiagnosticVMOptions \
   -XX:GCLockerRetryAllocationCount=100 \
   -cp "$CP" "$@"
-echo "EXITCODE=$?"
+rc=$?
+echo "EXITCODE=$rc"
+exit $rc
