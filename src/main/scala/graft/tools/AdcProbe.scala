@@ -69,26 +69,27 @@ object AdcProbe {
     val tRSearch = (System.nanoTime() - t6) / 1e9
     println(f"""{"stage":"residual_search","queries":$nQ,"results":$nRRes,"sec":$tRSearch%.2f,"ms_per_query":${tRSearch * 1000 / math.max(nQ, 1)}%.1f}""")
 
-    // recall A/B vs exact L2 ground truth (brute force over the query
-    // batch only: nQ × n dots — fine at probe scale)
+    // recall A/B vs exact L2 ground truth over a bounded SAMPLE of the
+    // query batch (the full crossJoin + window form crawled at 2 M ×
+    // 2 000 queries — 4×10⁹ pairs through one exchange; a 200-query
+    // exact reference answers the same quality question in seconds,
+    // the AnnRouteProbe discipline)
     import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.expressions.Window
+    val qSample = q.orderBy("query_id").limit(200).cache()
+    val nSample = qSample.count()
     def topSet(df: DataFrame): Set[(Long, Long)] =
-      df.select("query_id", "neighbor_id").collect()
+      df.join(qSample.select("query_id"), "query_id")
+        .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = topSet(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("e_b"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("embedding").as("e_a"))))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", Similarity.dot(col("e_a"), col("e_a"))
-        - lit(2.0) * Similarity.dot(col("e_a"), col("e_b"))
-        + Similarity.dot(col("e_b"), col("e_b")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d"), col("neighbor_id"))))
-      .filter(col("rank") <= k))
+    // bruteForceTopK ranks by cosine; recall vs the L2-metric engines
+    // is still the right reference here because corpus vectors are
+    // L2-normalized upstream (cosine and L2 order agree); sample size
+    // printed so the denominator is visible
+    val exact = topSet(Similarity.bruteForceTopK(
+      qSample.select(col("query_id").as("vec_id"), col("embedding")), emb, k))
     val recNon = (exact & topSet(res)).size.toDouble / exact.size
     val recRes = (exact & topSet(rRes)).size.toDouble / exact.size
-    println(f"""{"stage":"recall_ab","k":$k,"nonresidual":$recNon%.3f,"residual":$recRes%.3f}""")
+    println(f"""{"stage":"recall_ab","k":$k,"sample_queries":$nSample,"nonresidual":$recNon%.3f,"residual":$recRes%.3f}""")
 
     // ---- persisted bucketed index: write + pruned search ----------- //
     val dir2 = java.nio.file.Files.createTempDirectory("adc_probe_tbl").toString
@@ -157,6 +158,9 @@ object AdcProbe {
     // increment fraction = 1/incrDenom of the corpus per window
     // (default 1%; pass a smaller denom to exaggerate the erosion)
     val incrDenom = if (args.length > 5) args(5).toLong else 100L
+    require(incrDenom > 4,
+      s"incrDenom must be > 4 (got $incrDenom): the per-window residue " +
+        "cycles mod incrDenom-3, which degenerates below 5")
     if (windows > 0) {
       val rawDir = s"$dir2/raw_incr"
       var wIncVecs = Vector.empty[org.apache.spark.sql.DataFrame]
