@@ -600,11 +600,93 @@ object Multimodal {
     * kernel) — not the video-only op. */
   def writeFrameIndexBucketed(sets: DataFrame, table: String, buckets: Int,
       path: Option[String] = None, mode: String = "overwrite"): Unit = {
-    val w = sets.select(col("doc_id"), col("frame_phash")).distinct()
-      .write
+    val distinctRows = sets.select(col("doc_id"), col("frame_phash")).distinct()
+    // Append-mode re-ingest guard: distinct() above dedupes only WITHIN
+    // the window being written — re-appending a doc already in the
+    // index would leave duplicate (doc_id, frame_phash) rows, and the
+    // incremental join consumes corpus rows as-is, silently inflating
+    // shared counts and set sizes. Anti-join the window against the
+    // docs already indexed (slim column, one maintenance-time pass —
+    // not the ingest hot path).
+    val spark = sets.sparkSession
+    val rows =
+      if (mode == "append" && spark.catalog.tableExists(table))
+        distinctRows.join(
+          spark.table(table).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else distinctRows
+    val w = rows.write
       .bucketBy(buckets, "frame_phash")
       .sortBy("frame_phash")
       .mode(mode)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Persist the STREAMING ingest path's corpus side PRE-EXPLODED:
+    * one row per kept (frame_phash, doc) posting, each carrying the
+    * doc's kept frame-hash set `fhs` as a payload column plus its FULL
+    * set size `n_full`, bucketed by `frame_phash`. Why this layout
+    * exists: in a stream-static join the static side's plan re-executes
+    * every micro-batch, and the previous best corpus shape — prebuilt
+    * (doc_id, fhs) sets — still paid scan → explode → SHUFFLE of the
+    * entire exploded postings rel (each row carrying its doc's whole
+    * set array, ~100× the slim index bytes) per micro-batch, forever.
+    * Pre-exploding at build time makes the per-batch corpus side an
+    * exchange-free bucketed scan: only the (small) stream side shuffles,
+    * into exactly `buckets` partitions (the
+    * [[Similarity.writeAdcIndexBucketed]] / [[writeFrameIndexBucketed]]
+    * discipline, stream form; spec-pinned zero corpus-side Exchange in
+    * StreamingMediaNearDupSpec). Same row count as the slim index —
+    * the set is a payload column, priced once at the nightly build
+    * instead of per micro-batch.
+    *
+    * `maxPostings` (>0) is the NIGHTLY-DERIVED stop-frame cut: hashes
+    * held by more than that many corpus docs are dropped from both the
+    * exploded rows (they can never be join keys) and the carried `fhs`
+    * sets (so `shared` never counts them), while `n_full` keeps the
+    * uncut set size — Jaccard stays a lower bound, exactly the batch
+    * operator's cut contract. The ingest hot path deliberately computes
+    * no posting histogram of its own (that is this build's business);
+    * it INHERITS the cut baked in here. The cut prices corpus-only
+    * counts — a live micro-batch cannot tip a hash over it until the
+    * next nightly rebuild, the documented staleness of a static bound.
+    *
+    * `stride` records the frame-walk stride the index rows were built
+    * with (as column metadata on `fhs`, persisted through the catalog);
+    * [[graft.streaming.StreamingMediaNearDup.mediaNearDupAgainstIndex]]
+    * refuses a stream walking at a different stride — a mismatch would
+    * silently produce asymmetric frame sets and wrong jaccard.
+    *
+    * Always a full rebuild (`overwrite` into a version-suffixed table):
+    * append is structurally unsupported because the kept sets and the
+    * cut are corpus-global — a new doc changes other docs' posting
+    * counts. */
+  def writeFramePostingsBucketed(sets: DataFrame, table: String,
+      buckets: Int, path: Option[String] = None, maxPostings: Int = 0,
+      stride: Int = 1): Unit = {
+    require(stride > 0, "positive stride")
+    val rows = sets.select(col("doc_id"), col("frame_phash")).distinct()
+    val full = rows.groupBy("doc_id").agg(count(lit(1)).as("n_full"))
+    val kept =
+      if (maxPostings <= 0) rows
+      else rows.join(
+        rows.groupBy("frame_phash").agg(count(lit(1)).as("nv"))
+          .filter(col("nv") <= maxPostings).select("frame_phash"),
+        "frame_phash")
+    val keptSets = kept.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("frame_phash"))).as("fhs"))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.stride", stride.toLong)
+      .putLong("graft.maxPostings", maxPostings.toLong)
+      .build()
+    val exploded = keptSets.join(full, "doc_id")
+      .select(explode(col("fhs")).as("frame_phash"), col("doc_id"),
+        col("fhs").as("fhs", meta), col("n_full"))
+    val w = exploded.write
+      .bucketBy(buckets, "frame_phash")
+      .sortBy("frame_phash")
+      .mode("overwrite")
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Streaming media near-duplicate detection against a static corpus
   * frame index — the ingest-time form of
@@ -21,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    in-row distinct+sort).
   *  - A pair sharing k frame hashes appears k times out of the
   *    postings join, and `.distinct()`/`groupBy` on a stream is
-  *    stateful. Both sides carry their full (bounded — see below) hash
+  *    stateful. Both sides carry their (bounded — see below) hash
   *    set; a joined row survives only when its hash is the MINIMUM of
   *    the pair's intersection — each pair emits exactly once per
   *    micro-batch, and `shared`/`jaccard` come from
@@ -31,14 +32,19 @@ import org.apache.spark.sql.functions._
   * Scale bounds: the carried set arrays make a posting row
   * O(|frame set|); `stride` subsamples frames at the walk so |set| is
   * capped by payload frames / stride (pick stride so sets stay in the
-  * hundreds — the same knob the batch walk uses). The corpus side is
-  * the PERSISTED index ([[Multimodal.writeFrameIndexBucketed]] rows
-  * grouped once into sets at index-build time) — corpus payloads are
-  * never re-walked, and on a static frame the identical plan gives
-  * batch parity (spec-pinned). The batch operator's stop-frame cut is
-  * deliberately absent here: it needs the combined corpus+batch
-  * posting histogram, which is the nightly maintenance job's business,
-  * not the ingest hot path's.
+  * hundreds — the same knob the batch walk uses). The corpus side at
+  * scale is the PRE-EXPLODED bucketed postings table
+  * ([[Multimodal.writeFramePostingsBucketed]]): in a stream-static
+  * join the static side's plan re-executes every micro-batch, so the
+  * corpus must enter as an exchange-free bucketed scan — pre-exploded
+  * rows already carrying each doc's set — not as an aggregation or an
+  * explode+shuffle the batch would re-pay forever (spec-pinned zero
+  * corpus-side Exchange, StreamingMediaNearDupSpec). The stop-frame
+  * cut is the NIGHTLY-DERIVED one baked into that build
+  * (`maxPostings` at build time); the ingest hot path computes no
+  * posting histogram of its own — the combined corpus+batch histogram
+  * is the nightly maintenance job's business, and the stream inherits
+  * its bound.
   */
 object StreamingMediaNearDup {
 
@@ -56,30 +62,84 @@ object StreamingMediaNearDup {
       .toDF("doc_id", "fhs")
   }
 
+  private def requireLongArray(df: DataFrame, colName: String,
+      what: String): Unit = {
+    val dt = df.schema(colName).dataType
+    dt match {
+      case ArrayType(LongType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$what: column '$colName' must be array<bigint> (a frame-hash " +
+          s"set), got $other — a table whose sets were built by a " +
+          "different kernel would silently corrupt shared/jaccard")
+    }
+  }
+
+  /** Refuse a corpus index built at a different frame-walk stride than
+    * the stream is using ([[Multimodal.writeFramePostingsBucketed]]
+    * persists the build stride as column metadata on `fhs`): a
+    * mismatch silently produces asymmetric frame sets and wrong
+    * jaccard rather than an error. Indexes from older builders carry
+    * no metadata — those callers own the must-match constraint (it is
+    * documented on every entry point). */
+  private def checkBuildStride(df: DataFrame, streamStride: Int): Unit = {
+    val m = df.schema("fhs").metadata
+    if (m.contains("graft.stride")) {
+      val built = m.getLong("graft.stride")
+      require(built == streamStride.toLong,
+        s"corpus frame index was built at stride=$built but the stream " +
+          s"walks at stride=$streamStride — frame sets would be " +
+          "asymmetric and jaccard silently wrong; rebuild the index or " +
+          "match the stride")
+    }
+  }
+
   /** The static corpus side: persisted (doc_id, frame_phash) index
     * rows grouped into per-doc sets. In a stream-static join the
     * static side's PLAN re-executes every micro-batch, so at scale
-    * compute this ONCE at index-build time, persist it next to the
-    * bucketed index, and hand the persisted (doc_id, fhs) table to
-    * [[mediaNearDupAgainstIndex]] directly — it detects the prebuilt
-    * shape by the `fhs` column and skips the aggregation; passing raw
-    * index rows makes every tiny ingest batch pay a corpus-wide
-    * groupBy. Build the raw rows with
-    * [[graft.operators.Multimodal.mediaFramePHashes]] (the same
-    * media-agnostic kernel the stream side hashes with) so mixed-media
-    * duplicates pair — a video-only index hashes audio payloads
-    * differently than the stream would. */
+    * compute this ONCE at index-build time — preferably as the
+    * pre-exploded bucketed postings table
+    * ([[Multimodal.writeFramePostingsBucketed]]), which
+    * [[mediaNearDupAgainstIndex]] consumes exchange-free — and never
+    * hand raw index rows to the ingest hot path (every tiny batch
+    * would pay a corpus-wide groupBy). A prebuilt (doc_id, fhs) table
+    * is accepted too (schema-validated: `fhs` must be array<bigint>,
+    * per-doc DISTINCT sets built by the SAME media-agnostic kernel and
+    * stride as the stream walk — [[Multimodal.mediaFramePHashes]]; a
+    * video-only index hashes audio payloads differently than the
+    * stream would). */
   def corpusFrameSets(corpusSets: DataFrame): DataFrame =
-    if (corpusSets.columns.contains("fhs")) corpusSets
-    else corpusSets.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("frame_phash"))).as("fhs"))
+    if (corpusSets.columns.contains("fhs")) {
+      requireLongArray(corpusSets, "fhs", "corpusFrameSets")
+      require(corpusSets.columns.contains("doc_id"),
+        "corpusFrameSets: prebuilt sets need a doc_id column")
+      corpusSets
+    } else {
+      requireLongArray(
+        corpusSets.select(array(col("frame_phash")).as("fp")), "fp",
+        "corpusFrameSets(frame_phash)")
+      corpusSets.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("frame_phash"))).as("fhs"))
+    }
 
   /** Match a (possibly streaming) media feed against the corpus frame
-    * sets — raw (doc_id, frame_phash) index rows or the prebuilt
-    * (doc_id, fhs) sets (see [[corpusFrameSets]]; prefer prebuilt on
-    * the ingest hot path). Output: (doc_a stream side, doc_b corpus,
-    * shared, jaccard) — one row per matching pair per micro-batch,
-    * jaccard ≥ `tau`. */
+    * index. Three accepted corpus shapes, best first:
+    *
+    *  1. the PRE-EXPLODED bucketed postings table
+    *     ([[Multimodal.writeFramePostingsBucketed]] — columns
+    *     frame_phash, doc_id, fhs, n_full): zero corpus-side exchange
+    *     per micro-batch, the nightly cut baked in, build stride
+    *     checked against `stride`;
+    *  2. prebuilt (doc_id, fhs) sets ([[corpusFrameSets]]) — no
+    *     per-batch aggregation, but the explode+shuffle of the corpus
+    *     re-runs per batch (fine for small corpora / tests);
+    *  3. raw (doc_id, frame_phash) index rows — pays a corpus-wide
+    *     groupBy per batch; gate/demo scale only.
+    *
+    * Output: (doc_a stream side, doc_b corpus, shared, jaccard) — one
+    * row per matching pair per micro-batch, jaccard ≥ `tau`. With the
+    * nightly cut (shape 1), `shared` counts kept hashes only while the
+    * jaccard denominator keeps full set sizes — the batch operator's
+    * lower-bound cut contract. */
   def mediaNearDupAgainstIndex(media: DataFrame, corpusSets: DataFrame,
       tau: Double, stride: Int = 1)(
       implicit spark: SparkSession): DataFrame = {
@@ -87,19 +147,29 @@ object StreamingMediaNearDup {
       .select(col("doc_id").as("doc_a"), col("fhs").as("fhs_a"))
       .select(col("doc_a"), col("fhs_a"),
         explode(col("fhs_a")).as("frame_phash"))
-    val cRel = corpusFrameSets(corpusSets)
-      .select(col("doc_id").as("doc_b"), col("fhs").as("fhs_b"))
-      .select(col("doc_b"), col("fhs_b"),
-        explode(col("fhs_b")).as("frame_phash"))
+    val cRel =
+      if (corpusSets.columns.contains("n_full")) {
+        // shape 1: pre-exploded postings — consumed AS IS so the
+        // bucketed scan's hash partitioning feeds the join directly
+        requireLongArray(corpusSets, "fhs", "mediaNearDupAgainstIndex")
+        checkBuildStride(corpusSets, stride)
+        corpusSets.select(col("frame_phash"), col("doc_id").as("doc_b"),
+          col("fhs").as("fhs_b"), col("n_full").as("n_b"))
+      } else
+        corpusFrameSets(corpusSets)
+          .select(col("doc_id").as("doc_b"), col("fhs").as("fhs_b"),
+            size(col("fhs")).cast("long").as("n_b"),
+            explode(col("fhs")).as("frame_phash"))
     val inter = array_intersect(col("fhs_a"), col("fhs_b"))
     sRel.join(cRel, Seq("frame_phash"))
       .filter(col("doc_a") =!= col("doc_b"))
-      // exactly-once: only the pair's minimum shared hash emits it
+      // exactly-once: only the pair's minimum shared KEPT hash emits it
+      // (join rows exist exactly for hashes in fhs_a ∩ fhs_b, so the
+      // min-of-intersection row always exists)
       .filter(col("frame_phash") === array_min(inter))
       .withColumn("shared", size(inter).cast("long"))
       .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("fhs_a")) + size(col("fhs_b")) - col("shared"))
-          .cast("double"))
+        (size(col("fhs_a")) + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "shared", "jaccard")
   }

@@ -297,11 +297,14 @@ class TextOpsSpec extends AnyFunSuite {
           if j.leftKeys.exists(_.toString.contains("salt")) => j
       }
       assert(smj.nonEmpty, plan.toString.take(3000))
-      // probes side = left = streamed in SMJ; it is the side carrying
-      // the residual (`res`) projection, the index side carries codes
-      assert(smj.head.left.toString.contains("res#") ||
-        smj.head.left.toString.contains("NearestCells") ||
-        !smj.head.left.toString.contains("codes"),
+      // probes side = left = streamed in SMJ; the index side (right)
+      // carries the codes projection. Assert POSITIVELY on the right
+      // child — the previous three-way disjunction ended in
+      // !left.contains("codes"), which passed vacuously for plan
+      // shapes where neither res# nor codes appeared on the left.
+      assert(smj.head.right.toString.contains("codes"),
+        smj.head.right.toString.take(2000))
+      assert(!smj.head.left.toString.contains("codes"),
         smj.head.left.toString.take(2000))
       graft.operators.OperatorCaches.releaseAll()
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)

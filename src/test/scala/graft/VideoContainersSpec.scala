@@ -474,6 +474,38 @@ class VideoContainersSpec extends AnyFunSuite {
     }
   }
 
+  test("writeFrameIndexBucketed append: re-ingesting an already-indexed doc adds no duplicate rows") {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    def chunk(seed: Int): Array[Byte] =
+      Array.tabulate(16)(i => ((seed * 43 + i * 13) % 120 + 1).toByte)
+    def vid(chunks: Array[Byte]*) =
+      VideoContainers.mjpegFixture(8, chunk(0) +: chunks.toSeq)
+    val day1 = Seq(
+      (1L, vid(chunk(1), chunk(2))),
+      (2L, vid(chunk(3), chunk(4)))).toDF("doc_id", "media")
+    val day2 = Seq(
+      (2L, vid(chunk(3), chunk(4))), // re-ingested — must be dropped
+      (3L, vid(chunk(5), chunk(6)))).toDF("doc_id", "media")
+    val dir = java.nio.file.Files.createTempDirectory("media_fidx_app").toString
+    val tbl = "media_frame_idx_append"
+    Multimodal.writeFrameIndexBucketed(
+      Multimodal.videoFramePHashes(day1, stride = 1), tbl,
+      buckets = 2, path = Some(s"$dir/$tbl"))
+    val n1 = spark.table(tbl).count()
+    Multimodal.writeFrameIndexBucketed(
+      Multimodal.videoFramePHashes(day2, stride = 1), tbl,
+      buckets = 2, path = Some(s"$dir/$tbl"), mode = "append")
+    val after = spark.table(tbl)
+    // doc 2's rows exist exactly once; doc 3's arrived
+    assert(after.groupBy("doc_id", "frame_phash").count()
+      .agg(max("count")).head.getLong(0) == 1L)
+    assert(after.filter(col("doc_id") === 3L).count() > 0)
+    assert(after.filter(col("doc_id") === 2L).count() ==
+      spark.table(tbl).filter(col("doc_id") === 2L).distinct().count())
+    assert(after.count() > n1)
+  }
+
   test("audioFramePHashes feeds videoNearDupPairs: re-chunked audio dup caught, cross-container not") {
     import spark.implicits._
     implicit val s: SparkSession = spark
