@@ -129,6 +129,15 @@ object ServeQueries {
     graft.operators.Multimodal
       .documentStreamingMediaNearDups(s, d, tau = 0.4)
 
+  /** MIXED-media near-dup through the media-agnostic frame kernel
+    * (even doc_ids MJPEG video, odd doc_ids MP3 audio, ONE operator
+    * walks both) — the gate entry for the kernel property the mixed
+    * streaming index depends on; see
+    * [[graft.operators.Multimodal.documentMixedMediaNearDups]]. */
+  private def q98(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal
+      .documentMixedMediaNearDups(s, d, tau = 0.4)
+
   /** A14/W3 server-side: top-3 users by total + "other" remainder,
     * per daily tick. The fact is cached (the serving layer's
     * in-memory-fact contract, as in q26): topNWithOther scans it
@@ -217,7 +226,8 @@ object ServeQueries {
     "q94_audio_neardup" -> (q94 _),
     "q95_incr_media_neardup" -> (q95 _),
     "q96_media_neardup_auto" -> (q96 _),
-    "q97_stream_media_neardup" -> (q97 _))
+    "q97_stream_media_neardup" -> (q97 _),
+    "q98_mixed_media_neardup" -> (q98 _))
 
   /** The q92/q96 shared oracle — frame hashes by the q89 fixture
     * arithmetic, then the video-level Jaccard set join in SQL (see the
@@ -432,6 +442,61 @@ object ServeQueries {
         |       CAST(p.shared AS DOUBLE) /
         |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
         |FROM up p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE CAST(p.shared AS DOUBLE) /
+        |        CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.4""".stripMargin,
+    "q98_mixed_media_neardup" ->
+      // Per-parity frame fold — the MIXED corpus: even doc_ids take the
+      // q89/q92 MJPEG frame layout (47-byte frames: constant header
+      // with SOF width 8, stuffed 0xFF00, RST0 between the two 8-byte
+      // chunk halves, EOI), odd doc_ids the q93/q94 MP3 frame layout
+      // (288-byte frames: [FF FB 74 00] + chunk + 268 zeros) — then the
+      // SAME inverted-index Jaccard set join. The Spark side must
+      // resolve each payload's container PER ROW (the media-agnostic
+      // kernel), walk real markers/sync words on both, and reproduce
+      // the set join for the pair list to hash-match; a video-only
+      // kernel would hash the MP3 half through the fixed-size fallback
+      // and miss/corrupt every audio pair.
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) // 16 AS n_frames FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, greatest(n_frames, 0), 1)) AS frame_idx
+        |  FROM f
+        |), fh AS (
+        |  SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         CASE WHEN doc_id % 2 = 0 THEN
+        |           [255,216,255,192,0,11,8,0,8,0, 8,
+        |            1,1,17,0, 255,218,0,8,1,1,0,0,63,0, 255,0]::BIGINT[]
+        |           || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 9),
+        |                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |           || [255,208]::BIGINT[]
+        |           || list_transform(range(frame_idx*16 + 9, frame_idx*16 + 17),
+        |                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |           || [255,217]::BIGINT[]
+        |         ELSE
+        |           [255,251,116,0]::BIGINT[]
+        |           || list_transform(range(frame_idx*16 + 1, frame_idx*16 + 17),
+        |                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+        |           || list_transform(range(0, 268), x -> CAST(0 AS BIGINT))
+        |         END),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM s
+        |), sets AS (
+        |  SELECT DISTINCT doc_id, h FROM fh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |       CAST(p.shared AS DOUBLE) /
+        |         CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |WHERE CAST(p.shared AS DOUBLE) /

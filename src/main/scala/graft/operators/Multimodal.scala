@@ -998,6 +998,40 @@ object Multimodal {
     videoNearDupPairs(audioFramePHashes(media, stride = 1), tau)
   }
 
+  /** Demo pipeline (q98): MIXED-media near-dup through the
+    * media-agnostic kernel — the gate entry for the headline property
+    * the streaming/mixed index path depends on ([[mediaFramePHashes]]
+    * resolving each payload's container per row: even doc_ids become
+    * MJPEG videos of their 16-byte text chunks, odd doc_ids MP3 audio
+    * of the same chunks, ONE operator walks both). Docs pair on
+    * frame-set Jaccard ≥ `tau` via [[videoNearDupPairs]]; duplicate
+    * family members sharing a container pair, cross-container members
+    * do NOT (identical chunks wrap into different frame bytes). The
+    * DuckDB oracle reproduces both container walks arithmetically
+    * (per-parity fold: q89's 47-byte MJPEG frame layout for even ids,
+    * q93's 288-byte MP3 frame layout for odd) and the set join — a
+    * video-only kernel ([[videoFramePHashes]]) would hash the MP3
+    * payloads through the fixed-size fallback and hash-mismatch. */
+  def documentMixedMediaNearDups(spark: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val media = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val chunks = (0 until bytes.length / 16).map(f =>
+          java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+        val payload =
+          if (id % 2 == 0) VideoContainers.mjpegFixture(8, chunks)
+          else AudioHeaders.mp3Fixture(chunks)
+        (id, payload)
+      }
+      .toDF("doc_id", "media")
+    videoNearDupPairs(mediaFramePHashes(media, stride = 1), tau)
+  }
+
   /** Decoded-content statistics for one image blob ([[PixelDecode]]
     * formats only). Integer channel sums are the oracle-checkable
     * truth; means are one exact IEEE division of those sums. */
