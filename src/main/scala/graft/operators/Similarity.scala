@@ -866,11 +866,62 @@ object Similarity {
     * Worst-case output stays ≤ input rows; with cell-clustered arrival
     * (the sort-merge join's output order) windows mostly partition the
     * query set and output stays ≈ k per (partition, query). */
+  /** The heap-derived flush-window budget (in QUERIES) the fold below
+    * uses, factored out so the driver-side sizing guard and the
+    * executor-side fold compute the same number — see the in-fold
+    * comment for the measured per-heap cost model. */
+  private[graft] def flushWindowQueries(k: Int, maxEntries: Int,
+      heapBytes: Long, procs: Int): Int = {
+    val kk = math.max(k, 1)
+    val perQueryBytes = 120L + 56L * kk
+    val budgetBytes = (heapBytes * 0.10 / math.max(procs, 1)).toLong
+    math.min(
+        math.max(1024L, budgetBytes / perQueryBytes),
+        math.max(1L, maxEntries.toLong / kk))
+      .min(Int.MaxValue).toInt
+  }
+
+  /** Sizing guard for the fold's known foot-gun (STRESS r13/r14: an
+    * 8 g driver heap shrank the flush windows ~20×, the fold's output
+    * blew up ~20×, and the run filled 61 GB of disk an hour into the
+    * join before dying — with the explanation living only in
+    * STRESS.md). Returns a warning when the HEAP term of the window
+    * budget is more than ~4× smaller than the entry cap would allow —
+    * i.e. the caller paid for `maxEntries` of exactness but the JVM
+    * heap is what's actually sizing the windows — naming the sizing
+    * rule so the failure presents at plan time, not as a full disk. */
+  private[graft] def flushWindowWarning(k: Int, maxEntries: Int,
+      heapBytes: Long, procs: Int): Option[String] = {
+    val kk = math.max(k, 1)
+    val perQueryBytes = 120L + 56L * kk
+    val heapQ = math.max(1024L,
+      (heapBytes * 0.10 / math.max(procs, 1)).toLong / perQueryBytes)
+    val capQ = math.max(1L, maxEntries.toLong / kk)
+    if (heapQ * 4 < capQ) Some(
+      f"partialTopKPerQuery: the JVM heap (${heapBytes / (1L << 30)} GiB" +
+        f" across $procs concurrent tasks) sizes the flush window at " +
+        f"~$heapQ queries — ${capQ / math.max(heapQ, 1)}× below the " +
+        f"maxEntries cap ($capQ). Small windows multiply the fold's " +
+        "output (each flush re-emits partial top-k rows) and can fill " +
+        "the shuffle disk at scale; size the heap so 0.10*heap/procs ≥ " +
+        f"~${capQ * perQueryBytes * procs * 10 / (1L << 30) + 1} GiB, " +
+        "or lower maxEntries to match the memory you actually have.")
+    else None
+  }
+
   private[graft] def partialTopKPerQuery(scored: DataFrame,
       k: Int, maxEntries: Int = 1 << 21): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val kk = math.max(k, 1)
+    // Driver-side early warning (executors usually share the driver's
+    // sizing in local mode and differ only by config on a cluster —
+    // a heuristic, but it converts the 61 GB-disk-fill failure mode
+    // into a named log line at plan time).
+    flushWindowWarning(k, maxEntries,
+      Runtime.getRuntime.maxMemory(),
+      Runtime.getRuntime.availableProcessors())
+      .foreach(Parallelism.logDispatch("partialTopKPerQuery", _))
     scored.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"), col("approx_dist").cast("double"))
       .as[(Long, Long, Double)]
@@ -894,14 +945,9 @@ object Similarity {
         // task concurrency, so the heap maps alone wanted ~6 GB —
         // a floor must never exceed what the heap divided by
         // concurrency affords.
-        val procs = math.max(Runtime.getRuntime.availableProcessors, 1)
-        val perQueryBytes = 120L + 56L * kk
-        val budgetBytes =
-          (Runtime.getRuntime.maxMemory() * 0.10 / procs).toLong
-        val maxQ = math.min(
-            math.max(1024L, budgetBytes / perQueryBytes),
-            math.max(1L, maxEntries.toLong / kk))
-          .min(Int.MaxValue).toInt
+        val maxQ = flushWindowQueries(kk, maxEntries,
+          Runtime.getRuntime.maxMemory(),
+          Runtime.getRuntime.availableProcessors)
         // head = current WORST under (dist, neighbor) ascending rank
         val cmp: Comparator[(Double, Long)] = new Comparator[(Double, Long)] {
           def compare(a: (Double, Long), b: (Double, Long)): Int = {

@@ -165,10 +165,19 @@ object AdcProbe {
       val rawDir = s"$dir2/raw_incr"
       var wIncVecs = Vector.empty[org.apache.spark.sql.DataFrame]
       (1 to windows).foreach { w =>
-        // a fresh 1/incrDenom slice per window, ids offset past everything
+        // a fresh 1/incrDenom slice per window, ids offset past
+        // everything. The residue cycles over 1..incrDenom-2 SKIPPING
+        // residue 7 (the compaction-increment slice above) and never
+        // hits 0 (a superset of the vec_id % 1000 == 0 query ids) —
+        // the old `w % (incrDenom-3)` form landed on 0 whenever w was
+        // a multiple of incrDenom-3, polluting that window's content
+        // with the query vectors and skewing the per-window
+        // degradation comparison.
         val off = (maxId + 1L) * (w + 1L)
+        val r0 = 1L + ((w - 1L) % (incrDenom - 3L))
+        val residue = if (r0 >= 7L) r0 + 1L else r0
         val vecs = emb
-          .filter(pmod(col("vec_id"), lit(incrDenom)) === (w % (incrDenom - 3)))
+          .filter(pmod(col("vec_id"), lit(incrDenom)) === residue)
           .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
         wIncVecs :+= vecs
         Similarity.buildResidualAdcIndex(vecs, cents, rcbs, rdsub)

@@ -298,16 +298,37 @@ class TextOpsSpec extends AnyFunSuite {
       }
       assert(smj.nonEmpty, plan.toString.take(3000))
       // probes side = left = streamed in SMJ; the index side (right)
-      // carries the codes projection. Assert POSITIVELY on the right
-      // child — the previous three-way disjunction ended in
-      // !left.contains("codes"), which passed vacuously for plan
-      // shapes where neither res# nor codes appeared on the left.
+      // carries the codes projection, the probes side the residual
+      // (`res#`) projection. Assert POSITIVELY on both children — the
+      // previous three-way disjunction ended in !left.contains("codes"),
+      // which passed vacuously for plan shapes where neither res# nor
+      // codes appeared on the left (and a negative left pin is wrong
+      // anyway: the salt-factor broadcast nests the index rel's
+      // schema text inside the probes subtree).
+      assert(smj.head.left.toString.contains("res#"),
+        smj.head.left.toString.take(2000))
       assert(smj.head.right.toString.contains("codes"),
         smj.head.right.toString.take(2000))
-      assert(!smj.head.left.toString.contains("codes"),
-        smj.head.left.toString.take(2000))
       graft.operators.OperatorCaches.releaseAll()
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("flushWindowWarning: names the 8g disk-fill regime at plan time, silent at the documented sizing") {
+    val g = 1L << 30
+    // the r13 campaign's failure shape: k=3, default 2^21 entry cap,
+    // 32-way concurrency, 8 GiB heap — windows ~7× below the cap,
+    // which multiplied the fold output and filled 61 GB of disk
+    val warn = Similarity.flushWindowWarning(3, 1 << 21, 8 * g, 32)
+    assert(warn.isDefined && warn.get.contains("GiB"))
+    // the documented 48 g sizing → silent
+    assert(Similarity.flushWindowWarning(3, 1 << 21, 48 * g, 32).isEmpty)
+    // a caller-tightened entry cap matched to the heap → silent
+    assert(Similarity.flushWindowWarning(3, 4096, 8 * g, 32).isEmpty)
+    // the fold and the guard share one window arithmetic
+    assert(Similarity.flushWindowQueries(3, 1 << 21, 48 * g, 32) >
+      Similarity.flushWindowQueries(3, 1 << 21, 8 * g, 32))
+    // spec-size caps are honored exactly (the r14 entry-cap fix)
+    assert(Similarity.flushWindowQueries(3, 1, 8 * g, 32) == 1)
   }
 
   test("partialTopKPerQuery: windowed flushes (memory budget) stay exact") {
