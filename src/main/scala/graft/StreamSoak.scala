@@ -536,6 +536,97 @@ object StreamSoak {
       pinned.foreach(_.unpersist())
     }
 
+    // ---------------- media soak ----------------------------------- //
+    // N micro-batches of media payloads against the persisted
+    // PRE-EXPLODED postings index
+    // ([[graft.operators.Multimodal.writeFramePostingsBucketed]]):
+    // zero state operators (the min-shared-hash trick replaces
+    // stateful dedup, as in neardup_soak), per-batch wall FLAT as
+    // batches accumulate and heap stable — the corpus side must stay
+    // an exchange-free bucketed scan, so batch cost tracks the batch,
+    // not the corpus or the batch count.
+    if (only.isEmpty || "media_soak".contains(only)) {
+      def mediaOf(docs: DataFrame): DataFrame = docs
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val chunks = (0 until bytes.length / 16).map(f =>
+            java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
+          val payload =
+            if (id % 2 == 0)
+              graft.operators.VideoContainers.mjpegFixture(8, chunks)
+            else graft.operators.AudioHeaders.mp3Fixture(chunks)
+          (id, payload)
+        }.toDF("doc_id", "media")
+      val nMedia = math.max(nDocs / 4, 20000L)
+      val corpus = mediaOf(synthDocs(0, nMedia))
+      val idxDir = Files.createTempDirectory("soak_media_idx").toString
+      val tIdx = System.nanoTime()
+      graft.operators.Multimodal.writeFramePostingsBucketed(
+        graft.operators.Multimodal.mediaFramePHashes(corpus, stride = 1),
+        "soak_media_postings", buckets = cpus.toInt,
+        path = Some(s"$idxDir/soak_media_postings"))
+      val idxSec = (System.nanoTime() - tIdx) / 1e9
+      val postings = spark.table("soak_media_postings")
+      emit("media_soak_index",
+        "corpus_docs" -> nMedia, "index_rows" -> postings.count(),
+        "sec" -> f"$idxSec%.2f")
+
+      val in = Files.createTempDirectory("soak_media_in")
+      val ckpt = Files.createTempDirectory("soak_media_ck")
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("path", in.toString + "/*").format("parquet").load()
+      // noop sink + observe(): match volume is counted in-plan
+      val matches = graft.streaming.StreamingMediaNearDup
+        .mediaNearDupAgainstIndex(stream, postings, tau = 0.5)
+        .observe("media_soak_m", count(lit(1)).as("n"))
+      val q = matches.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      val nBatches = 6
+      val batchDocs = math.max(nMedia / 50, 200L)
+      val batchSecs = scala.collection.mutable.ListBuffer.empty[Double]
+      try {
+        (1 to nBatches).foreach { b =>
+          // each batch re-ingests a FRESH corpus slice under new ids
+          // (same parity → same container → exact frame-set dup):
+          // guaranteed matches, constant batch size
+          mediaOf(synthDocs((b - 1) * batchDocs, b.toLong * batchDocs)
+              .withColumn("doc_id", col("doc_id") + 50000000L))
+            .write.parquet(s"$in/b$b")
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val s = (System.nanoTime() - t0) / 1e9
+          batchSecs += s
+          val nM = Option(q.lastProgress)
+            .flatMap(p => Option(p.observedMetrics.get("media_soak_m")))
+            .map(_.getAs[Long]("n")).getOrElse(-1L)
+          val nStateOps = Option(q.lastProgress)
+            .map(_.stateOperators.length).getOrElse(-1)
+          val heapMb = (Runtime.getRuntime.totalMemory() -
+            Runtime.getRuntime.freeMemory()) / 1048576
+          emit("media_soak_batch",
+            "batch" -> b, "docs" -> batchDocs, "matches" -> nM,
+            "sec" -> f"$s%.2f", "state_operators" -> nStateOps,
+            "heap_mb" -> heapMb)
+          require(nStateOps == 0,
+            s"media stream grew a state store: $nStateOps operators")
+          require(nM >= batchDocs,
+            s"batch $b: re-ingested dups missing from matches: $nM")
+        }
+        // flatness: later batches must not pay for accumulated history
+        // (skip batch 1 — codegen/scan warmup)
+        val steady = batchSecs.drop(1)
+        emit("media_soak",
+          "corpus_docs" -> nMedia, "batches" -> nBatches,
+          "batch_docs" -> batchDocs,
+          "first_steady_sec" -> f"${steady.head}%.2f",
+          "last_sec" -> f"${steady.last}%.2f",
+          "max_over_min" -> f"${steady.max / steady.min}%.2f")
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }

@@ -130,6 +130,44 @@ object MediaScaleProbe {
     val batchDocs = batchMedia.count()
     println(f"""{"stage":"incr","batch_docs":$batchDocs,"pairs":$nIncr,"cut":$incrCut,"sec":$incSec%.1f}""")
     graft.operators.OperatorCaches.releaseAll()
+
+    // (d) the STREAMING ingest shape at scale: the corpus side
+    // persisted PRE-EXPLODED + bucketed (the one-time nightly cost —
+    // graft.streaming.StreamingMediaNearDup consumes it exchange-free,
+    // so in a stream-static join the per-batch corpus cost is a local
+    // bucketed scan). Per-micro-batch cost measured at two batch sizes
+    // 4x apart — the claim: batch cost tracks the BATCH, the corpus
+    // enters only through the scan. The legacy prebuilt-sets shape
+    // (the pre-exploded table's predecessor, which re-explodes and
+    // re-shuffles the whole corpus per batch) is measured once at the
+    // tiny batch for contrast.
+    val tblP = "media_frame_postings_probe"
+    val tP = System.nanoTime()
+    Multimodal.writeFramePostingsBucketed(
+      Multimodal.mediaFramePHashes(corpusMedia, stride = 1),
+      tblP, buckets = spark.sparkContext.defaultParallelism,
+      path = Some(s"$work/$tblP"))
+    val pRows = spark.table(tblP).count()
+    val pSec = (System.nanoTime() - tP) / 1e9
+    println(f"""{"stage":"stream_index","corpus_docs":$corpusDocs,"rows":$pRows,"sec":$pSec%.1f}""")
+    for (denom <- Seq(64L, 16L)) {
+      // doc_id % 64 == 0 ⊂ % 16 == 0: both disjoint from the corpus
+      val batch = video.filter(col("doc_id") % denom === 0)
+      val nB = batch.count()
+      val tS = System.nanoTime()
+      val nPair = graft.streaming.StreamingMediaNearDup
+        .mediaNearDupAgainstIndex(batch, spark.table(tblP), tau).count()
+      val sSec = (System.nanoTime() - tS) / 1e9
+      println(f"""{"stage":"stream_batch","denom":$denom,"batch_docs":$nB,"pairs":$nPair,"sec":$sSec%.1f}""")
+    }
+    val batchTiny = video.filter(col("doc_id") % 64 === 0)
+    val tL = System.nanoTime()
+    val nLegacy = graft.streaming.StreamingMediaNearDup
+      .mediaNearDupAgainstIndex(batchTiny,
+        graft.streaming.StreamingMediaNearDup
+          .corpusFrameSets(spark.table(tbl)), tau).count()
+    val lSec = (System.nanoTime() - tL) / 1e9
+    println(f"""{"stage":"stream_batch_legacy","denom":64,"pairs":$nLegacy,"sec":$lSec%.1f}""")
     spark.stop()
   }
 }
