@@ -683,6 +683,13 @@ object Multimodal {
     val exploded = keptSets.join(full, "doc_id")
       .select(explode(col("fhs")).as("frame_phash"), col("doc_id"),
         col("fhs").as("fhs", meta), col("n_full"))
+      // ONE file per bucket: repartition on the bucket expression so
+      // each write task owns exactly one bucket — a multi-file bucket
+      // loses the sortBy ordering at scan time and a sort-merge join
+      // would re-SORT the whole fat postings rel per micro-batch
+      // (measured: the sf10 probe's per-batch wall was corpus-sort-
+      // bound before this). Single-file buckets scan back sorted.
+      .repartition(buckets, col("frame_phash"))
     val w = exploded.write
       .bucketBy(buckets, "frame_phash")
       .sortBy("frame_phash")

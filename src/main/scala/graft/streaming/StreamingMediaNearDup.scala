@@ -161,7 +161,19 @@ object StreamingMediaNearDup {
             size(col("fhs")).cast("long").as("n_b"),
             explode(col("fhs")).as("frame_phash"))
     val inter = array_intersect(col("fhs_a"), col("fhs_b"))
-    sRel.join(cRel, Seq("frame_phash"))
+    // With the pre-exploded index (shape 1) the stream side is hinted
+    // as the shuffled-hash BUILD side: the micro-batch is tiny next to
+    // the corpus, so Spark builds the hash map on it (split across the
+    // bucket partitioning — per-partition map = batch/buckets) and the
+    // corpus STREAMS through the probe side with no sort and no
+    // exchange — the cheapest possible per-batch corpus touch, one
+    // sequential bucketed columnar scan. Without the hint the planner
+    // picks sort-merge and re-sorts the fat corpus rel every
+    // micro-batch (measured, MediaScaleProbe stage d).
+    val sSide =
+      if (corpusSets.columns.contains("n_full")) sRel.hint("shuffle_hash")
+      else sRel
+    sSide.join(cRel, Seq("frame_phash"))
       .filter(col("doc_a") =!= col("doc_b"))
       // exactly-once: only the pair's minimum shared KEPT hash emits it
       // (join rows exist exactly for hashes in fhs_a ∩ fhs_b, so the

@@ -150,24 +150,42 @@ object MediaScaleProbe {
     val pRows = spark.table(tblP).count()
     val pSec = (System.nanoTime() - tP) / 1e9
     println(f"""{"stage":"stream_index","corpus_docs":$corpusDocs,"rows":$pRows,"sec":$pSec%.1f}""")
+    // per-call SHUFFLE WRITE bytes — the number that separates the
+    // pre-exploded shape from the legacy one at cluster scale (wall
+    // time on one NVMe box hides what crossing a network costs)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def measured(f: => Long): (Long, Double, Long) = {
+      Thread.sleep(1000) // drain listener events from prior work
+      val before = shuffleBytes.get()
+      val t = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t) / 1e9
+      Thread.sleep(1000)
+      (n, sec, shuffleBytes.get() - before)
+    }
     for (denom <- Seq(64L, 16L)) {
       // doc_id % 64 == 0 ⊂ % 16 == 0: both disjoint from the corpus
       val batch = video.filter(col("doc_id") % denom === 0)
       val nB = batch.count()
-      val tS = System.nanoTime()
-      val nPair = graft.streaming.StreamingMediaNearDup
-        .mediaNearDupAgainstIndex(batch, spark.table(tblP), tau).count()
-      val sSec = (System.nanoTime() - tS) / 1e9
-      println(f"""{"stage":"stream_batch","denom":$denom,"batch_docs":$nB,"pairs":$nPair,"sec":$sSec%.1f}""")
+      val (nPair, sSec, sb) = measured(
+        graft.streaming.StreamingMediaNearDup
+          .mediaNearDupAgainstIndex(batch, spark.table(tblP), tau).count())
+      println(f"""{"stage":"stream_batch","denom":$denom,"batch_docs":$nB,"pairs":$nPair,"sec":$sSec%.1f,"shuffle_mb":${sb / 1048576}}""")
     }
     val batchTiny = video.filter(col("doc_id") % 64 === 0)
-    val tL = System.nanoTime()
-    val nLegacy = graft.streaming.StreamingMediaNearDup
-      .mediaNearDupAgainstIndex(batchTiny,
-        graft.streaming.StreamingMediaNearDup
-          .corpusFrameSets(spark.table(tbl)), tau).count()
-    val lSec = (System.nanoTime() - tL) / 1e9
-    println(f"""{"stage":"stream_batch_legacy","denom":64,"pairs":$nLegacy,"sec":$lSec%.1f}""")
+    val (nLegacy, lSec, lb) = measured(
+      graft.streaming.StreamingMediaNearDup
+        .mediaNearDupAgainstIndex(batchTiny,
+          graft.streaming.StreamingMediaNearDup
+            .corpusFrameSets(spark.table(tbl)), tau).count())
+    println(f"""{"stage":"stream_batch_legacy","denom":64,"pairs":$nLegacy,"sec":$lSec%.1f,"shuffle_mb":${lb / 1048576}}""")
     spark.stop()
   }
 }
