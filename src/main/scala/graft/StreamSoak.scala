@@ -587,6 +587,11 @@ object StreamSoak {
       val nBatches = 6
       val batchDocs = math.max(nMedia / 50, 200L)
       val batchSecs = scala.collection.mutable.ListBuffer.empty[Double]
+      // one ingest window may span several micro-batches (the file
+      // source can list a multi-part parquet write across two
+      // triggers), so matches are summed over every progress entry not
+      // yet accounted — lastProgress alone under-reports on a split
+      val seenBatchIds = scala.collection.mutable.Set.empty[Long]
       try {
         (1 to nBatches).foreach { b =>
           // each batch re-ingests a FRESH corpus slice under new ids
@@ -599,9 +604,12 @@ object StreamSoak {
           q.processAllAvailable()
           val s = (System.nanoTime() - t0) / 1e9
           batchSecs += s
-          val nM = Option(q.lastProgress)
+          val fresh = q.recentProgress
+            .filter(p => !seenBatchIds.contains(p.batchId))
+          fresh.foreach(p => seenBatchIds += p.batchId)
+          val nM = fresh
             .flatMap(p => Option(p.observedMetrics.get("media_soak_m")))
-            .map(_.getAs[Long]("n")).getOrElse(-1L)
+            .map(_.getAs[Long]("n")).sum
           val nStateOps = Option(q.lastProgress)
             .map(_.stateOperators.length).getOrElse(-1)
           val heapMb = (Runtime.getRuntime.totalMemory() -
