@@ -155,6 +155,58 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(batched == oneShot && oneShot.nonEmpty)
   }
 
+  test("micro-batched query stream against the PERSISTED bucketed ADC table equals one-shot") {
+    // the production ingest composition: the nightly artifact
+    // (writeAdcIndexBucketed — the table the maintenance loop appends
+    // to and compacts) serves a QUERY STREAM via foreachBatch pruned
+    // search. Completes the artifact-symmetry story: the same persisted
+    // table feeds batch search, the maintenance loop, and ingest.
+    import graft.operators.PqCodebooks
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.filter($"vec_id" >= 40)
+    val queries = emb.filter($"vec_id" < 40)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val (cents, rcbs) =
+      (IvfCentroids.Centroids16, PqCodebooks.ResidualCodebooks8x16)
+    val idx = Similarity.buildResidualAdcIndex(corpus, cents, rcbs, 8)
+    val dir = Files.createTempDirectory("ann_adc_tbl").toString
+    Similarity.writeAdcIndexBucketed(idx, "ann_stream_adc_idx",
+      buckets = 4, Some(s"$dir/ann_stream_adc_idx"))
+    def search(q: DataFrame) = Similarity.ivfAdcSearchPruned(q,
+        spark.table("ann_stream_adc_idx"), cents, rcbs, 8,
+        nProbe = 2, k = 3, rerank = 10, rawVectors = Some(corpus),
+        residual = true)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val oneShot = search(queries).toSet
+
+    val in = Files.createTempDirectory("ann_adc_in")
+    val ckpt = Files.createTempDirectory("ann_adc_ck")
+    queries.filter($"query_id" < 20).write.parquet(in.toString + "/b1")
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("path", in.toString + "/*")
+      .format("parquet").load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val res = search(batch)
+          streamed.synchronized { streamed ++= res }
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      queries.filter($"query_id" >= 20).write.parquet(in.toString + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(streamed.toSet == oneShot && oneShot.nonEmpty,
+      s"stream ${streamed.size} vs one-shot ${oneShot.size}")
+  }
+
   test("audio frame hashes feed the same frame-set near-dup operator") {
     import graft.operators.{AudioHeaders, Multimodal}
     implicit val s: SparkSession = spark
