@@ -143,13 +143,17 @@ object MediaScaleProbe {
     // tiny batch for contrast.
     val tblP = "media_frame_postings_probe"
     val tP = System.nanoTime()
+    // the NIGHTLY cut (incrCut, arg 5) is baked into the postings
+    // build — the streaming path inherits the maintenance job's bound
+    // instead of computing its own histogram (the boilerplate-regime
+    // contract; pass the cut the stage-b guard derived)
     Multimodal.writeFramePostingsBucketed(
       Multimodal.mediaFramePHashes(corpusMedia, stride = 1),
       tblP, buckets = spark.sparkContext.defaultParallelism,
-      path = Some(s"$work/$tblP"))
+      path = Some(s"$work/$tblP"), maxPostings = incrCut)
     val pRows = spark.table(tblP).count()
     val pSec = (System.nanoTime() - tP) / 1e9
-    println(f"""{"stage":"stream_index","corpus_docs":$corpusDocs,"rows":$pRows,"sec":$pSec%.1f}""")
+    println(f"""{"stage":"stream_index","corpus_docs":$corpusDocs,"rows":$pRows,"cut":$incrCut,"sec":$pSec%.1f}""")
     // per-call SHUFFLE WRITE bytes — the number that separates the
     // pre-exploded shape from the legacy one at cluster scale (wall
     // time on one NVMe box hides what crossing a network costs)
@@ -179,13 +183,19 @@ object MediaScaleProbe {
           .mediaNearDupAgainstIndex(batch, spark.table(tblP), tau).count())
       println(f"""{"stage":"stream_batch","denom":$denom,"batch_docs":$nB,"pairs":$nPair,"sec":$sSec%.1f,"shuffle_mb":${sb / 1048576}}""")
     }
-    val batchTiny = video.filter(col("doc_id") % 64 === 0)
-    val (nLegacy, lSec, lb) = measured(
-      graft.streaming.StreamingMediaNearDup
-        .mediaNearDupAgainstIndex(batchTiny,
-          graft.streaming.StreamingMediaNearDup
-            .corpusFrameSets(spark.table(tbl)), tau).count())
-    println(f"""{"stage":"stream_batch_legacy","denom":64,"pairs":$nLegacy,"sec":$lSec%.1f,"shuffle_mb":${lb / 1048576}}""")
+    // legacy-shape contrast only in the uncut regime: the prebuilt-sets
+    // path has no cut mechanism at all (a further reason the postings
+    // shape is the production one) — running it on a boilerplate-skewed
+    // corpus would just re-measure the unguarded quadratic
+    if (incrCut <= 0) {
+      val batchTiny = video.filter(col("doc_id") % 64 === 0)
+      val (nLegacy, lSec, lb) = measured(
+        graft.streaming.StreamingMediaNearDup
+          .mediaNearDupAgainstIndex(batchTiny,
+            graft.streaming.StreamingMediaNearDup
+              .corpusFrameSets(spark.table(tbl)), tau).count())
+      println(f"""{"stage":"stream_batch_legacy","denom":64,"pairs":$nLegacy,"sec":$lSec%.1f,"shuffle_mb":${lb / 1048576}}""")
+    }
     spark.stop()
   }
 }
