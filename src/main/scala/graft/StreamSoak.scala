@@ -546,19 +546,11 @@ object StreamSoak {
     // an exchange-free bucketed scan, so batch cost tracks the batch,
     // not the corpus or the batch count.
     if (only.isEmpty || "media_soak".contains(only)) {
-      def mediaOf(docs: DataFrame): DataFrame = docs
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
-          val chunks = (0 until bytes.length / 16).map(f =>
-            java.util.Arrays.copyOfRange(bytes, f * 16, f * 16 + 16))
-          val payload =
-            if (id % 2 == 0)
-              graft.operators.VideoContainers.mjpegFixture(8, chunks)
-            else graft.operators.AudioHeaders.mp3Fixture(chunks)
-          (id, payload)
-        }.toDF("doc_id", "media")
+      // the shared q98 synthesizer — the soak's guaranteed-match
+      // invariant (same text + parity ⇒ same container ⇒ exact
+      // frame-set dup) depends on one implementation, not a copy
+      def mediaOf(docs: DataFrame): DataFrame =
+        graft.operators.Multimodal.mixedMediaOf(docs)
       val nMedia = math.max(nDocs / 4, 20000L)
       val corpus = mediaOf(synthDocs(0, nMedia))
       val idxDir = Files.createTempDirectory("soak_media_idx").toString

@@ -1022,9 +1022,20 @@ object Multimodal {
   def documentMixedMediaNearDups(spark: SparkSession, dir: String,
       tau: Double): DataFrame = {
     implicit val s: SparkSession = spark
+    val media = mixedMediaOf(graft.Tables.documents(spark, dir))
+    videoNearDupPairs(mediaFramePHashes(media, stride = 1), tau)
+  }
+
+  /** Text → MIXED-media payloads: even doc_ids become MJPEG videos of
+    * the 16-byte text chunks, odd doc_ids MP3 audio of the SAME
+    * chunks. The one synthesizer behind q98 and the StreamSoak media
+    * leg — both depend on identical text ⇒ identical payload of the
+    * same container per parity (exact frame-set dup), so the chunking
+    * and parity dispatch must not fork. */
+  private[graft] def mixedMediaOf(docs: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val media = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
@@ -1036,7 +1047,6 @@ object Multimodal {
         (id, payload)
       }
       .toDF("doc_id", "media")
-    videoNearDupPairs(mediaFramePHashes(media, stride = 1), tau)
   }
 
   /** Decoded-content statistics for one image blob ([[PixelDecode]]

@@ -833,39 +833,6 @@ object Similarity {
         col("cand.cosine").as("cosine"))
   }
 
-  /** Bounded per-partition partial top-k: stream (query_id,
-    * neighbor_id, dist) rows through one per-partition pass keeping a
-    * k-bounded binary heap per query under (dist asc, neighbor asc) —
-    * the exact order the final fold ranks by, so partial-then-final
-    * equals global top-k. Output ≤ k rows per (partition, query,
-    * flush window); this is what makes the ADC self-search's candidate
-    * volume safe to aggregate — a collect_list hash agg buffers its
-    * ENTIRE partition's candidates map-side before combining, which is
-    * exactly the quadratic spill the fold exists to avoid.
-    * `mapPartitions` is justified: Spark has no bounded-heap
-    * aggregate, and the alternative (window + WindowGroupLimit) sorts
-    * the full stream per partition first.
-    *
-    * Memory is bounded ABSOLUTELY, not per query: the heap map is
-    * flushed (emitted downstream and swapped for a fresh one) whenever
-    * its QUERY count reaches the window budget — ~10% of the executor
-    * heap divided by concurrent tasks at the measured per-heap cost
-    * (~120 B of map/heap objects + ~56 B per boxed tuple), capped by
-    * `maxEntries` total tuples. Without the
-    * window bound, memory is distinct-queries-per-partition × k — and
-    * an evenly salted join scatters EVERY query's probes across all
-    * partitions, so at 2 M self-search queries each of 32 CONCURRENT
-    * tasks held ~440 k heaps ≈ 2 GB and the executor OOM'd (the r12
-    * skew-serialized run only survived because one giant partition ran
-    * at a time). Flushing preserves exactness by heap dominance: a
-    * candidate evicted in a window was strictly worse — under the same
-    * (dist, neighbor) total order the final rank uses — than the k
-    * rows that window emitted for its query (the heap's worst only
-    * improves within a window), so it cannot belong to the global
-    * top-k the downstream fold re-derives from the emitted union.
-    * Worst-case output stays ≤ input rows; with cell-clustered arrival
-    * (the sort-merge join's output order) windows mostly partition the
-    * query set and output stays ≈ k per (partition, query). */
   /** The heap-derived flush-window budget (in QUERIES) the fold below
     * uses, factored out so the driver-side sizing guard and the
     * executor-side fold compute the same number — see the in-fold
@@ -903,12 +870,47 @@ object Similarity {
         f"~$heapQ queries — ${capQ / math.max(heapQ, 1)}× below the " +
         f"maxEntries cap ($capQ). Small windows multiply the fold's " +
         "output (each flush re-emits partial top-k rows) and can fill " +
-        "the shuffle disk at scale; size the heap so 0.10*heap/procs ≥ " +
-        f"~${capQ * perQueryBytes * procs * 10 / (1L << 30) + 1} GiB, " +
+        "the shuffle disk at scale; size the TOTAL heap ≥ " +
+        f"~${capQ * perQueryBytes * procs * 10 / (1L << 30) + 1} GiB " +
+        f"(so that 0.10·heap/$procs tasks ≥ the cap's " +
+        f"${capQ * perQueryBytes / (1L << 20)} MiB of heaps per task), " +
         "or lower maxEntries to match the memory you actually have.")
     else None
   }
 
+  /** Bounded per-partition partial top-k: stream (query_id,
+    * neighbor_id, dist) rows through one per-partition pass keeping a
+    * k-bounded binary heap per query under (dist asc, neighbor asc) —
+    * the exact order the final fold ranks by, so partial-then-final
+    * equals global top-k. Output ≤ k rows per (partition, query,
+    * flush window); this is what makes the ADC self-search's candidate
+    * volume safe to aggregate — a collect_list hash agg buffers its
+    * ENTIRE partition's candidates map-side before combining, which is
+    * exactly the quadratic spill the fold exists to avoid.
+    * `mapPartitions` is justified: Spark has no bounded-heap
+    * aggregate, and the alternative (window + WindowGroupLimit) sorts
+    * the full stream per partition first.
+    *
+    * Memory is bounded ABSOLUTELY, not per query: the heap map is
+    * flushed (emitted downstream and swapped for a fresh one) whenever
+    * its QUERY count reaches the window budget ([[flushWindowQueries]]
+    * — ~10% of the executor heap divided by concurrent tasks at the
+    * measured per-heap cost (~120 B of map/heap objects + ~56 B per
+    * boxed tuple), capped by `maxEntries` total tuples). Without the
+    * window bound, memory is distinct-queries-per-partition × k — and
+    * an evenly salted join scatters EVERY query's probes across all
+    * partitions, so at 2 M self-search queries each of 32 CONCURRENT
+    * tasks held ~440 k heaps ≈ 2 GB and the executor OOM'd (the r12
+    * skew-serialized run only survived because one giant partition ran
+    * at a time). Flushing preserves exactness by heap dominance: a
+    * candidate evicted in a window was strictly worse — under the same
+    * (dist, neighbor) total order the final rank uses — than the k
+    * rows that window emitted for its query (the heap's worst only
+    * improves within a window), so it cannot belong to the global
+    * top-k the downstream fold re-derives from the emitted union.
+    * Worst-case output stays ≤ input rows; with cell-clustered arrival
+    * (the sort-merge join's output order) windows mostly partition the
+    * query set and output stays ≈ k per (partition, query). */
   private[graft] def partialTopKPerQuery(scored: DataFrame,
       k: Int, maxEntries: Int = 1 << 21): DataFrame = {
     val spark = scored.sparkSession

@@ -158,24 +158,34 @@ object AdcProbe {
     // increment fraction = 1/incrDenom of the corpus per window
     // (default 1%; pass a smaller denom to exaggerate the erosion)
     val incrDenom = if (args.length > 5) args(5).toLong else 100L
-    require(incrDenom > 4,
-      s"incrDenom must be > 4 (got $incrDenom): the per-window residue " +
-        "cycles mod incrDenom-3, which degenerates below 5")
+    // Divisibility keeps each reserved slice a SINGLE residue class
+    // mod incrDenom that the window cycle can skip: the compaction
+    // increment is vec_id % 100 == 7 (residue 7 % incrDenom) and the
+    // query batch vec_id % 1000 == 0 (residue 0 — incrDenom | 100 ⇒
+    // incrDenom | 1000). A non-divisor (e.g. 30) smears both slices
+    // across several residues and windows silently re-contain query/
+    // compaction vectors.
+    require(incrDenom > 4 && 100L % incrDenom == 0,
+      s"incrDenom must be > 4 and divide 100 (got $incrDenom): window " +
+        "residues must be able to skip the compaction slice " +
+        "(vec_id % 100 == 7) and the query slice (vec_id % 1000 == 0) " +
+        "as single residue classes")
     if (windows > 0) {
       val rawDir = s"$dir2/raw_incr"
       var wIncVecs = Vector.empty[org.apache.spark.sql.DataFrame]
       (1 to windows).foreach { w =>
         // a fresh 1/incrDenom slice per window, ids offset past
-        // everything. The residue cycles over 1..incrDenom-2 SKIPPING
-        // residue 7 (the compaction-increment slice above) and never
-        // hits 0 (a superset of the vec_id % 1000 == 0 query ids) —
-        // the old `w % (incrDenom-3)` form landed on 0 whenever w was
-        // a multiple of incrDenom-3, polluting that window's content
-        // with the query vectors and skewing the per-window
-        // degradation comparison.
+        // everything. The residue cycles over 1..incrDenom-1 SKIPPING
+        // the compaction-increment residue (7 % incrDenom — see the
+        // divisibility require above) and never hits 0 (the
+        // vec_id % 1000 == 0 query ids) — the old `w % (incrDenom-3)`
+        // form landed on 0 whenever w was a multiple of incrDenom-3,
+        // polluting that window's content with the query vectors and
+        // skewing the per-window degradation comparison.
         val off = (maxId + 1L) * (w + 1L)
-        val r0 = 1L + ((w - 1L) % (incrDenom - 3L))
-        val residue = if (r0 >= 7L) r0 + 1L else r0
+        val skipR = 7L % incrDenom
+        val r0 = 1L + ((w - 1L) % (incrDenom - 2L))
+        val residue = if (r0 >= skipR) r0 + 1L else r0
         val vecs = emb
           .filter(pmod(col("vec_id"), lit(incrDenom)) === residue)
           .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
