@@ -225,6 +225,21 @@ object TextQueries {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4,
       strategy = "tiled")
 
+  /** INCREMENTAL embedding near-dup — the q32 semantics run the way a
+    * daily vector ingest runs them ([[Dedup
+    * .incrementalEmbeddingNearDupPairs]]): vec_id % 4 == 0 is the new
+    * batch, the rest the persisted corpus embedding rel (never
+    * re-paired with itself); batch×corpus pairs carry vs_corpus =
+    * true, batch×batch vec_a < vec_b with false — the q95 split in
+    * embedding form, completing the incremental family across every
+    * near-dup modality. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Dedup.incrementalEmbeddingNearDupPairs(
+      emb.filter(col("vec_id") % 4 === 0),
+      emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4)
+  }
+
   /** IVF ANN against the pinned coarse quantizer
     * ([[IvfCentroids.Centroids16]], a build artifact — train once,
     * ship centroids as data). With fixed centroid literals the search
@@ -383,6 +398,7 @@ object TextQueries {
     "q24_blocked_nn"     -> (q24 _),
     "q25_ann_lsh"        -> (q25 _),
     "q32_embed_neardup"  -> (q32 _),
+    "q99_incr_embed_neardup" -> (q99 _),
     "q33_ann_ivf"        -> (q33 _),
     "q35_term_freq"      -> (q35 _),
     "q48_cc_clusters"    -> (q48 _),
@@ -1069,6 +1085,30 @@ object TextQueries {
          |SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3""".stripMargin,
     "q32_embed_neardup" -> q32Sql,
     "q84_cosine_tiled" -> q32Sql,
+    // q32's cosine arithmetic over the q95-style incremental split:
+    // batch×corpus pairs (vs_corpus true, vec_a = new id, no a<b),
+    // batch×batch (vec_a < vec_b, false) — the corpus never self-pairs
+    "q99_incr_embed_neardup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), newb AS (
+         |  SELECT * FROM n WHERE vec_id % 4 = 0
+         |), corpus AS (
+         |  SELECT * FROM n WHERE vec_id % 4 <> 0
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+         |       TRUE AS vs_corpus
+         |FROM newb a JOIN corpus b ON a.label = b.label
+         |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+         |UNION ALL
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+         |       FALSE AS vs_corpus
+         |FROM newb a JOIN newb b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "q25_ann_lsh" ->
       s"""WITH base AS (
          |  SELECT vec_id, embedding,

@@ -762,6 +762,48 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Incremental embedding-cosine near-dup — the production
+    * maintenance path of [[embeddingNearDupPairs]] (the
+    * [[incrementalNearDupPairs]] / [[incrementalEditDistancePairs]] /
+    * [[Multimodal.incrementalFrameNearDupPairs]] discipline, embedding
+    * form — this completes the family: every near-dup modality has a
+    * daily-ingest form that never re-pairs the corpus). New vectors
+    * join the PERSISTED corpus embedding rel — (vec_id, blockCol,
+    * embedding) rows, at scale a parquet table bucketed by `blockCol`
+    * so the corpus side of the block join reads exchange-free (the
+    * [[Multimodal.writeFrameIndexBucketed]] discipline) — plus a self
+    * block-join among the new batch; corpus embeddings are never
+    * re-paired with each other. The block join is deliberately
+    * UNSALTED: salting would destroy the corpus bucketing, and the
+    * per-block candidate volume is batch_b × corpus_b — bounded by the
+    * (small) batch side, not corpus², which is the boundedness the
+    * incremental form exists for.
+    *
+    * Output: (vec_a, vec_b, cosine, vs_corpus) — vec_a is always the
+    * new vector; new-new pairs are vec_a < vec_b (the family
+    * contract). */
+  def incrementalEmbeddingNearDupPairs(newVecs: DataFrame,
+      corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame = df.select(
+      col("vec_id").as(s"vec_$side"), col(blockCol).as("blk"),
+      col("embedding").as(s"e_$side"),
+      Similarity.l2Norm(col("embedding")).as(s"n_$side"))
+    val a = prep(newVecs, "a")
+    def scored(b: DataFrame, pred: org.apache.spark.sql.Column,
+        vsCorpus: Boolean): DataFrame =
+      a.join(b, Seq("blk"))
+        .filter(pred)
+        .withColumn("cosine",
+          Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        .filter(col("cosine") >= threshold)
+        .withColumn("vs_corpus", lit(vsCorpus))
+        .select("vec_a", "vec_b", "cosine", "vs_corpus")
+    scored(prep(corpus, "b"), col("vec_a") =!= col("vec_b"), vsCorpus = true)
+      .unionByName(
+        scored(prep(newVecs, "b"), col("vec_a") < col("vec_b"),
+          vsCorpus = false))
+  }
+
   /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup
     * detection at scale: split the signature into bands and bucket-join
     * like minhash; here we emit the signature per doc. Native one-pass

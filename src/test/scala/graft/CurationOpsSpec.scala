@@ -134,6 +134,33 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("incrementalEmbeddingNearDupPairs: equals the full-batch pairs touching the increment") {
+    // the embedding form of the invariant above (completes the
+    // incremental family: text, edit, media, embeddings)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val full = graft.operators.Dedup
+      .embeddingNearDupPairs(emb, "label", 0.4)
+      .filter(col("vec_a") % 4 === 0 || col("vec_b") % 4 === 0)
+      .select(least(col("vec_a"), col("vec_b")).as("lo"),
+        greatest(col("vec_a"), col("vec_b")).as("hi"), col("cosine"))
+    val incr = Dedup.incrementalEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 4 === 0),
+        emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4)
+    val incrNorm = incr
+      .select(least(col("vec_a"), col("vec_b")).as("lo"),
+        greatest(col("vec_a"), col("vec_b")).as("hi"), col("cosine"))
+    assert(full.exceptAll(incrNorm).isEmpty && incrNorm.exceptAll(full).isEmpty)
+    assert(incrNorm.count() > 0)
+    // flag contract: vs_corpus rows lead with the new vector; new-new
+    // rows are ordered
+    val flags = incr.select("vec_a", "vec_b", "vs_corpus")
+      .as[(Long, Long, Boolean)].collect()
+    assert(flags.filter(_._3).forall(_._1 % 4 == 0))
+    assert(flags.filterNot(_._3).forall(f => f._1 < f._2 && f._2 % 4 == 0))
+    assert(flags.exists(_._3) && flags.exists(!_._3))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   // ---------------------------------------------------------------- //
   //  Fuzzy edit-distance pairs                                        //
   // ---------------------------------------------------------------- //
