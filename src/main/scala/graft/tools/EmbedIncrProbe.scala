@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch measurement main (not part of the driver contract): the
+  * incremental embedding near-dup path
+  * ([[graft.operators.Dedup.incrementalEmbeddingNearDupPairs]], q99's
+  * operator) at scale — a 1/incrDenom "daily" vector batch against the
+  * rest of the corpus as the persisted embedding rel, vs the one-shot
+  * full-corpus pair run it replaces. The interesting regime is the
+  * Zipf-clustered corpus (gen_skew embeddings): blocks there are the
+  * dense topical clusters, so the one-shot pair volume is Σ cluster²
+  * while the increment's is Σ batch_b × cluster_b — bounded by the
+  * batch. Blocking key: `label` (present in every scale fixture).
+  *
+  * Usage: sbt "runMain graft.tools.EmbedIncrProbe <sfDir> [threshold]
+  *             [incrDenom]"
+  */
+object EmbedIncrProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf10")
+    val threshold = if (args.length > 1) args(1).toDouble else 0.4
+    val incrDenom = if (args.length > 2) args(2).toLong else 100L
+    val spark = graft.GraftSession.create("embed-incr-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    val n = emb.count()
+    val batch = emb.filter(pmod(col("vec_id"), lit(incrDenom)) === 3)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(incrDenom)) =!= 3)
+    val nB = batch.count()
+
+    val t0 = System.nanoTime()
+    val incr = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", threshold)
+    val nIncr = incr.count()
+    val tIncr = (System.nanoTime() - t0) / 1e9
+    println(f"""{"stage":"incr","n":$n,"batch":$nB,"pairs":$nIncr,"sec":$tIncr%.1f}""")
+
+    // the one-shot run the increment replaces (auto strategy — tiled
+    // past the candidate crossover, exactly what a full re-pair costs)
+    val t1 = System.nanoTime()
+    val full = Dedup.embeddingNearDupPairs(emb, "label", threshold)
+    val nFull = full.count()
+    val tFull = (System.nanoTime() - t1) / 1e9
+    println(f"""{"stage":"oneshot","pairs":$nFull,"sec":$tFull%.1f}""")
+    spark.stop()
+  }
+}

@@ -161,6 +161,51 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("incrementalEmbeddingNearDupPairs: a label-bucketed corpus rel joins exchange-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("embidx").toString
+    emb.filter(col("vec_id") % 4 =!= 0)
+      .select("vec_id", "label", "embedding")
+      .write.bucketBy(4, "label").sortBy("label")
+      .option("path", s"$dir/emb_corpus_idx").format("parquet")
+      .mode("overwrite").saveAsTable("emb_corpus_idx")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Dedup.incrementalEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 4 === 0),
+        spark.table("emb_corpus_idx"), "label", 0.4)
+      val plan = res.queryExecution.executedPlan
+      def scansIdx(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case sc: FileSourceScanExec => sc }
+          .exists(_.metadata.get("Location").exists(_.contains("emb_corpus_idx")))
+      val corpusSides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("blk")) => j.right
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("blk")) => j.right
+      }.filter(scansIdx)
+      assert(corpusSides.nonEmpty, plan.toString.take(3000))
+      corpusSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          side.toString.take(3000))
+      }
+      // and the result equals the in-memory corpus path
+      val inMem = Dedup.incrementalEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 4 === 0),
+        emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4)
+      assert(res.exceptAll(inMem).isEmpty && inMem.exceptAll(res).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   // ---------------------------------------------------------------- //
   //  Fuzzy edit-distance pairs                                        //
   // ---------------------------------------------------------------- //
