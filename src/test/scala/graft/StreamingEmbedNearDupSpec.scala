@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingEmbedNearDup
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming embedding ingest path must equal the batch
+  * incremental operator's vs-corpus leg — stateless, exactly once. */
+class StreamingEmbedNearDupSpec extends AnyFunSuite {
+
+  lazy implicit val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("two-micro-batch stream equals the batch incremental vs-corpus leg, exactly once") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "label", "embedding")
+    val fresh = emb.filter(col("vec_id") % 4 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0).cache()
+    val expected = Dedup.incrementalEmbeddingNearDupPairs(
+        fresh, corpus, "label", 0.4)
+      .filter(col("vs_corpus"))
+      .select("vec_a", "vec_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+
+    // static-frame parity: the identical plan gives identical rows
+    val static = StreamingEmbedNearDup
+      .embedNearDupAgainstIndex(fresh, corpus, "label", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(static == expected)
+
+    // a REAL two-micro-batch run
+    val in = Files.createTempDirectory("semb_in")
+    val ckpt = Files.createTempDirectory("semb_ck")
+    val mid = 200L
+    def writeBatch(name: String, cond: org.apache.spark.sql.Column): Unit =
+      fresh.filter(cond).write.parquet(s"$in/$name")
+    writeBatch("b1", col("vec_id") < mid)
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("path", in.toString + "/*").format("parquet").load()
+    val q = StreamingEmbedNearDup
+      .embedNearDupAgainstIndex(stream, corpus, "label", 0.4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semb_out")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", col("vec_id") >= mid)
+      q.processAllAvailable()
+      // stateless: no state store operators
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+      val got = spark.table("semb_out")
+        .as[(Long, Long, Double)].collect()
+      assert(got.length == got.toSet.size, "pairs must emit exactly once")
+      assert(got.toSet == expected)
+    } finally {
+      q.stop()
+      corpus.unpersist()
+    }
+  }
+}
