@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * batch. Blocking key: `label` (present in every scale fixture).
   *
   * Usage: sbt "runMain graft.tools.EmbedIncrProbe <sfDir> [threshold]
-  *             [incrDenom]"
+  *             [incrDenom] [oneshot=1]"  (pass oneshot=0 at scales
+  *             where the full re-pair is the hours-long run the
+  *             increment exists to avoid)
   */
 object EmbedIncrProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf10")
     val threshold = if (args.length > 1) args(1).toDouble else 0.4
     val incrDenom = if (args.length > 2) args(2).toLong else 100L
+    val oneshot = if (args.length > 3) args(3) != "0" else true
     val spark = graft.GraftSession.create("embed-incr-probe")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
@@ -41,11 +44,13 @@ object EmbedIncrProbe {
 
     // the one-shot run the increment replaces (auto strategy — tiled
     // past the candidate crossover, exactly what a full re-pair costs)
-    val t1 = System.nanoTime()
-    val full = Dedup.embeddingNearDupPairs(emb, "label", threshold)
-    val nFull = full.count()
-    val tFull = (System.nanoTime() - t1) / 1e9
-    println(f"""{"stage":"oneshot","pairs":$nFull,"sec":$tFull%.1f}""")
+    if (oneshot) {
+      val t1 = System.nanoTime()
+      val full = Dedup.embeddingNearDupPairs(emb, "label", threshold)
+      val nFull = full.count()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      println(f"""{"stage":"oneshot","pairs":$nFull,"sec":$tFull%.1f}""")
+    }
     spark.stop()
   }
 }
