@@ -240,6 +240,21 @@ object TextQueries {
       emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4)
   }
 
+  /** The STREAMING embedding-ingest plan
+    * ([[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstIndex]])
+    * executed statically over the q99 split — the identical stateless
+    * plan runs under readStream per micro-batch (batch parity
+    * spec-pinned in StreamingEmbedNearDupSpec, the q97 discipline in
+    * embedding form). Output: vs-corpus pairs only, which the oracle
+    * reproduces as q99's batch×corpus leg. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val emb = Tables.embeddings(s, d)
+    graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstIndex(
+      emb.filter(col("vec_id") % 4 === 0),
+      emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4)
+  }
+
   /** IVF ANN against the pinned coarse quantizer
     * ([[IvfCentroids.Centroids16]], a build artifact — train once,
     * ship centroids as data). With fixed centroid literals the search
@@ -399,6 +414,7 @@ object TextQueries {
     "q25_ann_lsh"        -> (q25 _),
     "q32_embed_neardup"  -> (q32 _),
     "q99_incr_embed_neardup" -> (q99 _),
+    "q100_stream_embed_neardup" -> (q100 _),
     "q33_ann_ivf"        -> (q33 _),
     "q35_term_freq"      -> (q35 _),
     "q48_cc_clusters"    -> (q48 _),
@@ -1108,6 +1124,24 @@ object TextQueries {
          |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
          |       FALSE AS vs_corpus
          |FROM newb a JOIN newb b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    // q99's batch×corpus leg alone — the streaming contract emits only
+    // stream-vs-corpus pairs (new-new is the nightly batch job's
+    // business); the zero-state plan must reproduce the same cosine
+    // arithmetic through its stateless block join to hash-match
+    "q100_stream_embed_neardup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), newb AS (
+         |  SELECT * FROM n WHERE vec_id % 4 = 0
+         |), corpus AS (
+         |  SELECT * FROM n WHERE vec_id % 4 <> 0
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM newb a JOIN corpus b ON a.label = b.label
          |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "q25_ann_lsh" ->
       s"""WITH base AS (
