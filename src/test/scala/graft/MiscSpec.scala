@@ -23,7 +23,7 @@ class MiscSpec extends AnyFunSuite {
     // every gate query has an exact DuckDB oracle (q25 via
     // polynomial-hash hyperplanes, q33 via the pinned centroid table)
     assert((qs -- os).isEmpty, s"queries without oracle: ${qs -- os}")
-    assert(qs.forall(_.matches("q\\d{2}_[a-z][a-z0-9_]*"))) // q90_mp4_frames
+    assert(qs.forall(_.matches("q\\d{2,3}_[a-z][a-z0-9_]*"))) // q90_mp4_frames, q100_stream_embed_neardup
   }
 
   test("driver contract: entry() returns rows on sf0.001") {
