@@ -248,7 +248,6 @@ object TextQueries {
     * embedding form). Output: vs-corpus pairs only, which the oracle
     * reproduces as q99's batch×corpus leg. */
   private def q100(s: SparkSession, d: String): DataFrame = {
-    implicit val spark: SparkSession = s
     val emb = Tables.embeddings(s, d)
     graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstIndex(
       emb.filter(col("vec_id") % 4 === 0),

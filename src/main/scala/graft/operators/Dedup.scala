@@ -762,6 +762,97 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Default routing bound for [[incrementalEmbeddingNearDupPairs]]'s
+    * `auto` strategy: Σ over blocks of batch_b × corpus_b candidate
+    * pairs above which the exact block join (linear in CORPUS per
+    * batch) hands off to the cell-routed path (candidates ∝ probed
+    * IVF cells). 10⁸ pairs ≈ the cost band where the dense join's
+    * Σ dot flops start dominating the routed path's assignment +
+    * rescore; every gate/spec scale sits far below it, so the
+    * oracle-checked plans stay on the exact path. */
+  val EmbedRouteBound: Long = 100000000L
+
+  /** Corpus-side CELL relation for the routed embedding-ingest path:
+    * (vec_id, blk, cell, embedding, nrm) — each corpus vector's HOME
+    * cell under `centroids` ([[HashExpressions.NearestCells]],
+    * nProbe=1 — one narrow map, no exchange; the
+    * [[Similarity.buildIvfIndex]] assignment with the block column
+    * kept). This is the nightly artifact the routed join consumes:
+    * persist it with [[writeEmbedCellRelBucketed]] so the per-batch
+    * join's corpus side scans back exchange-free off the cell
+    * bucketing. */
+  def embedCellRel(corpus: DataFrame, blockCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "embedCellRel needs centroids")
+    corpus.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("nrm"),
+      element_at(HashExpressions.nearestCells(
+        col("embedding"), centroids, 1), 1).getField("cell").as("cell"))
+  }
+
+  /** Persist [[embedCellRel]] as a parquet table bucketed by
+    * (`cell`, `blk`) — the [[Similarity.writeAdcIndexBucketed]] /
+    * [[Multimodal.writeFramePostingsBucketed]] discipline in embedding
+    * form. Both columns, not `cell` alone: Catalyst lifts the routed
+    * join's block residual filter into the equi-join keys, and
+    * co-partitioning requires the bucket keys to cover ALL join keys
+    * (`spark.sql.requireAllClusterKeysForCoPartition`) — a cell-only
+    * bucketing re-shuffles the corpus per batch (measured in the
+    * CurationOpsSpec plan pin). Bucketed on both, the corpus side
+    * feeds the join exchange-free: per batch, only the (small)
+    * assigned batch side shuffles, into exactly `buckets`
+    * partitions. */
+  def writeEmbedCellRelBucketed(corpus: DataFrame, blockCol: String,
+      centroids: Seq[(Int, Seq[Double])], table: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = embedCellRel(corpus, blockCol, centroids)
+      .repartition(buckets, col("cell"), col("blk"))
+      .write.bucketBy(buckets, "cell", "blk").sortBy("cell", "blk")
+      .mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** The routed vs-corpus candidate join shared by
+    * [[incrementalEmbeddingNearDupPairs]] (`strategy="cells"`) and
+    * [[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex]]:
+    * batch vectors probe their `nProbe` nearest cells
+    * ([[HashExpressions.NearestCells]] — a stateless per-row
+    * expression, streaming-safe) and join the corpus HOME-cell rel on
+    * `cell` plus the block contract (`blk` equality — written as a
+    * residual filter, lifted into the equi-keys by Catalyst; a corpus
+    * rel bucketed on (cell, blk) via [[writeEmbedCellRelBucketed]]
+    * feeds the join exchange-free). Candidate volume is
+    * Σ over probed cells of batch-probes × corpus-cell-size ≈
+    * batch × nProbe × corpus/K — sub-linear in corpus once cells grow
+    * with N (the [[Similarity.ivfAdcCosineSelfTopK]] candidate bound,
+    * pair form) — vs the dense block join's batch_b × corpus_b.
+    * APPROXIMATE: a pair whose corpus vector's home cell is not among
+    * the batch vector's probes is missed; with nProbe = K (every cell
+    * probed) the result is EXACTLY the dense join's (spec-pinned).
+    * Each surviving pair emits once (a corpus vector has one home
+    * cell). Output: (vec_a batch, vec_b corpus, cosine ≥ threshold). */
+  private[graft] def cellRoutedVsCorpusPairs(newVecs: DataFrame,
+      corpusCells: DataFrame, blockCol: String, threshold: Double,
+      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "cellRoutedVsCorpusPairs needs centroids")
+    val a = newVecs.select(col("vec_id").as("vec_a"),
+        col(blockCol).as("blk_a"), col("embedding").as("e_a"),
+        Similarity.l2Norm(col("embedding")).as("n_a"),
+        HashExpressions.nearestCells(col("embedding"), centroids,
+          math.max(nProbe, 1)).getField("cell").as("cells"))
+      .select(col("vec_a"), col("blk_a"), col("e_a"), col("n_a"),
+        explode(col("cells")).as("cell"))
+    val b = corpusCells.select(col("vec_id").as("vec_b"),
+      col("blk").as("blk_b"), col("embedding").as("e_b"),
+      col("nrm").as("n_b"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("blk_a") === col("blk_b") && col("vec_a") =!= col("vec_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Incremental embedding-cosine near-dup — the production
     * maintenance path of [[embeddingNearDupPairs]] (the
     * [[incrementalNearDupPairs]] / [[incrementalEditDistancePairs]] /
@@ -776,16 +867,39 @@ object Dedup {
     * re-paired with each other. The block join is deliberately
     * UNSALTED: salting would destroy the corpus bucketing, and the
     * per-block candidate volume is batch_b × corpus_b — bounded by the
-    * (small) batch side, not corpus², which is the boundedness the
-    * incremental form exists for.
+    * (small) batch side, not corpus².
+    *
+    * batch_b × corpus_b is still LINEAR IN CORPUS per batch — dense
+    * scan-and-score inside each block — so the operator carries the
+    * family's dispatch discipline: `strategy="auto"` (default) prices
+    * Σ batch_b × corpus_b from two narrow block-count scans, logs it,
+    * and keeps the exact block join only while the bound fits
+    * `routeBound` ([[EmbedRouteBound]]); past it the vs-corpus leg
+    * routes through [[cellRoutedVsCorpusPairs]] — candidates ∝ probed
+    * IVF cells (sub-linear in corpus once cells ∝ N), exact rescoring,
+    * `centroids` resolved artifact-or-fit via
+    * [[IvfCentroids.forCorpus]] (session-memoized) when not passed.
+    * `strategy="exact"`/`"cells"` force a path. The routed leg is
+    * approximate (recall measured in EmbedIncrProbe — see STRESS);
+    * the new-new self leg is always exact (batch² is small by
+    * definition). `corpus` may also be a prebuilt [[embedCellRel]]
+    * (detected by its `cell` column): the routed leg consumes it
+    * as-is — exchange-free when bucketed by cell — and the exact leg
+    * reads its normalized `blk` column.
     *
     * Output: (vec_a, vec_b, cosine, vs_corpus) — vec_a is always the
     * new vector; new-new pairs are vec_a < vec_b (the family
     * contract). */
   def incrementalEmbeddingNearDupPairs(newVecs: DataFrame,
-      corpus: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+      corpus: DataFrame, blockCol: String, threshold: Double,
+      strategy: String = "auto", routeBound: Long = EmbedRouteBound,
+      centroids: Seq[(Int, Seq[Double])] = Nil,
+      nProbe: Int = 8): DataFrame = {
+    // a prebuilt cell rel names its block column "blk"
+    def blkOf(df: DataFrame) =
+      if (df.columns.contains(blockCol)) col(blockCol) else col("blk")
     def prep(df: DataFrame, side: String): DataFrame = df.select(
-      col("vec_id").as(s"vec_$side"), col(blockCol).as("blk"),
+      col("vec_id").as(s"vec_$side"), blkOf(df).as("blk"),
       col("embedding").as(s"e_$side"),
       Similarity.l2Norm(col("embedding")).as(s"n_$side"))
     val a = prep(newVecs, "a")
@@ -798,10 +912,46 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .withColumn("vs_corpus", lit(vsCorpus))
         .select("vec_a", "vec_b", "cosine", "vs_corpus")
-    scored(prep(corpus, "b"), col("vec_a") =!= col("vec_b"), vsCorpus = true)
-      .unionByName(
-        scored(prep(newVecs, "b"), col("vec_a") < col("vec_b"),
-          vsCorpus = false))
+    val chosen = strategy match {
+      case "auto" =>
+        // Σ_blk batch_b × corpus_b from two narrow block-count scans —
+        // the dispatch statistic every sibling pair generator logs
+        // (lshPairBound / videoNearDupPairs' postings histogram)
+        val bb = newVecs.groupBy(blkOf(newVecs).as("blk"))
+          .agg(count(lit(1)).as("na"))
+        val cb = corpus.groupBy(blkOf(corpus).as("blk"))
+          .agg(count(lit(1)).as("nb"))
+        val bound = bb.join(cb, "blk")
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
+        val pick = if (bound <= routeBound) "exact" else "cells"
+        Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
+          s"vsCorpusCandidates=$bound (Σ batch_b×corpus_b) " +
+            s"routeBound=$routeBound -> $pick")
+        pick
+      case s @ ("exact" | "cells") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown incrementalEmbeddingNearDupPairs strategy '$other' " +
+          "(auto|exact|cells)")
+    }
+    val vsCorpusLeg =
+      if (chosen == "exact")
+        scored(prep(corpus, "b"), col("vec_a") =!= col("vec_b"),
+          vsCorpus = true)
+      else {
+        val cents =
+          if (centroids.nonEmpty) centroids
+          else IvfCentroids.forCorpus(
+            corpus.select(col("vec_id"), col("embedding")))
+        val cellRel =
+          if (corpus.columns.contains("cell")) corpus
+          else embedCellRel(corpus, blockCol, cents)
+        cellRoutedVsCorpusPairs(newVecs, cellRel, blockCol, threshold,
+            cents, nProbe)
+          .withColumn("vs_corpus", lit(true))
+      }
+    vsCorpusLeg.unionByName(
+      scored(prep(newVecs, "b"), col("vec_a") < col("vec_b"),
+        vsCorpus = false))
   }
 
   /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.operators.{Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Parallelism, Similarity}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming embedding near-duplicate detection against a static
@@ -9,28 +9,61 @@ import org.apache.spark.sql.functions._
   * [[Dedup.incrementalEmbeddingNearDupPairs]]'s vs-corpus leg,
   * completing the streaming near-dup family (text
   * [[StreamingNearDup]], media [[StreamingMediaNearDup]], embeddings
-  * here). The join is stateless by construction: a block equi-join +
-  * per-row cosine filter — no aggregation, no distinct, no watermark,
-  * no state store — so a streaming `vecs` frame runs the IDENTICAL
-  * plan per micro-batch (batch parity is the contract, spec-pinned).
+  * here). Both entries are stateless by construction — equi-join +
+  * per-row arithmetic, no aggregation, no distinct, no watermark, no
+  * state store — so a streaming `vecs` frame runs the IDENTICAL plan
+  * per micro-batch (batch parity is the contract, spec-pinned).
   *
-  * Scale shape: the corpus side should be the PERSISTED embedding rel
-  * (vec_id, blockCol, embedding) bucketed by `blockCol`, which joins
-  * exchange-free (spec-pinned in CurationOpsSpec for the batch twin —
-  * the same plan runs here); only the (small) micro-batch shuffles
-  * into the block partitioning. Per-block candidate volume is
-  * batch_b × corpus_b — bounded by the batch side. New-new pairs are
-  * deliberately absent (a stream-stream self-join needs watermarked
-  * state); they are the nightly batch job's business, exactly the
-  * [[StreamingMediaNearDup]] division of labor. */
+  * Two entries, the [[StreamingMediaNearDup]] corpus-shape ranking in
+  * embedding form:
+  *
+  *  1. [[embedNearDupAgainstCellIndex]] — the SCALE path: the corpus
+  *     enters as the persisted [[Dedup.embedCellRel]] (home-cell rel,
+  *     bucketed by `cell` via [[Dedup.writeEmbedCellRelBucketed]] so
+  *     it scans exchange-free per micro-batch); arriving vectors probe
+  *     their `nProbe` nearest cells (a stateless per-row expression)
+  *     and only cell-colliding pairs are exact-rescored — candidates ∝
+  *     probed cells, sub-linear in corpus.
+  *  2. [[embedNearDupAgainstIndex]] — the DENSE block join: exact
+  *     within blocks, but candidates are batch_b × corpus_b per block —
+  *     linear in corpus per batch. Gate/test scale, or corpora whose
+  *     blocks are known-small; the plan-time dispatch line prices it
+  *     and names the routed entry when a block is hot.
+  *
+  * New-new pairs are deliberately absent from both (a stream-stream
+  * self-join needs watermarked state); they are the nightly batch
+  * job's business, exactly the [[StreamingMediaNearDup]] division of
+  * labor. */
 object StreamingEmbedNearDup {
 
+  /** A corpus block above this size makes the dense leg's per-batch-row
+    * candidate volume (its block's corpus count) the dominant cost —
+    * the plan-time dispatch line flags it and names the routed entry. */
+  val DenseBlockWarn: Long = 100000L
+
   /** Match a (possibly streaming) vector feed against the corpus
-    * embedding rel. Output: (vec_a stream side, vec_b corpus, cosine),
-    * cosine ≥ `threshold`, one row per pair per micro-batch. */
+    * embedding rel — the DENSE block join (shape 2 above). Output:
+    * (vec_a stream side, vec_b corpus, cosine), cosine ≥ `threshold`,
+    * one row per pair per micro-batch. The corpus-side block histogram
+    * is priced ONCE at plan-build time (the stream side cannot be
+    * counted): per-batch-row candidates are bounded by the row's
+    * block's corpus count, so a hot block means every micro-batch pays
+    * a dense scan of it — use [[embedNearDupAgainstCellIndex]] past
+    * [[DenseBlockWarn]]. */
   def embedNearDupAgainstIndex(vecs: DataFrame, corpus: DataFrame,
-      blockCol: String, threshold: Double)(
-      implicit spark: SparkSession): DataFrame = {
+      blockCol: String, threshold: Double): DataFrame = {
+    val st = corpus.groupBy(col(blockCol)).agg(count(lit(1)).as("nb"))
+      .agg(coalesce(max(col("nb")), lit(0L)),
+        coalesce(sum(col("nb")), lit(0L))).head
+    val (maxB, total) = (st.getLong(0), st.getLong(1))
+    Parallelism.logDispatch("StreamingEmbedNearDup",
+      s"dense leg: corpusRows=$total maxBlock=$maxB (per-batch-row " +
+        "candidate bound = its block's corpus count)" +
+        (if (maxB > DenseBlockWarn)
+           s" — HOT BLOCK past $DenseBlockWarn: every micro-batch dense-" +
+             "scans it; use embedNearDupAgainstCellIndex (candidates ∝ " +
+             "probed cells)"
+         else " — ok"))
     val a = vecs.select(col("vec_id").as("vec_a"),
       col(blockCol).as("blk"), col("embedding").as("e_a"),
       Similarity.l2Norm(col("embedding")).as("n_a"))
@@ -43,5 +76,32 @@ object StreamingEmbedNearDup {
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Match a (possibly streaming) vector feed against the persisted
+    * HOME-CELL rel ([[Dedup.embedCellRel]] — columns vec_id, blk,
+    * cell, embedding, nrm) — the SCALE path (shape 1 above), the
+    * [[Dedup.cellRoutedVsCorpusPairs]] plan under a stream: arriving
+    * vectors probe `nProbe` nearest cells (stateless NearestCells
+    * expression), join on (`cell`, `blk`) — a corpus rel bucketed on
+    * both ([[Dedup.writeEmbedCellRelBucketed]]) scans exchange-free
+    * per micro-batch — exact cosine on collisions only.
+    * APPROXIMATE with the same contract as the batch routed leg: a
+    * pair whose corpus home cell is unprobed is missed; nProbe = K is
+    * exhaustive (spec-pinned ≡ dense). `centroids` must be the SAME
+    * quantizer the rel was built with (versioned artifacts — the
+    * [[Similarity.appendIvfIndex]] discipline). */
+  def embedNearDupAgainstCellIndex(vecs: DataFrame, corpusCells: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], blockCol: String,
+      threshold: Double, nProbe: Int = 8): DataFrame = {
+    val st = corpusCells.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      .agg(coalesce(max(col("nc")), lit(0L)),
+        coalesce(sum(col("nc")), lit(0L))).head
+    Parallelism.logDispatch("StreamingEmbedNearDup",
+      s"routed leg: corpusRows=${st.getLong(1)} cells=${centroids.size} " +
+        s"maxCell=${st.getLong(0)} nProbe=$nProbe (per-batch-row " +
+        s"candidate bound ≈ nProbe × maxCell)")
+    Dedup.cellRoutedVsCorpusPairs(vecs, corpusCells, blockCol, threshold,
+      centroids, nProbe)
   }
 }

@@ -206,6 +206,103 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalEmbeddingNearDupPairs: cell route with exhaustive probes equals the exact join") {
+    // the routed leg's correctness anchor: with nProbe = K every cell
+    // is probed, so every (same-block) pair cell-collides and the
+    // approximate route degenerates to the dense join exactly
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val cents = graft.operators.IvfCentroids.Centroids16
+    val exact = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", 0.4, strategy = "exact")
+    val routed = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", 0.4, strategy = "cells",
+      centroids = cents, nProbe = cents.size)
+    assert(exact.exceptAll(routed).isEmpty && routed.exceptAll(exact).isEmpty)
+    assert(routed.filter(col("vs_corpus")).count() > 0)
+    // auto with a 1-pair bound routes to cells — same result under
+    // exhaustive probes; with the default bound it stays exact
+    val autoRouted = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", 0.4, strategy = "auto", routeBound = 1L,
+      centroids = cents, nProbe = cents.size)
+    assert(exact.exceptAll(autoRouted).isEmpty &&
+      autoRouted.exceptAll(exact).isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDupPairs(
+        batch, corpus, "label", 0.4, strategy = "bogus")
+    }
+  }
+
+  test("incrementalEmbeddingNearDupPairs: routed leg prunes by cell (narrow probes shrink candidates, survivors exact)") {
+    // with nProbe = 1 the route is a strict subset of the exact pairs
+    // and every surviving cosine is the exact value (rescoring is
+    // exact — only candidate GENERATION is approximate)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val cents = graft.operators.IvfCentroids.Centroids16
+    val exact = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", 0.4, strategy = "exact")
+    val narrow = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "label", 0.4, strategy = "cells",
+      centroids = cents, nProbe = 1)
+    assert(narrow.exceptAll(exact).isEmpty,
+      "routed pairs must be a subset of the exact pairs with exact cosines")
+    // the new-new leg is identical on both paths (always exact)
+    val exactNN = exact.filter(!col("vs_corpus"))
+    val narrowNN = narrow.filter(!col("vs_corpus"))
+    assert(exactNN.exceptAll(narrowNN).isEmpty &&
+      narrowNN.exceptAll(exactNN).isEmpty)
+  }
+
+  test("incrementalEmbeddingNearDupPairs: a cell-bucketed corpus rel joins exchange-free on the routed path") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.operators.IvfCentroids.Centroids16
+    val dir = java.nio.file.Files.createTempDirectory("embcell").toString
+    Dedup.writeEmbedCellRelBucketed(
+      emb.filter(col("vec_id") % 4 =!= 0), "label", cents,
+      "emb_cell_idx", 4, Some(s"$dir/emb_cell_idx"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Dedup.incrementalEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 4 === 0),
+        spark.table("emb_cell_idx"), "label", 0.4,
+        strategy = "cells", centroids = cents, nProbe = cents.size)
+      val plan = res.queryExecution.executedPlan
+      def scansIdx(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case sc: FileSourceScanExec => sc }
+          .exists(_.metadata.get("Location").exists(_.contains("emb_cell_idx")))
+      val corpusSides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j.right
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("cell")) => j.right
+      }.filter(scansIdx)
+      assert(corpusSides.nonEmpty, plan.toString.take(3000))
+      corpusSides.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          side.toString.take(3000))
+      }
+      // and the prebuilt-rel result equals the on-the-fly routed path
+      val inMem = Dedup.incrementalEmbeddingNearDupPairs(
+        emb.filter(col("vec_id") % 4 === 0),
+        emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4,
+        strategy = "cells", centroids = cents, nProbe = cents.size)
+      assert(res.exceptAll(inMem).isEmpty && inMem.exceptAll(res).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.sql("DROP TABLE IF EXISTS emb_cell_idx")
+    }
+  }
+
   // ---------------------------------------------------------------- //
   //  Fuzzy edit-distance pairs                                        //
   // ---------------------------------------------------------------- //

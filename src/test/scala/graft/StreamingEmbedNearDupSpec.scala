@@ -67,4 +67,56 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
       corpus.unpersist()
     }
   }
+
+  test("routed entry: two-micro-batch stream vs the cell-bucketed rel equals the dense leg under exhaustive probes") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "label", "embedding")
+    val fresh = emb.filter(col("vec_id") % 4 === 0)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0).cache()
+    val cents = graft.operators.IvfCentroids.Centroids16
+    val dir = Files.createTempDirectory("semb_cell").toString
+    Dedup.writeEmbedCellRelBucketed(corpus, "label", cents,
+      "semb_cell_idx", 4, Some(s"$dir/semb_cell_idx"))
+    try {
+      val expected = StreamingEmbedNearDup
+        .embedNearDupAgainstIndex(fresh, corpus, "label", 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(expected.nonEmpty)
+
+      // static parity at exhaustive probes (nProbe = K ⇒ ≡ dense)
+      val staticRouted = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+          fresh, spark.table("semb_cell_idx"), cents, "label", 0.4,
+          nProbe = cents.size)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(staticRouted == expected)
+
+      // a REAL two-micro-batch run through the routed plan
+      val in = Files.createTempDirectory("semb_rin")
+      val ckpt = Files.createTempDirectory("semb_rck")
+      val mid = 200L
+      fresh.filter(col("vec_id") < mid).write.parquet(s"$in/b1")
+      val stream = spark.readStream.schema(fresh.schema)
+        .option("path", in.toString + "/*").format("parquet").load()
+      val q = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+          stream, spark.table("semb_cell_idx"), cents, "label", 0.4,
+          nProbe = cents.size)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("semb_routed_out")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        fresh.filter(col("vec_id") >= mid).write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+        val got = spark.table("semb_routed_out")
+          .as[(Long, Long, Double)].collect()
+        assert(got.length == got.toSet.size, "pairs must emit exactly once")
+        assert(got.toSet == expected)
+      } finally q.stop()
+    } finally {
+      corpus.unpersist()
+      spark.sql("DROP TABLE IF EXISTS semb_cell_idx")
+    }
+  }
 }
