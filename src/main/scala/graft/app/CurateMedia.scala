@@ -40,14 +40,28 @@ object CurateMedia {
   /** Run the chain; write survivor media to `outDir/media`, the slim
     * frame index to table `indexTable` (data under
     * `outDir/frame_idx`), and the pre-exploded streaming postings to
-    * `indexTable_postings` (under `outDir/frame_postings`).
-    * `maxPostings` (>0) is the nightly-derived stop-frame cut baked
-    * into the postings build — the stream inherits it; the slim index
-    * stays uncut (the batch incremental join takes its cut at query
-    * time against the combined histogram). */
+    * `indexTable_postings` — a BLUE/GREEN versioned rebuild
+    * ([[Multimodal.writeFramePostingsBucketedVersioned]]: data under
+    * `outDir/frame_postings/v<N>`, the serving name swapped atomically,
+    * previous version kept for in-flight readers) so a nightly re-run
+    * never serves a half-written table to a running stream.
+    *
+    * The stop-frame cut baked into the postings artifact is the cut
+    * the pair stage ACTUALLY APPLIED: the guarded near-dup join
+    * ([[Multimodal.frameNearDupPairsAutoWithCut]]) returns it — the
+    * caller's `maxPostings` when the measured candidate volume fits
+    * the budget, the auto-derived (or min-combined, if the caller's is
+    * looser) cut when it doesn't — so the streaming ingest path
+    * inherits the SAME bound the nightly pair join ran under, with no
+    * CLI plumbing required on skewed corpora. The slim index stays
+    * uncut (the batch incremental join takes its cut at query time
+    * against the combined histogram). `autoBudgetFloor` is the guard
+    * budget's floor (tests lower it to exercise the cut branch on
+    * small fixtures). */
   def run(media: DataFrame, outDir: String, tau: Double = 0.4,
       stride: Int = 1, buckets: Int = 32, maxPostings: Int = 0,
-      indexTable: String = "media_frame_idx")(
+      indexTable: String = "media_frame_idx",
+      autoBudgetFloor: Long = 1000000L)(
       implicit spark: SparkSession): MediaStageCounts = {
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
@@ -67,8 +81,11 @@ object CurateMedia {
       val frames = Multimodal.mediaFramePHashes(exact, stride)(spark)
         .cache()
       pinned += frames
-      val dropNear = Multimodal
-        .frameNearDupPairsAuto(frames, tau, pin = pinned += _)
+      val (nearPairs, appliedCut) = Multimodal
+        .frameNearDupPairsAutoWithCut(frames, tau,
+          maxPostings = maxPostings, pin = pinned += _,
+          budgetFloor = autoBudgetFloor)
+      val dropNear = nearPairs
         .select(col("doc_b").as("doc_id")).distinct()
       val survivors = exact.join(dropNear, Seq("doc_id"), "left_anti")
         .cache()
@@ -82,9 +99,9 @@ object CurateMedia {
         .join(survivors.select("doc_id"), "doc_id")
       Multimodal.writeFrameIndexBucketed(survivorFrames, indexTable,
         buckets, Some(s"$outDir/frame_idx"))
-      Multimodal.writeFramePostingsBucketed(survivorFrames,
+      Multimodal.writeFramePostingsBucketedVersioned(survivorFrames,
         s"${indexTable}_postings", buckets,
-        Some(s"$outDir/frame_postings"), maxPostings = maxPostings,
+        Some(s"$outDir/frame_postings"), maxPostings = appliedCut,
         stride = stride)
       val indexRows = spark.table(indexTable).count()
       MediaStageCounts(input, nExact, nNear, indexRows)

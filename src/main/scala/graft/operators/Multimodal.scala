@@ -411,7 +411,28 @@ object Multimodal {
   def videoNearDupPairs(frames: DataFrame, tau: Double,
       maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
       autoBudgetPerDoc: Int = 0,
-      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
+    videoNearDupPairsWithCut(frames, tau, maxPostings, maxCandidatePairs,
+      autoBudgetPerDoc, pin)._1
+
+  /** [[videoNearDupPairs]] that also RETURNS the stop-frame cut the
+    * pair stage actually applied (0 = uncut): the caller's
+    * `maxPostings` on the guard's ok branch, the auto-derived (or
+    * min-combined) cut on the over-budget branch. Pipelines that build
+    * the nightly postings artifact ([[writeFramePostingsBucketed]])
+    * need this value PLUMBED, not log-parsed — the streaming ingest
+    * path inherits whatever cut the artifact was built with, and a
+    * pipeline that derives cut N for its own pair join but writes the
+    * artifact uncut hands the stream exactly the boilerplate regime
+    * the cut exists to prevent ([[graft.app.CurateMedia]] wires this).
+    * `budgetFloor` is the auto budget's floor (default 10⁶ — the
+    * corpus-proportional `autoBudgetPerDoc` discipline; tests lower it
+    * to exercise the cut branch on small fixtures). */
+  def videoNearDupPairsWithCut(frames: DataFrame, tau: Double,
+      maxPostings: Int = 0, maxCandidatePairs: Long = -1L,
+      autoBudgetPerDoc: Int = 0,
+      pin: DataFrame => Unit = OperatorCaches.register,
+      budgetFloor: Long = 1000000L): (DataFrame, Int) = {
     require(maxCandidatePairs <= 0L || autoBudgetPerDoc <= 0,
       "pass either an explicit maxCandidatePairs or autoBudgetPerDoc, not both")
     val guardOn = maxCandidatePairs > 0L || autoBudgetPerDoc > 0
@@ -437,10 +458,10 @@ object Multimodal {
     val budget: Long =
       if (autoBudgetPerDoc > 0) {
         val nDocs = sets.select("doc_id").distinct().count()
-        val b = math.max(autoBudgetPerDoc.toLong * nDocs, 1000000L)
+        val b = math.max(autoBudgetPerDoc.toLong * nDocs, budgetFloor)
         Parallelism.logDispatch("videoNearDupPairs",
           s"autoBudget: nDocs=$nDocs -> maxCandidatePairs=$b " +
-            s"($autoBudgetPerDoc/doc, floor 1e6)")
+            s"($autoBudgetPerDoc/doc, floor $budgetFloor)")
         b
       } else maxCandidatePairs
     val cut: Int =
@@ -504,7 +525,7 @@ object Multimodal {
       }
     val a = postings.select(col("doc_id").as("doc_a"), col("frame_phash"))
     val b = postings.select(col("doc_id").as("doc_b"), col("frame_phash"))
-    a.join(b, Seq("frame_phash"))
+    val pairs = a.join(b, Seq("frame_phash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
@@ -515,6 +536,7 @@ object Multimodal {
           (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "shared", "jaccard")
+    (pairs, cut)
   }
 
   /** Production entry point for frame-set near-dup — [[videoNearDupPairs]]
@@ -533,8 +555,20 @@ object Multimodal {
   def frameNearDupPairsAuto(frames: DataFrame, tau: Double,
       maxPostings: Int = 0,
       pin: DataFrame => Unit = OperatorCaches.register): DataFrame =
-    videoNearDupPairs(frames, tau, maxPostings = maxPostings,
-      autoBudgetPerDoc = 256, pin = pin)
+    frameNearDupPairsAutoWithCut(frames, tau, maxPostings, pin)._1
+
+  /** [[frameNearDupPairsAuto]] returning (pairs, applied stop-frame
+    * cut) — the pipeline form ([[videoNearDupPairsWithCut]] semantics):
+    * [[graft.app.CurateMedia]] bakes the returned cut into the nightly
+    * postings artifact so the streaming ingest path inherits the SAME
+    * bound the pair stage derived. `budgetFloor` as on
+    * [[videoNearDupPairsWithCut]]. */
+  def frameNearDupPairsAutoWithCut(frames: DataFrame, tau: Double,
+      maxPostings: Int = 0,
+      pin: DataFrame => Unit = OperatorCaches.register,
+      budgetFloor: Long = 1000000L): (DataFrame, Int) =
+    videoNearDupPairsWithCut(frames, tau, maxPostings = maxPostings,
+      autoBudgetPerDoc = 256, pin = pin, budgetFloor = budgetFloor)
 
   /** Per-audio frame-hash rows for near-dup detection — the audio leg
     * of [[videoFramePHashes]] (the composition [[AudioHeaders]]'s
@@ -610,11 +644,39 @@ object Multimodal {
     // not the ingest hot path).
     val spark = sets.sparkSession
     val rows =
-      if (mode == "append" && spark.catalog.tableExists(table))
+      if (mode == "append" && spark.catalog.tableExists(table)) {
+        // A re-appended doc whose PAYLOAD changed is a silent
+        // corruption, not a no-op: the anti-join below would drop its
+        // NEW (doc_id, frame_phash) rows and the incremental join
+        // would keep scoring the stale content (append cannot retract
+        // the old rows). Detect it — for docs present on both sides,
+        // any frame hash on exactly one side means the set changed —
+        // and fail loudly naming the docs; a content update requires a
+        // rebuild. One slim maintenance-time pass, not the ingest hot
+        // path.
+        val existing = spark.table(table)
+          .select("doc_id", "frame_phash")
+        val sharedDocs = distinctRows.select("doc_id").distinct()
+          .join(existing.select("doc_id").distinct(), "doc_id")
+        val winShared = distinctRows.join(sharedDocs, "doc_id")
+        val idxShared = existing.join(sharedDocs, "doc_id")
+        val changed = winShared
+          .join(idxShared, Seq("doc_id", "frame_phash"), "left_anti")
+          .unionByName(idxShared
+            .join(winShared, Seq("doc_id", "frame_phash"), "left_anti"))
+          .select("doc_id").distinct().limit(6)
+          .collect().map(_.getLong(0)).sorted
+        require(changed.isEmpty,
+          s"writeFrameIndexBucketed(append): doc(s) ${changed.take(5)
+            .mkString(", ")}${if (changed.length > 5) ", …" else ""} are " +
+            s"already indexed in '$table' with a DIFFERENT frame set — " +
+            "append cannot retract the stale rows and the incremental " +
+            "join would keep scoring the old content; rebuild the index " +
+            "(mode=overwrite) to pick up content updates")
         distinctRows.join(
           spark.table(table).select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
-      else distinctRows
+      } else distinctRows
     val w = rows.write
       .bucketBy(buckets, "frame_phash")
       .sortBy("frame_phash")
@@ -696,6 +758,57 @@ object Multimodal {
       .mode("overwrite")
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Blue/green form of [[writeFramePostingsBucketed]] — the nightly
+    * REBUILD entry: writes the postings into a fresh version-suffixed
+    * table `<table>_v<N>` and only then swaps the serving name
+    * (`CREATE OR REPLACE VIEW <table>`) onto it — one catalog
+    * operation, so a reader resolving `<table>` mid-rebuild sees
+    * either the old complete version or the new complete version,
+    * never a half-written table (a direct overwrite drops + rewrites
+    * the files UNDER the live name — exactly the window a running
+    * stream's next micro-batch would read). The view is a bare
+    * `SELECT *`, so the bucketed scan's partitioning AND the `fhs`
+    * column metadata (build stride / baked cut) flow through to
+    * consumers unchanged (spec-pinned). The PREVIOUS version is kept —
+    * a stream that resolved it before the swap keeps reading complete
+    * data — and all versions older than that are dropped; re-running
+    * nightly therefore holds at most two versions on disk. A legacy
+    * plain TABLE already holding the serving name is dropped first
+    * (one-time migration; its files are replaced by this rebuild
+    * anyway). Returns the versioned table name written. */
+  def writeFramePostingsBucketedVersioned(sets: DataFrame, table: String,
+      buckets: Int, path: Option[String] = None, maxPostings: Int = 0,
+      stride: Int = 1): String = {
+    val spark = sets.sparkSession
+    val pat = (java.util.regex.Pattern.quote(table) + "_v(\\d+)").r
+    val versions = spark.sqlContext.tableNames().toSeq.collect {
+      case pat(n) => n.toInt
+    }.sorted
+    val next = versions.lastOption.getOrElse(0) + 1
+    val vTable = s"${table}_v$next"
+    writeFramePostingsBucketed(sets, vTable, buckets,
+      path.map(p => s"$p/v$next"), maxPostings, stride)
+    if (spark.catalog.tableExists(table) &&
+        spark.catalog.getTable(table).tableType != "VIEW")
+      spark.sql(s"DROP TABLE `$table`") // one-time legacy migration
+    spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$vTable`")
+    versions.dropRight(1).foreach { v =>
+      spark.sql(s"DROP TABLE IF EXISTS `${table}_v$v`")
+      // path-based tables are EXTERNAL — drop leaves the files; delete
+      // them so nightly rebuilds hold at most two versions of bytes too
+      path.foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(s"$p/v$v")
+        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dir, true)
+      }
+    }
+    Parallelism.logDispatch("writeFramePostingsBucketedVersioned",
+      s"$table -> $vTable (kept ${versions.lastOption.map(v => s"${table}_v$v")
+        .getOrElse("none")} for in-flight readers; dropped " +
+        s"${versions.dropRight(1).size} older)")
+    vTable
   }
 
   /** Incremental frame-set near-dup — the production maintenance path

@@ -848,6 +848,27 @@ object Similarity {
       .min(Int.MaxValue).toInt
   }
 
+  /** Where the per-partition fold will actually run: (heap bytes,
+    * concurrent task slots). Cluster mode reads the executor's
+    * declared sizing from the conf (`spark.executor.memory`,
+    * `spark.executor.cores` / `spark.task.cpus`); local mode — or a
+    * conf with no executor memory declared — falls back to this JVM's
+    * Runtime values, which are exact there (executors share the
+    * driver JVM). */
+  private[graft] def executorSizing(
+      spark: org.apache.spark.sql.SparkSession): (Long, Int) = {
+    val conf = spark.sparkContext.getConf
+    val isLocal = spark.sparkContext.isLocal
+    if (!isLocal && conf.contains("spark.executor.memory")) {
+      val heap = conf.getSizeAsBytes("spark.executor.memory")
+      val cores = conf.getInt("spark.executor.cores", 1)
+      val perTask = math.max(conf.getInt("spark.task.cpus", 1), 1)
+      (heap, math.max(cores / perTask, 1))
+    } else
+      (Runtime.getRuntime.maxMemory(),
+        Runtime.getRuntime.availableProcessors())
+  }
+
   /** Sizing guard for the fold's known foot-gun (STRESS r13/r14: an
     * 8 g driver heap shrank the flush windows ~20×, the fold's output
     * blew up ~20×, and the run filled 61 GB of disk an hour into the
@@ -865,7 +886,7 @@ object Similarity {
       (heapBytes * 0.10 / math.max(procs, 1)).toLong / perQueryBytes)
     val capQ = math.max(1L, maxEntries.toLong / kk)
     if (heapQ * 4 < capQ) Some(
-      f"partialTopKPerQuery: the JVM heap (${heapBytes / (1L << 30)} GiB" +
+      f"partialTopKPerQuery: the JVM heap (${heapBytes / (1L << 30).toDouble}%.1f GiB" +
         f" across $procs concurrent tasks) sizes the flush window at " +
         f"~$heapQ queries — ${capQ / math.max(heapQ, 1)}× below the " +
         f"maxEntries cap ($capQ). Small windows multiply the fold's " +
@@ -916,13 +937,15 @@ object Similarity {
     val spark = scored.sparkSession
     import spark.implicits._
     val kk = math.max(k, 1)
-    // Driver-side early warning (executors usually share the driver's
-    // sizing in local mode and differ only by config on a cluster —
-    // a heuristic, but it converts the 61 GB-disk-fill failure mode
-    // into a named log line at plan time).
-    flushWindowWarning(k, maxEntries,
-      Runtime.getRuntime.maxMemory(),
-      Runtime.getRuntime.availableProcessors())
+    // Plan-time early warning, sized from where the fold actually RUNS:
+    // on a cluster that's the executor (spark.executor.memory /
+    // spark.executor.cores / spark.task.cpus from the conf — driver
+    // Runtime values can be arbitrarily wrong under asymmetric
+    // driver/executor sizing); in local mode executors share the
+    // driver JVM, so the Runtime values are exact. Converts the
+    // 61 GB-disk-fill failure mode into a named log line at plan time.
+    val (warnHeap, warnProcs) = executorSizing(spark)
+    flushWindowWarning(k, maxEntries, warnHeap, warnProcs)
       .foreach(Parallelism.logDispatch("partialTopKPerQuery", _))
     scored.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"), col("approx_dist").cast("double"))

@@ -107,11 +107,29 @@ object StreamingMediaNearDup {
     * stride as the stream walk — [[Multimodal.mediaFramePHashes]]; a
     * video-only index hashes audio payloads differently than the
     * stream would). */
-  def corpusFrameSets(corpusSets: DataFrame): DataFrame =
+  def corpusFrameSets(corpusSets: DataFrame,
+      assumeDistinct: Boolean = false): DataFrame =
     if (corpusSets.columns.contains("fhs")) {
       requireLongArray(corpusSets, "fhs", "corpusFrameSets")
       require(corpusSets.columns.contains("doc_id"),
         "corpusFrameSets: prebuilt sets need a doc_id column")
+      // CONTENT validation at accept time (one pass, maintenance cost,
+      // not the ingest hot path): the join's min-of-intersection
+      // exactly-once rule and array_intersect arithmetic silently
+      // corrupt shared/jaccard on non-distinct or unsorted arrays, so
+      // a prebuilt table from a different builder is REFUSED, not
+      // trusted. A caller that already paid the check (the artifact
+      // build writes sort_array(collect_set(...))) passes
+      // assumeDistinct = true to skip the scan.
+      if (!assumeDistinct) {
+        val bad = corpusSets.filter(
+          col("fhs") =!= sort_array(array_distinct(col("fhs")))).count()
+        require(bad == 0L,
+          s"corpusFrameSets: $bad prebuilt row(s) carry a non-distinct " +
+            "or unsorted fhs array — shared/jaccard would be silently " +
+            "wrong; rebuild the sets with sort_array(collect_set(...)) " +
+            "or pass assumeDistinct=true only for a table known clean")
+      }
       corpusSets
     } else {
       requireLongArray(
@@ -122,18 +140,23 @@ object StreamingMediaNearDup {
     }
 
   /** Match a (possibly streaming) media feed against the corpus frame
-    * index. Three accepted corpus shapes, best first:
+    * index. Three accepted corpus shapes — ONLY shape 1 is the
+    * production ingest path; 2 and 3 are TEST-SCALE conveniences:
     *
     *  1. the PRE-EXPLODED bucketed postings table
-    *     ([[Multimodal.writeFramePostingsBucketed]] — columns
-    *     frame_phash, doc_id, fhs, n_full): zero corpus-side exchange
-    *     per micro-batch, the nightly cut baked in, build stride
-    *     checked against `stride`;
-    *  2. prebuilt (doc_id, fhs) sets ([[corpusFrameSets]]) — no
-    *     per-batch aggregation, but the explode+shuffle of the corpus
-    *     re-runs per batch (fine for small corpora / tests);
-    *  3. raw (doc_id, frame_phash) index rows — pays a corpus-wide
-    *     groupBy per batch; gate/demo scale only.
+    *     ([[Multimodal.writeFramePostingsBucketed]], nightly-rebuilt
+    *     via [[Multimodal.writeFramePostingsBucketedVersioned]] —
+    *     columns frame_phash, doc_id, fhs, n_full): zero corpus-side
+    *     exchange per micro-batch, the nightly cut baked in, build
+    *     stride checked against `stride`;
+    *  2. prebuilt (doc_id, fhs) sets ([[corpusFrameSets]]) —
+    *     TEST-SCALE ONLY: no cut mechanism, and the explode+shuffle of
+    *     the corpus re-runs per batch — measured 34× the shuffle bytes
+    *     of shape 1 at sf10 (MediaScaleProbe), growing with the corpus
+    *     forever. Content-validated at accept time (see
+    *     [[corpusFrameSets]]; `assumeDistinct` skips the scan);
+    *  3. raw (doc_id, frame_phash) index rows — TEST/DEMO ONLY: pays a
+    *     corpus-wide groupBy per batch on top of shape 2's costs.
     *
     * Output: (doc_a stream side, doc_b corpus, shared, jaccard) — one
     * row per matching pair per micro-batch, jaccard ≥ `tau`. With the
@@ -141,7 +164,7 @@ object StreamingMediaNearDup {
     * jaccard denominator keeps full set sizes — the batch operator's
     * lower-bound cut contract. */
   def mediaNearDupAgainstIndex(media: DataFrame, corpusSets: DataFrame,
-      tau: Double, stride: Int = 1)(
+      tau: Double, stride: Int = 1, assumeDistinct: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     val sRel = frameSets(media, stride)
       .select(col("doc_id").as("doc_a"), col("fhs").as("fhs_a"))
@@ -156,7 +179,7 @@ object StreamingMediaNearDup {
         corpusSets.select(col("frame_phash"), col("doc_id").as("doc_b"),
           col("fhs").as("fhs_b"), col("n_full").as("n_b"))
       } else
-        corpusFrameSets(corpusSets)
+        corpusFrameSets(corpusSets, assumeDistinct)
           .select(col("doc_id").as("doc_b"), col("fhs").as("fhs_b"),
             size(col("fhs")).cast("long").as("n_b"),
             explode(col("fhs")).as("frame_phash"))

@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *     increment-proportional, not corpus-proportional).
   *
   * Usage: sbt "runMain graft.tools.MediaScaleProbe <sfDir> <workDir>
-  *             [repeat] [tau] [incrMaxPostings]"
+  *             [repeat] [tau] [incrMaxPostings] [legacy=0]"
+  *        (legacy=1 re-measures the retired prebuilt-sets streaming
+  *        shape for contrast; off by default — its 34× shuffle number
+  *        is already on the r15 ledger)
   */
 object MediaScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -183,11 +186,15 @@ object MediaScaleProbe {
           .mediaNearDupAgainstIndex(batch, spark.table(tblP), tau).count())
       println(f"""{"stage":"stream_batch","denom":$denom,"batch_docs":$nB,"pairs":$nPair,"sec":$sSec%.1f,"shuffle_mb":${sb / 1048576}}""")
     }
-    // legacy-shape contrast only in the uncut regime: the prebuilt-sets
-    // path has no cut mechanism at all (a further reason the postings
-    // shape is the production one) — running it on a boilerplate-skewed
-    // corpus would just re-measure the unguarded quadratic
-    if (incrCut <= 0) {
+    // legacy-shape contrast is OPT-IN (arg 6 = 1): the prebuilt-sets
+    // path is ranked test-scale-only in mediaNearDupAgainstIndex (34×
+    // the per-batch shuffle, no cut mechanism) — its number is on the
+    // ledger (r15: 652 MB vs 19 MB) and default runs shouldn't keep
+    // paying to re-measure it. Uncut regime only: on a
+    // boilerplate-skewed corpus it would just re-run the unguarded
+    // quadratic.
+    val legacy = args.length > 5 && args(5) == "1"
+    if (legacy && incrCut <= 0) {
       val batchTiny = video.filter(col("doc_id") % 64 === 0)
       val (nLegacy, lSec, lb) = measured(
         graft.streaming.StreamingMediaNearDup

@@ -67,4 +67,66 @@ class CurateMediaSpec extends AnyFunSuite {
     assert(incr == Set((40L, 4L)))
     graft.operators.OperatorCaches.releaseAll()
   }
+
+  test("auto-derived stop-frame cut is baked into the postings artifact without any CLI cut") {
+    // boilerplate regime: 20 intro chunks shared by EVERY one of 30
+    // docs (20 hashes × C(30,2) = 8 700 candidates > the 256/doc
+    // budget of 7 680), a family chunk shared by groups of 5 (the
+    // mid-tier the derived cut lands on: 60 residual candidates), a
+    // distinct body per doc. The guard derives cut 5, and the pipeline
+    // must bake THAT cut into the postings build — not the CLI's
+    // (absent) one. Budget floor lowered so the 10⁶ floor cannot
+    // swallow the fixture.
+    val intros = (1 to 20).map(i => chunk(700 + i))
+    val corpus = (1L to 30L).map { id =>
+      (id, VideoContainers.mjpegFixture(8,
+        intros ++ Seq(chunk(500 + (id % 6).toInt), chunk(100 + id.toInt))))
+    }.toDF("doc_id", "media")
+    val out = java.nio.file.Files.createTempDirectory("curate_cut").toString
+    CurateMedia.run(corpus, out, tau = 0.9, buckets = 2,
+      indexTable = "cm_cut_idx", autoBudgetFloor = 1L)
+    val meta = spark.table("cm_cut_idx_postings").schema("fhs").metadata
+    assert(meta.contains("graft.maxPostings"),
+      "postings artifact must carry the baked cut as column metadata")
+    val baked = meta.getLong("graft.maxPostings")
+    assert(baked == 5L, s"baked cut $baked (expected the family tier)")
+    // stride metadata flows through the serving view too (the view is
+    // the swap target of the versioned rebuild — a stream consuming it
+    // must still hit the stride-mismatch refusal)
+    assert(meta.getLong("graft.stride") == 1L)
+    intercept[IllegalArgumentException] {
+      StreamingMediaNearDup.mediaNearDupAgainstIndex(
+        corpus.limit(1), spark.table("cm_cut_idx_postings"),
+        tau = 0.5, stride = 2).collect()
+    }
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("versioned postings rebuild: atomic view swap, previous version kept, older dropped") {
+    val mk = (id: Long) => (id, VideoContainers.mjpegFixture(8,
+      Seq(chunk(id.toInt), chunk(300 + id.toInt))))
+    val out = java.nio.file.Files.createTempDirectory("curate_ver").toString
+    def runWith(ids: Range): Unit =
+      CurateMedia.run(ids.map(i => mk(i.toLong)).toDF("doc_id", "media"),
+        out, tau = 0.9, buckets = 2, indexTable = "cm_ver_idx")
+    runWith(1 to 3)
+    assert(spark.catalog.tableExists("cm_ver_idx_postings_v1"))
+    assert(spark.catalog.getTable("cm_ver_idx_postings").tableType == "VIEW")
+    runWith(1 to 4)
+    // v2 serves, v1 kept for in-flight readers
+    assert(spark.catalog.tableExists("cm_ver_idx_postings_v2"))
+    assert(spark.catalog.tableExists("cm_ver_idx_postings_v1"))
+    assert(spark.table("cm_ver_idx_postings").select("doc_id")
+      .distinct().count() == 4)
+    runWith(1 to 5)
+    // v3 serves, v2 kept, v1 dropped — catalog AND files
+    assert(spark.catalog.tableExists("cm_ver_idx_postings_v3"))
+    assert(spark.catalog.tableExists("cm_ver_idx_postings_v2"))
+    assert(!spark.catalog.tableExists("cm_ver_idx_postings_v1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/frame_postings/v1")))
+    assert(spark.table("cm_ver_idx_postings").select("doc_id")
+      .distinct().count() == 5)
+    graft.operators.OperatorCaches.releaseAll()
+  }
 }

@@ -302,6 +302,17 @@ class StreamingMediaNearDupSpec extends AnyFunSuite {
       StreamingMediaNearDup.mediaNearDupAgainstIndex(fresh, badSets, tau = 0.4)
     }
     assert(ex2.getMessage.contains("array<bigint>"))
+    // a prebuilt-sets table with a NON-DISTINCT (or unsorted) fhs array
+    // → refused at accept time (shared/jaccard would be silently wrong);
+    // assumeDistinct=true is the explicit caller-owns-it escape
+    val dupSets = Seq((1L, Seq(5L, 5L, 9L)), (2L, Seq(9L, 3L)))
+      .toDF("doc_id", "fhs")
+    val ex3 = intercept[IllegalArgumentException] {
+      StreamingMediaNearDup.mediaNearDupAgainstIndex(fresh, dupSets, tau = 0.4)
+    }
+    assert(ex3.getMessage.contains("non-distinct"))
+    StreamingMediaNearDup.mediaNearDupAgainstIndex(
+      fresh, dupSets, tau = 0.4, assumeDistinct = true) // accepted as-is
   }
 
   test("audio payloads flow through the same media-agnostic kernel") {

@@ -319,7 +319,10 @@ class TextOpsSpec extends AnyFunSuite {
     // 32-way concurrency, 8 GiB heap — windows ~7× below the cap,
     // which multiplied the fold output and filled 61 GB of disk
     val warn = Similarity.flushWindowWarning(3, 1 << 21, 8 * g, 32)
-    assert(warn.isDefined && warn.get.contains("GiB"))
+    assert(warn.isDefined && warn.get.contains("8.0 GiB"))
+    // sub-GiB heaps print a real number, not the integer-division '0'
+    val subG = Similarity.flushWindowWarning(3, 1 << 21, g / 2, 32)
+    assert(subG.isDefined && subG.get.contains("0.5 GiB"))
     // the documented 48 g sizing → silent
     assert(Similarity.flushWindowWarning(3, 1 << 21, 48 * g, 32).isEmpty)
     // a caller-tightened entry cap matched to the heap → silent
@@ -329,6 +332,15 @@ class TextOpsSpec extends AnyFunSuite {
       Similarity.flushWindowQueries(3, 1 << 21, 8 * g, 32))
     // spec-size caps are honored exactly (the r14 entry-cap fix)
     assert(Similarity.flushWindowQueries(3, 1, 8 * g, 32) == 1)
+  }
+
+  test("executorSizing: local mode reports this JVM; a cluster conf would report the executor") {
+    // local sessions share the driver JVM with the executors, so the
+    // plan-time guard must size from Runtime there — even though the
+    // conf carries no executor memory at all
+    val (heap, procs) = Similarity.executorSizing(spark)
+    assert(heap == Runtime.getRuntime.maxMemory())
+    assert(procs == Runtime.getRuntime.availableProcessors())
   }
 
   test("partialTopKPerQuery: windowed flushes (memory budget) stay exact") {

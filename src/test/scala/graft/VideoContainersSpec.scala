@@ -504,6 +504,21 @@ class VideoContainersSpec extends AnyFunSuite {
     assert(after.filter(col("doc_id") === 2L).count() ==
       spark.table(tbl).filter(col("doc_id") === 2L).distinct().count())
     assert(after.count() > n1)
+    // re-appending a doc whose PAYLOAD changed must fail loudly —
+    // append cannot retract the stale rows, and silently dropping the
+    // new ones would leave the incremental join scoring old content
+    val day3 = Seq(
+      (3L, vid(chunk(5), chunk(99))), // content changed vs day2's doc 3
+      (4L, vid(chunk(7), chunk(8)))).toDF("doc_id", "media")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.writeFrameIndexBucketed(
+        Multimodal.videoFramePHashes(day3, stride = 1), tbl,
+        buckets = 2, path = Some(s"$dir/$tbl"), mode = "append")
+    }
+    assert(ex.getMessage.contains("DIFFERENT frame set") &&
+      ex.getMessage.contains("3"))
+    // the refused write left the index untouched
+    assert(spark.table(tbl).count() == after.count())
   }
 
   test("audioFramePHashes feeds videoNearDupPairs: re-chunked audio dup caught, cross-container not") {
