@@ -627,6 +627,102 @@ object StreamSoak {
       } finally q.stop()
     }
 
+    // ---------------- embedding soak ------------------------------- //
+    // N micro-batches of vectors against the static corpus embedding
+    // rel — BOTH streaming entries: the dense block join
+    // (embedNearDupAgainstIndex, label-bucketed corpus) and the
+    // cell-routed one (embedNearDupAgainstCellIndex, (cell,blk)-
+    // bucketed home-cell rel). Invariants per leg: zero state
+    // operators, matches exactly-once per batch (each batch re-ingests
+    // a corpus slice's vectors under fresh ids — identical embedding ⇒
+    // cosine 1.0 twin; xxhash64-derived vectors keep every OTHER
+    // cosine far below the threshold, and an identical vector probes
+    // its twin's home cell first, so the routed leg matches the same
+    // set), per-batch wall FLAT as batches accumulate, heap stable.
+    if (only.isEmpty || "embed_soak".contains(only)) {
+      import graft.operators.{Dedup, IvfCentroids}
+      val cents = IvfCentroids.Centroids16 // 64-dim pinned quantizer
+      val tauE = 0.8
+      // deterministic pseudo-random 64-dim vectors in [-1,1]: distinct
+      // ids give |cosine| ≪ 0.8 (xxhash64 per (id, dim) — no LCG
+      // period structure that could duplicate vectors across ids)
+      def synthVecs(from: Long, until: Long): DataFrame =
+        spark.range(from, until).select(
+          col("id").as("vec_id"),
+          pmod(col("id"), lit(16L)).as("label"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L)
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+      val nVec = math.max(nDocs / 2, 40000L)
+      val corpus = synthVecs(0, nVec).cache()
+      corpus.count()
+      val cellDir = Files.createTempDirectory("soak_embed_cell").toString
+      val tIdx = System.nanoTime()
+      Dedup.writeEmbedCellRelBucketed(corpus, "label", cents,
+        "soak_embed_cells", cpus.toInt, Some(s"$cellDir/soak_embed_cells"))
+      val cellIdxSec = (System.nanoTime() - tIdx) / 1e9
+      emit("embed_soak_index", "corpus_vecs" -> nVec,
+        "cells" -> cents.size, "sec" -> f"$cellIdxSec%.2f")
+
+      val nBatches = 6
+      val batchVecs = math.max(nVec / 50, 200L)
+      def soakLeg(leg: String,
+          plan: DataFrame => DataFrame): Unit = {
+        val in = Files.createTempDirectory(s"soak_embed_in_$leg")
+        val ckpt = Files.createTempDirectory(s"soak_embed_ck_$leg")
+        val stream = spark.readStream.schema(corpus.schema)
+          .option("path", in.toString + "/*").format("parquet").load()
+        val q = plan(stream)
+          .observe(s"embed_soak_$leg", count(lit(1)).as("n"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt.toString).start()
+        val batchSecs = scala.collection.mutable.ListBuffer.empty[Double]
+        val seen = scala.collection.mutable.Set.empty[Long]
+        try {
+          (1 to nBatches).foreach { b =>
+            synthVecs((b - 1) * batchVecs, b.toLong * batchVecs)
+              .withColumn("vec_id", col("vec_id") + 50000000L)
+              .write.parquet(s"$in/b$b")
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val s = (System.nanoTime() - t0) / 1e9
+            batchSecs += s
+            val fresh = q.recentProgress.filter(p => !seen.contains(p.batchId))
+            fresh.foreach(p => seen += p.batchId)
+            val nM = fresh
+              .flatMap(p => Option(p.observedMetrics.get(s"embed_soak_$leg")))
+              .map(_.getAs[Long]("n")).sum
+            val nStateOps = Option(q.lastProgress)
+              .map(_.stateOperators.length).getOrElse(-1)
+            val heapMb = (Runtime.getRuntime.totalMemory() -
+              Runtime.getRuntime.freeMemory()) / 1048576
+            emit(s"embed_soak_${leg}_batch",
+              "batch" -> b, "vecs" -> batchVecs, "matches" -> nM,
+              "sec" -> f"$s%.2f", "state_operators" -> nStateOps,
+              "heap_mb" -> heapMb)
+            require(nStateOps == 0,
+              s"embed $leg stream grew a state store: $nStateOps operators")
+            require(nM == batchVecs,
+              s"embed $leg batch $b: expected exactly-once twin matches " +
+                s"($batchVecs), got $nM")
+          }
+          val steady = batchSecs.drop(1)
+          emit(s"embed_soak_$leg",
+            "corpus_vecs" -> nVec, "batches" -> nBatches,
+            "batch_vecs" -> batchVecs,
+            "first_steady_sec" -> f"${steady.head}%.2f",
+            "last_sec" -> f"${steady.last}%.2f",
+            "max_over_min" -> f"${steady.max / steady.min}%.2f")
+        } finally q.stop()
+      }
+      soakLeg("dense", st => graft.streaming.StreamingEmbedNearDup
+        .embedNearDupAgainstIndex(st, corpus, "label", tauE))
+      soakLeg("routed", st => graft.streaming.StreamingEmbedNearDup
+        .embedNearDupAgainstCellIndex(st, spark.table("soak_embed_cells"),
+          cents, "label", tauE, nProbe = 4))
+      corpus.unpersist()
+    }
+
     spark.stop()
   }
 }
