@@ -71,13 +71,23 @@ object EmbedIncrProbe {
       val nRouted = routedPairs.count()
       val tRouted = (System.nanoTime() - tj0) / 1e9
 
-      val exactVs = incr.filter(col("vs_corpus")).select("vec_a", "vec_b")
+      // recall stratified by cosine: overall AND on the ≥0.7 band —
+      // the high-cosine pairs are the ones a dedup pass acts on, and
+      // cell collision probability rises with cosine, so the two
+      // numbers tell different stories (a 0.4-threshold pair can sit
+      // in genuinely distant cells)
+      val exactVs = incr.filter(col("vs_corpus"))
+        .select("vec_a", "vec_b", "cosine").cache()
       val routedVs = routedPairs.filter(col("vs_corpus"))
         .select("vec_a", "vec_b")
       val nExactVs = exactVs.count()
-      val hit = exactVs.join(routedVs, Seq("vec_a", "vec_b")).count()
-      val recall = if (nExactVs == 0) 1.0 else hit.toDouble / nExactVs
-      println(f"""{"stage":"routed","nProbe":$nProbe,"pairs":$nRouted,"sec":$tRouted%.1f,"recall":$recall%.4f,"exactVsPairs":$nExactVs}""")
+      val hitRel = exactVs.join(routedVs, Seq("vec_a", "vec_b")).cache()
+      val hit = hitRel.count()
+      val nExactHi = exactVs.filter(col("cosine") >= 0.7).count()
+      val hitHi = hitRel.filter(col("cosine") >= 0.7).count()
+      def rec(h: Long, n: Long) = if (n == 0) 1.0 else h.toDouble / n
+      println(f"""{"stage":"routed","nProbe":$nProbe,"pairs":$nRouted,"sec":$tRouted%.1f,"recall":${rec(hit, nExactVs)}%.4f,"recallHi":${rec(hitHi, nExactHi)}%.4f,"exactVsPairs":$nExactVs,"exactHiPairs":$nExactHi}""")
+      hitRel.unpersist(); exactVs.unpersist()
       routedPairs.unpersist(); cellRel.unpersist()
     }
 
