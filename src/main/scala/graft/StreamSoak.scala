@@ -636,9 +636,10 @@ object StreamSoak {
     // operators, matches exactly-once per batch (each batch re-ingests
     // a corpus slice's vectors under fresh ids — identical embedding ⇒
     // cosine 1.0 twin; xxhash64-derived vectors keep every OTHER
-    // cosine far below the threshold, and an identical vector probes
-    // its twin's home cell first, so the routed leg matches the same
-    // set), per-batch wall FLAT as batches accumulate, heap stable.
+    // cosine far below the threshold, and the routed leg's
+    // radius-exact probing provably reaches the twin's home cell, so
+    // both legs match the same set), per-batch wall FLAT as batches
+    // accumulate, heap stable.
     if (only.isEmpty || "embed_soak".contains(only)) {
       import graft.operators.{Dedup, IvfCentroids}
       val cents = IvfCentroids.Centroids16 // 64-dim pinned quantizer
@@ -719,7 +720,7 @@ object StreamSoak {
         .embedNearDupAgainstIndex(st, corpus, "label", tauE))
       soakLeg("routed", st => graft.streaming.StreamingEmbedNearDup
         .embedNearDupAgainstCellIndex(st, spark.table("soak_embed_cells"),
-          cents, "label", tauE, nProbe = 4))
+          cents, "label", tauE))
       corpus.unpersist()
     }
 

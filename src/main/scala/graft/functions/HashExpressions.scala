@@ -379,6 +379,83 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Cells that can contain a cosine-τ neighbor of the row vector —
+    * the RADIUS-EXACT probe set for threshold search over an IVF
+    * layout ([[NearestCells]]' sibling: top-k probing is right for
+    * top-k search, but a THRESHOLD contract needs every cell the
+    * radius ball touches, else recall silently drops on clustered
+    * corpora). Geometry: cos(a,b) ≥ τ on nonzero vectors ⇔
+    * ‖â−b̂‖ ≤ r = √(2−2τ) on the unit sphere, and by the triangle
+    * inequality a qualifying b's home cell c(b) satisfies
+    * ‖â−c‖ ≤ r + maxR_c where maxR_c is the cell's max normalized
+    * assignment distance — so probing every cell with
+    * ‖â−c‖² ≤ (r + maxR_c)² PROVABLY reaches every qualifying pair
+    * (exact rescoring does the rest). `cells` carries
+    * (cellId, centroid, maxR); a cell with maxR < 0 (empty in the
+    * corpus) is never probed. Zero-norm rows emit no cells (cosine
+    * with the zero vector is NaN — such rows never qualify). One
+    * row-local K×dim pass, no exchange, output ascending cell ids. */
+  case class CellsWithinRadius(child: Expression,
+      cells: Seq[(Int, Seq[Double], Double)], radius: Double)
+      extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "cells_within_radius"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    @transient private lazy val cellIds = cells.map(_._1).toArray
+    @transient private lazy val cents = cells.map(_._2.toArray).toArray
+    @transient private lazy val cc = cents.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    // (r + maxR_c)² per cell; empty cells get -1 (never probed)
+    @transient private lazy val bound2 = cells.map { case (_, _, maxR) =>
+      if (maxR < 0) -1.0 else { val b = radius + maxR; b * b }
+    }.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      val ne = e.numElements()
+      val x = new Array[Double](ne)
+      var xi = 0
+      var nn = 0.0
+      while (xi < ne) {
+        val v = if (isFloat) e.getFloat(xi).toDouble else e.getDouble(xi)
+        x(xi) = v; nn += v * v; xi += 1
+      }
+      if (nn == 0.0) return new GenericArrayData(new Array[Any](0))
+      val inv = 1.0 / math.sqrt(nn)
+      val out = new Array[Int](cents.length)
+      var filled = 0
+      var k = 0
+      while (k < cents.length) {
+        if (bound2(k) >= 0) {
+          val c = cents(k)
+          val n = math.min(ne, c.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += x(i) * c(i); i += 1 }
+          // ‖x̂−c‖² = 1 − 2·x̂·c + c·c with x̂ = x/‖x‖
+          val d2 = 1.0 - 2.0 * acc * inv + cc(k)
+          if (d2 <= bound2(k)) { out(filled) = cellIds(k); filled += 1 }
+        }
+        k += 1
+      }
+      val rows = new Array[Any](filled)
+      var j = 0
+      while (j < filled) { rows(j) = out(j); j += 1 }
+      new GenericArrayData(rows)
+    }
+
+    override protected def withNewChildInternal(c: Expression): CellsWithinRadius =
+      copy(child = c)
+  }
+
   case class LshProjections(child: Expression, nPlanes: Int)
       extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
     override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(TypeBridge.oneOf(ArrayType(FloatType), ArrayType(DoubleType)))
@@ -1412,6 +1489,10 @@ object HashExpressions {
       nProbe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(c),
       centroids, nProbe))
+  def cellsWithinRadius(c: Column,
+      cells: Seq[(Int, Seq[Double], Double)], radius: Double): Column =
+    ColumnBridge.column(CellsWithinRadius(ColumnBridge.expression(c),
+      cells, radius))
   def termFreqs(c: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(c), terms))
   def tokenHashSet(c: Column): Column =

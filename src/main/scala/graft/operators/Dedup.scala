@@ -773,21 +773,51 @@ object Dedup {
   val EmbedRouteBound: Long = 100000000L
 
   /** Corpus-side CELL relation for the routed embedding-ingest path:
-    * (vec_id, blk, cell, embedding, nrm) — each corpus vector's HOME
-    * cell under `centroids` ([[HashExpressions.NearestCells]],
-    * nProbe=1 — one narrow map, no exchange; the
-    * [[Similarity.buildIvfIndex]] assignment with the block column
-    * kept). This is the nightly artifact the routed join consumes:
-    * persist it with [[writeEmbedCellRelBucketed]] so the per-batch
-    * join's corpus side scans back exchange-free off the cell
-    * bucketing. */
+    * (vec_id, blk, cell, cdist, embedding, nrm) — each corpus vector's
+    * HOME cell under `centroids`, assigned on the NORMALIZED vector
+    * (cosine thresholds live on the unit sphere; assigning there keeps
+    * each cell's radius stat tight), plus `cdist` = ‖v̂ − c_home‖ —
+    * the normalized assignment distance whose per-cell MAX drives the
+    * radius-exact probe bound ([[HashExpressions.CellsWithinRadius]]).
+    * One narrow map, no exchange ([[Similarity.buildIvfIndex]]'s
+    * assignment with the block column kept). This is the nightly
+    * artifact the routed join consumes: persist it with
+    * [[writeEmbedCellRelBucketed]] so the per-batch join's corpus side
+    * scans back exchange-free. Zero-norm vectors carry cdist 0: they
+    * can never qualify a cosine threshold, so they must not inflate
+    * their cell's probe radius. */
   def embedCellRel(corpus: DataFrame, blockCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "embedCellRel needs centroids")
+    val nrm = Similarity.l2Norm(col("embedding"))
+    val normed = when(nrm === 0.0, col("embedding").cast("array<double>"))
+      .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
+    val assigned = element_at(
+      HashExpressions.nearestCells(normed, centroids, 1), 1)
     corpus.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"),
-      Similarity.l2Norm(col("embedding")).as("nrm"),
-      element_at(HashExpressions.nearestCells(
-        col("embedding"), centroids, 1), 1).getField("cell").as("cell"))
+      nrm.as("nrm"), assigned.getField("cell").as("cell"),
+      // NearestCells ranks by the surrogate −x̂·c + c·c/2; with
+      // ‖x̂‖ = 1 the true distance is ‖x̂−c‖² = 1 + 2·surrogate
+      when(nrm === 0.0, lit(0.0)).otherwise(
+        sqrt(greatest(lit(1.0) + lit(2.0) * assigned.getField("dist"),
+          lit(0.0)))).as("cdist"))
+  }
+
+  /** Per-cell (cellId, centroid, maxAssignRadius) probe table for
+    * [[HashExpressions.CellsWithinRadius]], from one narrow agg over a
+    * corpus [[embedCellRel]] (≤ K rows — driver-small by
+    * construction). Cells with no corpus member get radius −1 (never
+    * probed). */
+  private[graft] def cellProbeTable(corpusCells: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double], Double)] = {
+    require(corpusCells.columns.contains("cdist"),
+      "corpus cell rel lacks the cdist column — rebuild it with " +
+        "embedCellRel/writeEmbedCellRelBucketed (the radius-exact probe " +
+        "bound needs each cell's max normalized assignment distance)")
+    val maxR = corpusCells.groupBy("cell")
+      .agg(max(col("cdist")).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    centroids.map { case (id, c) => (id, c, maxR.getOrElse(id, -1.0)) }
   }
 
   /** Persist [[embedCellRel]] as a parquet table bucketed by
@@ -812,34 +842,41 @@ object Dedup {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
-  /** The routed vs-corpus candidate join shared by
+  /** The RADIUS-EXACT routed vs-corpus join shared by
     * [[incrementalEmbeddingNearDupPairs]] (`strategy="cells"`) and
     * [[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex]]:
-    * batch vectors probe their `nProbe` nearest cells
-    * ([[HashExpressions.NearestCells]] — a stateless per-row
-    * expression, streaming-safe) and join the corpus HOME-cell rel on
-    * `cell` plus the block contract (`blk` equality — written as a
-    * residual filter, lifted into the equi-keys by Catalyst; a corpus
-    * rel bucketed on (cell, blk) via [[writeEmbedCellRelBucketed]]
-    * feeds the join exchange-free). Candidate volume is
-    * Σ over probed cells of batch-probes × corpus-cell-size ≈
-    * batch × nProbe × corpus/K — sub-linear in corpus once cells grow
-    * with N (the [[Similarity.ivfAdcCosineSelfTopK]] candidate bound,
-    * pair form) — vs the dense block join's batch_b × corpus_b.
-    * APPROXIMATE: a pair whose corpus vector's home cell is not among
-    * the batch vector's probes is missed; with nProbe = K (every cell
-    * probed) the result is EXACTLY the dense join's (spec-pinned).
-    * Each surviving pair emits once (a corpus vector has one home
-    * cell). Output: (vec_a batch, vec_b corpus, cosine ≥ threshold). */
+    * batch vectors probe every cell that can contain a cosine-τ
+    * neighbor ([[HashExpressions.CellsWithinRadius]] — a stateless
+    * per-row expression, streaming-safe: on the unit sphere
+    * cos ≥ τ ⇔ ‖â−b̂‖ ≤ √(2−2τ), and the triangle inequality bounds a
+    * qualifying b's home cell within that radius plus the cell's max
+    * assignment distance) and join the corpus HOME-cell rel on `cell`
+    * plus the block contract (`blk` equality — written as a residual
+    * filter, lifted into the equi-keys by Catalyst; a corpus rel
+    * bucketed on (cell, blk) via [[writeEmbedCellRelBucketed]] feeds
+    * the join exchange-free). EXACT BY CONSTRUCTION — identical rows
+    * to the dense block join at every threshold (spec-pinned), unlike
+    * fixed-nProbe probing, whose recall collapses on clustered corpora
+    * at loose thresholds (measured 0.17 at nProbe=8 on the sf10skew
+    * corpus at τ=0.4 — the shape this design replaced). The exactness
+    * costs adaptivity instead of recall: candidate volume is
+    * Σ over PROBED cells of corpus-cell-size — small when the radius
+    * ball is tight relative to the corpus spread (high τ, clustered
+    * cells), approaching the dense join when τ is loose — which is a
+    * COST property the dispatch statistic prices, not a correctness
+    * one. Each surviving pair emits once (one home cell per corpus
+    * vector). Output: (vec_a batch, vec_b corpus, cosine ≥ τ). */
   private[graft] def cellRoutedVsCorpusPairs(newVecs: DataFrame,
       corpusCells: DataFrame, blockCol: String, threshold: Double,
-      centroids: Seq[(Int, Seq[Double])], nProbe: Int): DataFrame = {
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "cellRoutedVsCorpusPairs needs centroids")
+    val probeTable = cellProbeTable(corpusCells, centroids)
+    val r = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0))
     val a = newVecs.select(col("vec_id").as("vec_a"),
         col(blockCol).as("blk_a"), col("embedding").as("e_a"),
         Similarity.l2Norm(col("embedding")).as("n_a"),
-        HashExpressions.nearestCells(col("embedding"), centroids,
-          math.max(nProbe, 1)).getField("cell").as("cells"))
+        HashExpressions.cellsWithinRadius(
+          col("embedding"), probeTable, r).as("cells"))
       .select(col("vec_a"), col("blk_a"), col("e_a"), col("n_a"),
         explode(col("cells")).as("cell"))
     val b = corpusCells.select(col("vec_id").as("vec_b"),
@@ -873,19 +910,22 @@ object Dedup {
     * scan-and-score inside each block — so the operator carries the
     * family's dispatch discipline: `strategy="auto"` (default) prices
     * Σ batch_b × corpus_b from two narrow block-count scans, logs it,
-    * and keeps the exact block join only while the bound fits
-    * `routeBound` ([[EmbedRouteBound]]); past it the vs-corpus leg
-    * routes through [[cellRoutedVsCorpusPairs]] — candidates ∝ probed
-    * IVF cells (sub-linear in corpus once cells ∝ N), exact rescoring,
-    * `centroids` resolved artifact-or-fit via
-    * [[IvfCentroids.forCorpus]] (session-memoized) when not passed.
-    * `strategy="exact"`/`"cells"` force a path. The routed leg is
-    * approximate (recall measured in EmbedIncrProbe — see STRESS);
-    * the new-new self leg is always exact (batch² is small by
-    * definition). `corpus` may also be a prebuilt [[embedCellRel]]
-    * (detected by its `cell` column): the routed leg consumes it
-    * as-is — exchange-free when bucketed by cell — and the exact leg
-    * reads its normalized `blk` column.
+    * and keeps the dense block join while the bound fits `routeBound`
+    * ([[EmbedRouteBound]]); past it the ROUTED candidate volume is
+    * priced too (batch probes × per-cell corpus counts, one narrow
+    * agg) and the CHEAPER plan wins — both plans are EXACT
+    * ([[cellRoutedVsCorpusPairs]] probes radius-complete cells and
+    * rescores exactly; spec-pinned row identity at every threshold),
+    * so routing is purely a cost decision and can never lose pairs.
+    * `centroids` resolve artifact-or-fit via [[IvfCentroids.forCorpus]]
+    * (session-memoized) when not passed. `strategy="exact"`/`"cells"`
+    * force a path. The new-new self leg always runs the dense join
+    * (batch² is small by definition). `corpus` may also be a prebuilt
+    * [[embedCellRel]] (detected by its `cell` column — the nightly
+    * artifact): the routed leg consumes it as-is, exchange-free when
+    * bucketed, and nothing re-assigns the corpus per batch; a raw
+    * corpus on the routed path is assigned on the fly and cached for
+    * the stats + join passes (lifecycle via `pin`).
     *
     * Output: (vec_a, vec_b, cosine, vs_corpus) — vec_a is always the
     * new vector; new-new pairs are vec_a < vec_b (the family
@@ -894,7 +934,7 @@ object Dedup {
       corpus: DataFrame, blockCol: String, threshold: Double,
       strategy: String = "auto", routeBound: Long = EmbedRouteBound,
       centroids: Seq[(Int, Seq[Double])] = Nil,
-      nProbe: Int = 8): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
     // a prebuilt cell rel names its block column "blk"
     def blkOf(df: DataFrame) =
       if (df.columns.contains(blockCol)) col(blockCol) else col("blk")
@@ -912,6 +952,21 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .withColumn("vs_corpus", lit(vsCorpus))
         .select("vec_a", "vec_b", "cosine", "vs_corpus")
+    // the routed machinery, resolved AT MOST ONCE and only when a
+    // routed branch is reached (the exact path at gate scale stays
+    // zero-extra-jobs beyond the dispatch stat); an on-the-fly cell
+    // rel is cached — it feeds the stats aggs AND the join
+    lazy val cents =
+      if (centroids.nonEmpty) centroids
+      else IvfCentroids.forCorpus(
+        corpus.select(col("vec_id"), col("embedding")))
+    lazy val cellRel =
+      if (corpus.columns.contains("cell")) corpus
+      else {
+        val rel = embedCellRel(corpus, blockCol, cents).cache()
+        pin(rel)
+        rel
+      }
     val chosen = strategy match {
       case "auto" =>
         // Σ_blk batch_b × corpus_b from two narrow block-count scans —
@@ -921,13 +976,32 @@ object Dedup {
           .agg(count(lit(1)).as("na"))
         val cb = corpus.groupBy(blkOf(corpus).as("blk"))
           .agg(count(lit(1)).as("nb"))
-        val bound = bb.join(cb, "blk")
+        val dense = bb.join(cb, "blk")
           .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
-        val pick = if (bound <= routeBound) "exact" else "cells"
-        Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
-          s"vsCorpusCandidates=$bound (Σ batch_b×corpus_b) " +
-            s"routeBound=$routeBound -> $pick")
-        pick
+        if (dense <= routeBound) {
+          Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
+            s"denseCandidates=$dense (Σ batch_b×corpus_b) " +
+              s"routeBound=$routeBound -> exact")
+          "exact"
+        } else {
+          // past the bound, price the routed volume too and take the
+          // cheaper EXACT plan: Σ over the batch's radius-probed cells
+          // of that cell's corpus count (one narrow assignment agg —
+          // the batch side is small by the operator's own contract)
+          val probeTable = cellProbeTable(cellRel, cents)
+          val r = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0))
+          val sizes = cellRel.groupBy("cell").agg(count(lit(1)).as("nc"))
+          val routed = newVecs.select(explode(
+              HashExpressions.cellsWithinRadius(
+                col("embedding"), probeTable, r)).as("cell"))
+            .join(sizes, "cell")
+            .agg(coalesce(sum(col("nc")), lit(0L))).head.getLong(0)
+          val pick = if (routed < dense) "cells" else "exact"
+          Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
+            s"denseCandidates=$dense routedCandidates=$routed " +
+              s"(radius-probed cells) routeBound=$routeBound -> $pick")
+          pick
+        }
       case s @ ("exact" | "cells") => s
       case other => throw new IllegalArgumentException(
         s"unknown incrementalEmbeddingNearDupPairs strategy '$other' " +
@@ -937,18 +1011,10 @@ object Dedup {
       if (chosen == "exact")
         scored(prep(corpus, "b"), col("vec_a") =!= col("vec_b"),
           vsCorpus = true)
-      else {
-        val cents =
-          if (centroids.nonEmpty) centroids
-          else IvfCentroids.forCorpus(
-            corpus.select(col("vec_id"), col("embedding")))
-        val cellRel =
-          if (corpus.columns.contains("cell")) corpus
-          else embedCellRel(corpus, blockCol, cents)
-        cellRoutedVsCorpusPairs(newVecs, cellRel, blockCol, threshold,
-            cents, nProbe)
+      else
+        cellRoutedVsCorpusPairs(newVecs, cellRel, blockCol,
+            threshold, cents)
           .withColumn("vs_corpus", lit(true))
-      }
     vsCorpusLeg.unionByName(
       scored(prep(newVecs, "b"), col("vec_a") < col("vec_b"),
         vsCorpus = false))

@@ -80,28 +80,29 @@ object StreamingEmbedNearDup {
 
   /** Match a (possibly streaming) vector feed against the persisted
     * HOME-CELL rel ([[Dedup.embedCellRel]] — columns vec_id, blk,
-    * cell, embedding, nrm) — the SCALE path (shape 1 above), the
-    * [[Dedup.cellRoutedVsCorpusPairs]] plan under a stream: arriving
-    * vectors probe `nProbe` nearest cells (stateless NearestCells
-    * expression), join on (`cell`, `blk`) — a corpus rel bucketed on
-    * both ([[Dedup.writeEmbedCellRelBucketed]]) scans exchange-free
-    * per micro-batch — exact cosine on collisions only.
-    * APPROXIMATE with the same contract as the batch routed leg: a
-    * pair whose corpus home cell is unprobed is missed; nProbe = K is
-    * exhaustive (spec-pinned ≡ dense). `centroids` must be the SAME
-    * quantizer the rel was built with (versioned artifacts — the
-    * [[Similarity.appendIvfIndex]] discipline). */
+    * cell, cdist, embedding, nrm) — the SCALE path (shape 1 above),
+    * the [[Dedup.cellRoutedVsCorpusPairs]] plan under a stream:
+    * arriving vectors probe every cell the cosine-τ radius ball can
+    * touch (stateless CellsWithinRadius expression — RADIUS-EXACT, so
+    * this entry returns IDENTICAL rows to the dense leg at every
+    * threshold, spec-pinned; the probe bound comes from the rel's
+    * per-cell max assignment distance, collected once at plan-build
+    * time), join on (`cell`, `blk`) — a corpus rel bucketed on both
+    * ([[Dedup.writeEmbedCellRelBucketed]]) scans exchange-free per
+    * micro-batch — exact cosine on collisions only. `centroids` must
+    * be the SAME quantizer the rel was built with (versioned
+    * artifacts — the [[Similarity.appendIvfIndex]] discipline). */
   def embedNearDupAgainstCellIndex(vecs: DataFrame, corpusCells: DataFrame,
       centroids: Seq[(Int, Seq[Double])], blockCol: String,
-      threshold: Double, nProbe: Int = 8): DataFrame = {
+      threshold: Double): DataFrame = {
     val st = corpusCells.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
       .agg(coalesce(max(col("nc")), lit(0L)),
         coalesce(sum(col("nc")), lit(0L))).head
     Parallelism.logDispatch("StreamingEmbedNearDup",
       s"routed leg: corpusRows=${st.getLong(1)} cells=${centroids.size} " +
-        s"maxCell=${st.getLong(0)} nProbe=$nProbe (per-batch-row " +
-        s"candidate bound ≈ nProbe × maxCell)")
+        s"maxCell=${st.getLong(0)} tau=$threshold (radius-exact probing; " +
+        "per-batch-row candidates = Σ probed-cell sizes)")
     Dedup.cellRoutedVsCorpusPairs(vecs, corpusCells, blockCol, threshold,
-      centroids, nProbe)
+      centroids)
   }
 }

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   * while the increment's is Σ batch_b × cluster_b — bounded by the
   * batch.  Blocking key: `label` (present in every scale fixture).
   *
-  * The ROUTED stage measures the cell route (`strategy="cells"`) the
-  * way AnnRouteProbe scores regret: nightly costs (quantizer resolve +
-  * corpus cell-rel build) are timed separately from the per-batch
-  * routed join, and recall = |routed ∩ exact| / |exact| on the
-  * vs-corpus leg (candidate generation is the only approximation —
-  * surviving cosines are exact).
+  * The ROUTED stage measures the radius-exact cell route
+  * (`strategy="cells"`): nightly costs (quantizer resolve + corpus
+  * cell-rel build) are timed separately from the per-batch routed
+  * join. Recall is still computed as |routed ∩ exact| / |exact| on the
+  * vs-corpus leg — the route is exact by construction, so anything
+  * below 1.0000 is a BUG detector, not a tuning knob. The `routed_hi`
+  * stage re-runs both plans at a dedup-actionable threshold (`tauHi`)
+  * where the radius ball tightens and cell pruning actually pays.
   *
   * Usage: sbt "runMain graft.tools.EmbedIncrProbe <sfDir> [threshold]
-  *             [incrDenom] [oneshot=1] [routed=1] [nProbe=8]"
+  *             [incrDenom] [oneshot=1] [routed=1] [tauHi=0.9]"
   *        (pass oneshot=0 at scales where the full re-pair is the
   *        hours-long run the increment exists to avoid)
   */
@@ -32,24 +34,34 @@ object EmbedIncrProbe {
     val incrDenom = if (args.length > 2) args(2).toLong else 100L
     val oneshot = if (args.length > 3) args(3) != "0" else true
     val routed = if (args.length > 4) args(4) != "0" else true
-    val nProbe = if (args.length > 5) args(5).toInt else 8
+    val tauHi = if (args.length > 5) args(5).toDouble else 0.9
+    // block="none" runs the UNBLOCKED regime (constant block) — the
+    // 100 TB ingest shape when no natural blocking column exists:
+    // dense cost becomes batch × corpus and cell routing is the only
+    // sub-dense candidate generator
+    val blockMode = if (args.length > 6) args(6) else "label"
     val spark = graft.GraftSession.create("embed-incr-probe")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Dedup, IvfCentroids}
 
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding")).cache()
+    val emb0 = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val emb = (if (blockMode == "none") emb0.withColumn("label", lit(0))
+               else emb0).cache()
     val n = emb.count()
     val batch = emb.filter(pmod(col("vec_id"), lit(incrDenom)) === 3)
     val corpus = emb.filter(pmod(col("vec_id"), lit(incrDenom)) =!= 3)
     val nB = batch.count()
 
     val t0 = System.nanoTime()
-    val incr = Dedup.incrementalEmbeddingNearDupPairs(
+    val incr0 = Dedup.incrementalEmbeddingNearDupPairs(
       batch, corpus, "label", threshold, strategy = "exact")
+    // cache the exact pairs when the routed stage will re-read them
+    // for recall — at 2 M the exact join is ~6 min, not a rerun
+    val incr = if (routed) incr0.cache() else incr0
     val nIncr = incr.count()
     val tIncr = (System.nanoTime() - t0) / 1e9
-    println(f"""{"stage":"incr","n":$n,"batch":$nB,"pairs":$nIncr,"sec":$tIncr%.1f}""")
+    println(f"""{"stage":"incr","n":$n,"batch":$nB,"block":"$blockMode","pairs":$nIncr,"sec":$tIncr%.1f}""")
 
     if (routed) {
       // nightly artifact costs, priced apart from the per-batch join
@@ -63,32 +75,71 @@ object EmbedIncrProbe {
       val tRel = (System.nanoTime() - tr0) / 1e9
       println(f"""{"stage":"routed_nightly","cells":${cents.size},"corpus":$nCorpus,"centSec":$tCents%.1f,"relSec":$tRel%.1f}""")
 
-      // the per-batch number: assigned batch vs the prebuilt cell rel
-      val tj0 = System.nanoTime()
-      val routedPairs = Dedup.incrementalEmbeddingNearDupPairs(
-        batch, cellRel, "label", threshold, strategy = "cells",
-        centroids = cents, nProbe = nProbe).cache()
-      val nRouted = routedPairs.count()
-      val tRouted = (System.nanoTime() - tj0) / 1e9
+      // the dispatch arithmetic, printed as data: the dense bound
+      // (Σ batch_b × corpus_b) vs the routed candidate mass
+      // (Σ probed-cell sizes) at both thresholds — what `auto` prices
+      val bb = batch.groupBy("label").agg(count(lit(1)).as("na"))
+      val cb = cellRel.groupBy("blk").agg(count(lit(1)).as("nb"))
+      val denseBound = bb.join(cb, col("label") === col("blk"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
+      val probeTable = Dedup.cellProbeTable(cellRel, cents)
+      val sizes = cellRel.groupBy("cell").agg(count(lit(1)).as("nc"))
+      def routedBound(tau: Double): Long = {
+        val rr = math.sqrt(math.max(2.0 - 2.0 * tau, 0.0))
+        batch.select(explode(graft.functions.HashExpressions
+            .cellsWithinRadius(col("embedding"), probeTable, rr)).as("cell"))
+          .join(sizes, "cell")
+          .agg(coalesce(sum(col("nc")), lit(0L))).head.getLong(0)
+      }
+      val denseB = denseBound
+      val routedB = routedBound(threshold)
+      println(f"""{"stage":"pricing","denseBound":$denseB,"routedBound":$routedB,"routedBoundHi":${routedBound(tauHi)},"tau":$threshold,"tauHi":$tauHi}""")
 
-      // recall stratified by cosine: overall AND on the ≥0.7 band —
-      // the high-cosine pairs are the ones a dedup pass acts on, and
-      // cell collision probability rises with cosine, so the two
-      // numbers tell different stories (a 0.4-threshold pair can sit
-      // in genuinely distant cells)
-      val exactVs = incr.filter(col("vs_corpus"))
-        .select("vec_a", "vec_b", "cosine").cache()
-      val routedVs = routedPairs.filter(col("vs_corpus"))
-        .select("vec_a", "vec_b")
-      val nExactVs = exactVs.count()
-      val hitRel = exactVs.join(routedVs, Seq("vec_a", "vec_b")).cache()
-      val hit = hitRel.count()
-      val nExactHi = exactVs.filter(col("cosine") >= 0.7).count()
-      val hitHi = hitRel.filter(col("cosine") >= 0.7).count()
-      def rec(h: Long, n: Long) = if (n == 0) 1.0 else h.toDouble / n
-      println(f"""{"stage":"routed","nProbe":$nProbe,"pairs":$nRouted,"sec":$tRouted%.1f,"recall":${rec(hit, nExactVs)}%.4f,"recallHi":${rec(hitHi, nExactHi)}%.4f,"exactVsPairs":$nExactVs,"exactHiPairs":$nExactHi}""")
-      hitRel.unpersist(); exactVs.unpersist()
-      routedPairs.unpersist(); cellRel.unpersist()
+      // the per-batch number: assigned batch vs the prebuilt cell rel.
+      // Forced ONLY when the pricing favors it (what `auto` would do);
+      // when dense is cheaper the skip line IS the measurement — at a
+      // loose τ the radius ball covers most cells and no candidate
+      // generator beats the blocked dense scan, which auto detects.
+      if (routedB < denseB || n <= 400000) {
+        val tj0 = System.nanoTime()
+        val routedPairs = Dedup.incrementalEmbeddingNearDupPairs(
+          batch, cellRel, "label", threshold, strategy = "cells",
+          centroids = cents).cache()
+        val nRouted = routedPairs.count()
+        val tRouted = (System.nanoTime() - tj0) / 1e9
+
+        // recall stratified by cosine: overall AND on the ≥0.7 band —
+        // the route is exact by construction, so anything below 1.0000
+        // is a bug detector
+        val exactVs = incr.filter(col("vs_corpus"))
+          .select("vec_a", "vec_b", "cosine").cache()
+        val routedVs = routedPairs.filter(col("vs_corpus"))
+          .select("vec_a", "vec_b")
+        val nExactVs = exactVs.count()
+        val hitRel = exactVs.join(routedVs, Seq("vec_a", "vec_b")).cache()
+        val hit = hitRel.count()
+        val nExactHi = exactVs.filter(col("cosine") >= 0.7).count()
+        val hitHi = hitRel.filter(col("cosine") >= 0.7).count()
+        def rec(h: Long, n: Long) = if (n == 0) 1.0 else h.toDouble / n
+        println(f"""{"stage":"routed","tau":$threshold,"pairs":$nRouted,"sec":$tRouted%.1f,"recall":${rec(hit, nExactVs)}%.4f,"recallHi":${rec(hitHi, nExactHi)}%.4f,"exactVsPairs":$nExactVs,"exactHiPairs":$nExactHi}""")
+        hitRel.unpersist(); exactVs.unpersist(); routedPairs.unpersist()
+      } else
+        println(f"""{"stage":"routed","tau":$threshold,"skipped":"pricing picked dense ($routedB >= $denseB)"}""")
+
+      // the pruning regime: at a dedup-actionable threshold the radius
+      // ball tightens and the probed-cell volume drops — measure the
+      // exact and routed walls at tauHi on the same split
+      val te0 = System.nanoTime()
+      val exactHiN = Dedup.incrementalEmbeddingNearDupPairs(
+        batch, corpus, "label", tauHi, strategy = "exact").count()
+      val tExactHi = (System.nanoTime() - te0) / 1e9
+      val tr2 = System.nanoTime()
+      val routedHiN = Dedup.incrementalEmbeddingNearDupPairs(
+        batch, cellRel, "label", tauHi, strategy = "cells",
+        centroids = cents).count()
+      val tRoutedHi = (System.nanoTime() - tr2) / 1e9
+      println(f"""{"stage":"routed_hi","tau":$tauHi,"exactPairs":$exactHiN,"exactSec":$tExactHi%.1f,"routedPairs":$routedHiN,"routedSec":$tRoutedHi%.1f}""")
+      cellRel.unpersist(); incr.unpersist()
     }
 
     // the one-shot run the increment replaces (auto strategy — tiled

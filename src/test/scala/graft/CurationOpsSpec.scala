@@ -206,54 +206,49 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("incrementalEmbeddingNearDupPairs: cell route with exhaustive probes equals the exact join") {
-    // the routed leg's correctness anchor: with nProbe = K every cell
-    // is probed, so every (same-block) pair cell-collides and the
-    // approximate route degenerates to the dense join exactly
+  test("incrementalEmbeddingNearDupPairs: radius-exact cell route equals the exact join at every threshold") {
+    // the routed leg's correctness anchor: CellsWithinRadius probes
+    // every cell the cosine-τ ball can touch (triangle bound on the
+    // normalized sphere plus the per-cell max assignment distance), so
+    // routed ≡ exact at ANY threshold — including the loose τ=0.4
+    // where fixed-nProbe probing measurably lost pairs on clustered
+    // corpora (the design this replaced)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val batch = emb.filter(col("vec_id") % 4 === 0)
     val corpus = emb.filter(col("vec_id") % 4 =!= 0)
     val cents = graft.operators.IvfCentroids.Centroids16
+    Seq(0.4, 0.9).foreach { tau =>
+      val exact = Dedup.incrementalEmbeddingNearDupPairs(
+        batch, corpus, "label", tau, strategy = "exact")
+      val routed = Dedup.incrementalEmbeddingNearDupPairs(
+        batch, corpus, "label", tau, strategy = "cells",
+        centroids = cents)
+      assert(exact.exceptAll(routed).isEmpty &&
+        routed.exceptAll(exact).isEmpty, s"tau=$tau")
+      assert(tau > 0.4 || routed.filter(col("vs_corpus")).count() > 0)
+    }
+    // auto with a 1-pair bound prices both plans and still returns
+    // identical rows whichever it picks; with the default bound the
+    // gate stays on the exact plan
     val exact = Dedup.incrementalEmbeddingNearDupPairs(
       batch, corpus, "label", 0.4, strategy = "exact")
-    val routed = Dedup.incrementalEmbeddingNearDupPairs(
-      batch, corpus, "label", 0.4, strategy = "cells",
-      centroids = cents, nProbe = cents.size)
-    assert(exact.exceptAll(routed).isEmpty && routed.exceptAll(exact).isEmpty)
-    assert(routed.filter(col("vs_corpus")).count() > 0)
-    // auto with a 1-pair bound routes to cells — same result under
-    // exhaustive probes; with the default bound it stays exact
     val autoRouted = Dedup.incrementalEmbeddingNearDupPairs(
       batch, corpus, "label", 0.4, strategy = "auto", routeBound = 1L,
-      centroids = cents, nProbe = cents.size)
+      centroids = cents)
     assert(exact.exceptAll(autoRouted).isEmpty &&
       autoRouted.exceptAll(exact).isEmpty)
     intercept[IllegalArgumentException] {
       Dedup.incrementalEmbeddingNearDupPairs(
         batch, corpus, "label", 0.4, strategy = "bogus")
     }
-  }
-
-  test("incrementalEmbeddingNearDupPairs: routed leg prunes by cell (narrow probes shrink candidates, survivors exact)") {
-    // with nProbe = 1 the route is a strict subset of the exact pairs
-    // and every surviving cosine is the exact value (rescoring is
-    // exact — only candidate GENERATION is approximate)
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val batch = emb.filter(col("vec_id") % 4 === 0)
-    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
-    val cents = graft.operators.IvfCentroids.Centroids16
-    val exact = Dedup.incrementalEmbeddingNearDupPairs(
-      batch, corpus, "label", 0.4, strategy = "exact")
-    val narrow = Dedup.incrementalEmbeddingNearDupPairs(
-      batch, corpus, "label", 0.4, strategy = "cells",
-      centroids = cents, nProbe = 1)
-    assert(narrow.exceptAll(exact).isEmpty,
-      "routed pairs must be a subset of the exact pairs with exact cosines")
-    // the new-new leg is identical on both paths (always exact)
-    val exactNN = exact.filter(!col("vs_corpus"))
-    val narrowNN = narrow.filter(!col("vs_corpus"))
-    assert(exactNN.exceptAll(narrowNN).isEmpty &&
-      narrowNN.exceptAll(exactNN).isEmpty)
+    // a cell rel without the cdist radius stat is refused, not trusted
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDupPairs(
+        batch,
+        Dedup.embedCellRel(corpus, "label", cents).drop("cdist"),
+        "label", 0.4, strategy = "cells", centroids = cents).count()
+    }
+    graft.operators.OperatorCaches.releaseAll()
   }
 
   test("incrementalEmbeddingNearDupPairs: a cell-bucketed corpus rel joins exchange-free on the routed path") {
@@ -274,7 +269,7 @@ class CurationOpsSpec extends AnyFunSuite {
       val res = Dedup.incrementalEmbeddingNearDupPairs(
         emb.filter(col("vec_id") % 4 === 0),
         spark.table("emb_cell_idx"), "label", 0.4,
-        strategy = "cells", centroids = cents, nProbe = cents.size)
+        strategy = "cells", centroids = cents)
       val plan = res.queryExecution.executedPlan
       def scansIdx(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.collect { case sc: FileSourceScanExec => sc }
@@ -294,7 +289,7 @@ class CurationOpsSpec extends AnyFunSuite {
       val inMem = Dedup.incrementalEmbeddingNearDupPairs(
         emb.filter(col("vec_id") % 4 === 0),
         emb.filter(col("vec_id") % 4 =!= 0), "label", 0.4,
-        strategy = "cells", centroids = cents, nProbe = cents.size)
+        strategy = "cells", centroids = cents)
       assert(res.exceptAll(inMem).isEmpty && inMem.exceptAll(res).isEmpty)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

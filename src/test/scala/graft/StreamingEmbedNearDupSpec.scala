@@ -68,7 +68,7 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
     }
   }
 
-  test("routed entry: two-micro-batch stream vs the cell-bucketed rel equals the dense leg under exhaustive probes") {
+  test("routed entry: two-micro-batch stream vs the cell-bucketed rel equals the dense leg (radius-exact)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "label", "embedding")
     val fresh = emb.filter(col("vec_id") % 4 === 0)
@@ -83,10 +83,9 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
       assert(expected.nonEmpty)
 
-      // static parity at exhaustive probes (nProbe = K ⇒ ≡ dense)
+      // static parity: radius-exact probing ⇒ ≡ dense at any τ
       val staticRouted = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
-          fresh, spark.table("semb_cell_idx"), cents, "label", 0.4,
-          nProbe = cents.size)
+          fresh, spark.table("semb_cell_idx"), cents, "label", 0.4)
         .as[(Long, Long, Double)].collect().toSet
       assert(staticRouted == expected)
 
@@ -98,8 +97,7 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
       val stream = spark.readStream.schema(fresh.schema)
         .option("path", in.toString + "/*").format("parquet").load()
       val q = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
-          stream, spark.table("semb_cell_idx"), cents, "label", 0.4,
-          nProbe = cents.size)
+          stream, spark.table("semb_cell_idx"), cents, "label", 0.4)
         .writeStream.outputMode("append")
         .format("memory").queryName("semb_routed_out")
         .option("checkpointLocation", ckpt.toString)
