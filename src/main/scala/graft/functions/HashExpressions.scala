@@ -413,9 +413,16 @@ object HashExpressions {
       while (i < c.length) { acc += c(i) * c(i); i += 1 }
       acc
     }
-    // (r + maxR_c)² per cell; empty cells get -1 (never probed)
+    // (r + maxR_c + ε)² per cell; empty cells get -1 (never probed).
+    // The ε pad (1e-9, orders above double rounding noise) absorbs the
+    // different rounding paths of the probe's d² arithmetic vs the
+    // corpus-side cdist (surrogate 1+2·dist → sqrt → float parquet
+    // round-trip): a pair sitting exactly on the τ boundary in a
+    // near-tight triangle configuration must not be rounded OUT of the
+    // probe set. False candidates the pad admits cost one exact
+    // rescore each, never correctness.
     @transient private lazy val bound2 = cells.map { case (_, _, maxR) =>
-      if (maxR < 0) -1.0 else { val b = radius + maxR; b * b }
+      if (maxR < 0) -1.0 else { val b = radius + maxR + 1e-9; b * b }
     }.toArray
 
     override def nullSafeEval(input: Any): Any = {

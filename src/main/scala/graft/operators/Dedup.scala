@@ -743,12 +743,20 @@ object Dedup {
         col("vec_id").as("id"), col(blockCol).cast("string").as("bk"),
         col("embedding").cast("array<double>").as("emb"),
         Similarity.l2Norm(col("embedding")).as("nrm"))
+        // zero-norm rows never qualify a cosine threshold (cosine with
+        // the zero vector is 0/0 = NaN, and both Spark SQL and the
+        // tile comparator order NaN ABOVE any number — without this
+        // filter a failed/zero embedding would spuriously pair with
+        // its whole block); filtered on EVERY leg so dense ≡ tiled ≡
+        // routed row identity holds with zero-norm rows present
+        .filter(col("nrm") > 0.0)
       return TiledKernels.blockCosinePairs(rel, threshold)
         .select("vec_a", "vec_b", "cosine")
     }
     val base = embeddings.select(
       col("vec_id"), col(blockCol).as("blk"), col("embedding"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0.0) // zero-norm never qualifies (NaN guard)
     val a = base.select(col("vec_id").as("vec_a"), col("blk"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = base.select(col("vec_id").as("vec_b"), col("blk"),
@@ -784,8 +792,10 @@ object Dedup {
     * artifact the routed join consumes: persist it with
     * [[writeEmbedCellRelBucketed]] so the per-batch join's corpus side
     * scans back exchange-free. Zero-norm vectors carry cdist 0: they
-    * can never qualify a cosine threshold, so they must not inflate
-    * their cell's probe radius. */
+    * can never qualify a cosine threshold (ENFORCED — every scoring
+    * leg filters n > 0 before the cosine, so a NaN 0/0 cosine can
+    * never ride Spark's NaN-above-everything ordering past `>= τ`),
+    * so they must not inflate their cell's probe radius. */
   def embedCellRel(corpus: DataFrame, blockCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "embedCellRel needs centroids")
@@ -884,6 +894,12 @@ object Dedup {
       col("nrm").as("n_b"), col("cell"))
     a.join(b, Seq("cell"))
       .filter(col("blk_a") === col("blk_b") && col("vec_a") =!= col("vec_b"))
+      // n_b > 0: a zero-norm CORPUS row never qualifies (NaN cosine
+      // would pass `>= τ` under Spark's NaN ordering whenever its cell
+      // happens to be probed — the dense leg filters the same rows, so
+      // routed ≡ dense holds with zero-norm rows present; zero-norm
+      // BATCH rows already emit no probe cells)
+      .filter(col("n_a") > 0.0 && col("n_b") > 0.0)
       .withColumn("cosine",
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
@@ -946,7 +962,11 @@ object Dedup {
     def scored(b: DataFrame, pred: org.apache.spark.sql.Column,
         vsCorpus: Boolean): DataFrame =
       a.join(b, Seq("blk"))
-        .filter(pred)
+        // zero-norm rows never qualify a cosine threshold (0/0 = NaN
+        // passes `>= τ` under Spark's NaN ordering); filtered on BOTH
+        // legs so dense ≡ routed row identity holds with zero-norm
+        // (failed-embedding) rows present
+        .filter(pred && col("n_a") > 0.0 && col("n_b") > 0.0)
         .withColumn("cosine",
           Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
         .filter(col("cosine") >= threshold)

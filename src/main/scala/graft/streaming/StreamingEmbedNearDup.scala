@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   *
   *  1. [[embedNearDupAgainstCellIndex]] — the SCALE path: the corpus
   *     enters as the persisted [[Dedup.embedCellRel]] (home-cell rel,
-  *     bucketed by `cell` via [[Dedup.writeEmbedCellRelBucketed]] so
-  *     it scans exchange-free per micro-batch); arriving vectors probe
-  *     their `nProbe` nearest cells (a stateless per-row expression)
-  *     and only cell-colliding pairs are exact-rescored — candidates ∝
-  *     probed cells, sub-linear in corpus.
+  *     bucketed by (`cell`, `blk`) via
+  *     [[Dedup.writeEmbedCellRelBucketed]] so it scans exchange-free
+  *     per micro-batch); arriving vectors probe EVERY cell the
+  *     cosine-τ radius ball can touch (RADIUS-EXACT — a stateless
+  *     per-row expression bounded by each cell's max assignment
+  *     distance, so the entry returns identical rows to the dense leg
+  *     at every threshold) and only cell-colliding pairs are
+  *     exact-rescored — candidates ∝ probed cells, sub-linear in
+  *     corpus.
   *  2. [[embedNearDupAgainstIndex]] — the DENSE block join: exact
   *     within blocks, but candidates are batch_b × corpus_b per block —
   *     linear in corpus per batch. Gate/test scale, or corpora whose
@@ -71,7 +75,11 @@ object StreamingEmbedNearDup {
       col(blockCol).as("blk"), col("embedding").as("e_b"),
       Similarity.l2Norm(col("embedding")).as("n_b"))
     a.join(b, Seq("blk"))
-      .filter(col("vec_a") =!= col("vec_b"))
+      // zero-norm rows never qualify (0/0 = NaN passes `>= τ` under
+      // Spark's NaN ordering); same guard as the routed entry, so the
+      // two entries stay row-identical with failed embeddings present
+      .filter(col("vec_a") =!= col("vec_b") &&
+        col("n_a") > 0.0 && col("n_b") > 0.0)
       .withColumn("cosine",
         Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)

@@ -251,6 +251,54 @@ class CurationOpsSpec extends AnyFunSuite {
     graft.operators.OperatorCaches.releaseAll()
   }
 
+  test("embedding near-dup: zero-norm rows never qualify, on every leg") {
+    // A failed/zero embedding has cosine 0/0 = NaN against everything,
+    // and Spark SQL (and the tile comparator) order NaN ABOVE any
+    // number — unguarded, `cosine >= τ` is TRUE and the zero vector
+    // spuriously pairs with its whole block on the dense legs while
+    // the routed leg drops it (no probe cells), silently breaking
+    // dense/routed row identity. The guard filters n > 0 on every
+    // scoring leg, making "zero-norm never qualifies" real.
+    val cents = graft.operators.IvfCentroids.Centroids16
+    def vec(pos: Int, bump: Float = 0f): Array[Float] = {
+      val a = Array.fill(64)(0.01f); a(pos) = 1f
+      a((pos + 7) % 64) += bump; a
+    }
+    val zero = Array.fill(64)(0f)
+    val corpus = Seq(
+      (1L, 0, vec(3)), (2L, 0, vec(3, 0.02f)), (3L, 0, zero),
+      (4L, 0, vec(40))).toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (10L, 0, vec(3, 0.01f)), (11L, 0, zero))
+      .toDF("vec_id", "label", "embedding")
+    // one-shot operator: join and tiled paths agree, no zero-norm ids
+    Seq("join", "tiled").foreach { s =>
+      val pairs = Dedup.embeddingNearDupPairs(
+          corpus, "label", 0.9, strategy = s)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"strategy=$s")
+    }
+    // incremental operator: dense ≡ routed, neither emits NaN pairs
+    val expect = Set((10L, 1L, true), (10L, 2L, true))
+    Seq("exact", "cells").foreach { s =>
+      val got = Dedup.incrementalEmbeddingNearDupPairs(
+          batch, corpus, "label", 0.9, strategy = s, centroids = cents)
+        .select("vec_a", "vec_b", "vs_corpus")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == expect, s"strategy=$s")
+    }
+    // streaming entries: dense and routed agree too
+    val dense = graft.streaming.StreamingEmbedNearDup
+      .embedNearDupAgainstIndex(batch, corpus, "label", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val routed = graft.streaming.StreamingEmbedNearDup
+      .embedNearDupAgainstCellIndex(batch,
+        Dedup.embedCellRel(corpus, "label", cents), cents, "label", 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(dense == Set((10L, 1L), (10L, 2L)) && routed == dense)
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
   test("incrementalEmbeddingNearDupPairs: a cell-bucketed corpus rel joins exchange-free on the routed path") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
