@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (keep the canonical min-id copy per identical
   *      embedding — bitwise-equal vectors defeat cosine blocking the
   *      same way identical text defeats LSH, and they're free to drop
-  *      first; the hash groups on xxhash64 of the array, never on the
-  *      raw floats as a shuffle key)
+  *      first; [[Dedup.exactCanonicalIdsVerified]] — the 64-bit hash
+  *      only pre-filters, colliding candidates are byte-equality
+  *      verified before anything is dropped, and non-candidate
+  *      payloads never shuffle)
   *   2. cosine near-dup inside `blockCol` blocks through the
   *      auto-dispatched pair generator
   *      ([[Dedup.embeddingNearDupPairs]] — join-plain vs tiled on the
@@ -51,11 +53,15 @@ object CurateEmbeddings {
     try {
       val input = vectors.count()
 
-      // 1. exact dedup: canonical min-id copy per identical embedding
-      val canonical = vectors
-        .groupBy(xxhash64(col("embedding")).as("vec_hash"))
-        .agg(min(col("vec_id")).as("vec_id"))
-        .select("vec_id")
+      // 1. exact dedup: canonical min-id copy per identical embedding.
+      // Collision-verified ([[Dedup.exactCanonicalIdsVerified]]): the
+      // 64-bit hash only PRE-FILTERS — candidates in multi-member hash
+      // groups are byte-equality-verified before any row is dropped,
+      // so a birthday collision (expected territory at the multi-
+      // billion-row scale this family targets) costs a comparison,
+      // never a silently deleted non-duplicate vector.
+      val canonical = Dedup.exactCanonicalIdsVerified(
+        vectors, "vec_id", "embedding")
       val exact = vectors.join(canonical, "vec_id").cache()
       pinned += exact
       val nExact = exact.count()

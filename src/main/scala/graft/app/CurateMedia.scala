@@ -67,9 +67,15 @@ object CurateMedia {
     try {
       val input = media.count()
 
-      // 1. exact payload dedup: canonical min-id copy per content hash
+      // 1. exact payload dedup: canonical min-id copy per content
+      // hash. sha2-256, never a bare 64-bit key ([[Dedup
+      // .exactDupGroups]]'s discipline): a 64-bit birthday collision
+      // is expected by ~5×10⁹ rows — guaranteed territory for a
+      // 100 TB media corpus — and a collision on the dedup key
+      // silently DROPS a non-duplicate document. The 256-bit key is
+      // still a slim shuffle column; payload bytes stay put.
       val canonical = media
-        .groupBy(xxhash64(col("media")).as("payload_hash"))
+        .groupBy(sha2(col("media"), 256).as("payload_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val exact = media.join(canonical, "doc_id").cache()

@@ -34,6 +34,38 @@ object Dedup {
       .select("doc_id", "canonical_id", "dup_count")
   }
 
+  /** Canonical (min-id) survivor ids for EXACT payload dedup keyed on
+    * an arbitrary-width hash, collision-proofed by equality
+    * verification — the [[exactDupGroups]] discipline for payload
+    * types `sha2` cannot take directly (float arrays and other
+    * non-binary columns). Keying a dedup on a bare 64-bit hash
+    * silently DROPS a non-duplicate on collision, and at multi-billion
+    * rows the birthday bound makes that expected, not hypothetical —
+    * so the hash is a PRE-FILTER only: phase 1 groups the slim
+    * (id, hash) projection (payloads never shuffle), and ONLY rows in
+    * multi-member hash groups (dup candidates — for real corpora a
+    * tiny fraction) shuffle their payload for a byte-equality
+    * `groupBy(hash, payload)`. A collision therefore costs one extra
+    * comparison, never data loss. Output: one `idCol` row per DISTINCT
+    * payload — the minimum id of each truly-equal group. */
+  def exactCanonicalIdsVerified(rows: DataFrame, idCol: String,
+      payloadCol: String,
+      hashOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    val hashed = rows.select(col(idCol), hashOf(col(payloadCol)).as("ph"))
+    val dupHashes = hashed.groupBy("ph").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > 1).select("ph")
+    val singles = hashed.join(dupHashes, Seq("ph"), "left_anti")
+      .select(idCol)
+    val verified = rows
+      .select(col(idCol), col(payloadCol), hashOf(col(payloadCol)).as("ph"))
+      .join(dupHashes, "ph")
+      .groupBy(col("ph"), col(payloadCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    singles.unionByName(verified)
+  }
+
   /** Exact-arithmetic MinHash+LSH near-duplicate pairs (the
     * oracle-checkable variant; see [[graft.functions.TextFunctions]]).
     *

@@ -69,4 +69,25 @@ class CurateEmbeddingsSpec extends AnyFunSuite {
     assert(streamed == Set((40L, 5L)))
     spark.sql("DROP TABLE IF EXISTS ce_spec_rel")
   }
+
+  test("exactCanonicalIdsVerified: a hash collision costs a comparison, not data loss") {
+    // The exact-dedup key is a PRE-FILTER: colliding candidates are
+    // byte-equality verified before any row is dropped. Forcing every
+    // row into one hash group (constant hash) simulates the 64-bit
+    // birthday collision a multi-billion-row corpus makes expected —
+    // byte-distinct vectors must ALL survive it.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),   // true dups → min id 1
+      (3L, Array(0f, 1f)),                         // distinct
+      (4L, Array(0.5f, 0.5f))                      // distinct
+    ).toDF("vec_id", "embedding")
+    val collided = Dedup.exactCanonicalIdsVerified(
+        vecs, "vec_id", "embedding", _ => lit(0L))
+      .as[Long].collect().toSet
+    assert(collided == Set(1L, 3L, 4L))
+    // and with the real hash the result is identical (hash only routes)
+    val real = Dedup.exactCanonicalIdsVerified(vecs, "vec_id", "embedding")
+      .as[Long].collect().toSet
+    assert(real == collided)
+  }
 }
