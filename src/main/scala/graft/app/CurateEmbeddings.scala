@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *      contract shared with [[CurateMedia]])
   *   3. write the survivors plus the NIGHTLY ROUTING ARTIFACT both
   *      ingest paths consume: the home-cell rel
-  *      ([[Dedup.writeEmbedCellRelBucketed]], (cell, blk)-bucketed,
-  *      `cdist` radius stats carried) that
+  *      ([[Dedup.writeEmbedCellRelBucketedVersioned]] — blue/green
+  *      view swap, quantizer fingerprint stamped, (cell, blk)-
+  *      bucketed, `cdist` radius stats carried) that
   *      [[Dedup.incrementalEmbeddingNearDupPairs]] and
   *      [[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex]]
   *      join exchange-free; centroids resolve artifact-or-fit via
@@ -80,7 +81,13 @@ object CurateEmbeddings {
       survivors.write.mode("overwrite").parquet(s"$outDir/vectors")
       val cents = IvfCentroids.forCorpus(
         survivors.select(col("vec_id"), col("embedding")))
-      Dedup.writeEmbedCellRelBucketed(survivors, blockCol, cents,
+      // BLUE/GREEN versioned rebuild: the rel serves a running
+      // stream's per-micro-batch join, so the serving name must never
+      // point at a half-written table — the view swaps atomically and
+      // the previous version stays for in-flight readers. The rel
+      // carries the quantizer fingerprint (embedCellRel stamps it), so
+      // a consumer passing centroids from a different fit is refused.
+      Dedup.writeEmbedCellRelBucketedVersioned(survivors, blockCol, cents,
         cellTable, buckets, Some(s"$outDir/cell_rel"))
       EmbedStageCounts(input, nExact, nNear, spark.table(cellTable).count())
     } finally {

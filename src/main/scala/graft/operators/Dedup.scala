@@ -836,8 +836,21 @@ object Dedup {
       .otherwise(transform(col("embedding"), x => x.cast("double") / nrm))
     val assigned = element_at(
       HashExpressions.nearestCells(normed, centroids, 1), 1)
+    // The rel is BOUND to the quantizer that assigned it: the
+    // fingerprint rides the `cell` column as metadata (persisted
+    // through parquet/catalog/views — the media build-stride
+    // discipline) and [[cellProbeTable]] refuses probe-time centroids
+    // from any other fit, because every radius bound is computed
+    // against THIS quantizer's cell geometry and a newer fit would
+    // silently lose pairs.
+    val fp = IvfCentroids.quantizerFingerprint(centroids)
+    val cellMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.quantizer.k", fp._1.toLong)
+      .putLong("graft.quantizer.dim", fp._2.toLong)
+      .putLong("graft.quantizer.hash", fp._3)
+      .build()
     corpus.select(col("vec_id"), col(blockCol).as("blk"), col("embedding"),
-      nrm.as("nrm"), assigned.getField("cell").as("cell"),
+      nrm.as("nrm"), assigned.getField("cell").as("cell", cellMeta),
       // NearestCells ranks by the surrogate −x̂·c + c·c/2; with
       // ‖x̂‖ = 1 the true distance is ‖x̂−c‖² = 1 + 2·surrogate
       when(nrm === 0.0, lit(0.0)).otherwise(
@@ -856,6 +869,30 @@ object Dedup {
       "corpus cell rel lacks the cdist column — rebuild it with " +
         "embedCellRel/writeEmbedCellRelBucketed (the radius-exact probe " +
         "bound needs each cell's max normalized assignment distance)")
+    // Quantizer binding: the rel records the fingerprint of the fit
+    // that assigned its cells ([[embedCellRel]] stamps it); centroids
+    // from any OTHER fit are REFUSED — their cell geometry disagrees
+    // with the rel's recorded per-cell radii, so every probe bound
+    // would be wrong and pairs would be LOST with no error (the
+    // radius-exact route's one silent-wrong-answer hole; the media
+    // family's build-stride refusal, quantizer form). Rels written
+    // before fingerprints existed carry no metadata — those callers
+    // own the must-match constraint, as documented on every entry.
+    val m = corpusCells.schema("cell").metadata
+    if (m.contains("graft.quantizer.hash")) {
+      val rel = (m.getLong("graft.quantizer.k").toInt,
+        m.getLong("graft.quantizer.dim").toInt,
+        m.getLong("graft.quantizer.hash"))
+      val cur = IvfCentroids.quantizerFingerprint(centroids)
+      require(rel == cur,
+        "cell rel / centroids quantizer mismatch: the corpus cell rel " +
+          s"was assigned under ${IvfCentroids.fingerprintString(rel)} but " +
+          s"the caller passed ${IvfCentroids.fingerprintString(cur)} — " +
+          "probe bounds computed against the wrong cell geometry " +
+          "silently LOSE pairs; pass the quantizer the rel was built " +
+          "with, or rebuild the rel (embedCellRel/" +
+          "writeEmbedCellRelBucketedVersioned) under the new fit")
+    }
     val maxR = corpusCells.groupBy("cell")
       .agg(max(col("cdist")).as("r")).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -883,6 +920,26 @@ object Dedup {
       .mode("overwrite").format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Blue/green form of [[writeEmbedCellRelBucketed]] — the NIGHTLY
+    * rebuild entry ([[VersionedTable.rebuild]]): the rel is consumed
+    * by a RUNNING STREAM
+    * ([[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex]]),
+    * so a direct overwrite of the serving name can hand its next
+    * micro-batch a half-written table. The versioned write swaps the
+    * serving view in one catalog operation; the previous version is
+    * kept for in-flight readers (a restarted stream resolves the new
+    * one and its quantizer binding — [[cellProbeTable]]'s fingerprint
+    * refusal — rejects stale centroids loudly). Returns the versioned
+    * table name written. */
+  def writeEmbedCellRelBucketedVersioned(corpus: DataFrame,
+      blockCol: String, centroids: Seq[(Int, Seq[Double])], table: String,
+      buckets: Int, path: Option[String] = None): String =
+    VersionedTable.rebuild(corpus.sparkSession, table, path) {
+      (vTable, vPath) =>
+        writeEmbedCellRelBucketed(corpus, blockCol, centroids, vTable,
+          buckets, vPath)
+    }
 
   /** The RADIUS-EXACT routed vs-corpus join shared by
     * [[incrementalEmbeddingNearDupPairs]] (`strategy="cells"`) and

@@ -780,36 +780,28 @@ object Multimodal {
     * anyway). Returns the versioned table name written. */
   def writeFramePostingsBucketedVersioned(sets: DataFrame, table: String,
       buckets: Int, path: Option[String] = None, maxPostings: Int = 0,
-      stride: Int = 1): String = {
-    val spark = sets.sparkSession
-    val pat = (java.util.regex.Pattern.quote(table) + "_v(\\d+)").r
-    val versions = spark.sqlContext.tableNames().toSeq.collect {
-      case pat(n) => n.toInt
-    }.sorted
-    val next = versions.lastOption.getOrElse(0) + 1
-    val vTable = s"${table}_v$next"
-    writeFramePostingsBucketed(sets, vTable, buckets,
-      path.map(p => s"$p/v$next"), maxPostings, stride)
-    if (spark.catalog.tableExists(table) &&
-        spark.catalog.getTable(table).tableType != "VIEW")
-      spark.sql(s"DROP TABLE `$table`") // one-time legacy migration
-    spark.sql(s"CREATE OR REPLACE VIEW `$table` AS SELECT * FROM `$vTable`")
-    versions.dropRight(1).foreach { v =>
-      spark.sql(s"DROP TABLE IF EXISTS `${table}_v$v`")
-      // path-based tables are EXTERNAL — drop leaves the files; delete
-      // them so nightly rebuilds hold at most two versions of bytes too
-      path.foreach { p =>
-        val dir = new org.apache.hadoop.fs.Path(s"$p/v$v")
-        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(dir, true)
-      }
+      stride: Int = 1): String =
+    VersionedTable.rebuild(sets.sparkSession, table, path) {
+      (vTable, vPath) =>
+        writeFramePostingsBucketed(sets, vTable, buckets, vPath,
+          maxPostings, stride)
     }
-    Parallelism.logDispatch("writeFramePostingsBucketedVersioned",
-      s"$table -> $vTable (kept ${versions.lastOption.map(v => s"${table}_v$v")
-        .getOrElse("none")} for in-flight readers; dropped " +
-        s"${versions.dropRight(1).size} older)")
-    vTable
-  }
+
+  /** Blue/green form of [[writeFrameIndexBucketed]]'s REBUILD path
+    * ([[VersionedTable.rebuild]]): the slim index's consumer is the
+    * nightly batch join, not a running stream, so the direct overwrite
+    * was an acceptable documented convention — but the versioned form
+    * costs nothing and removes the half-written window for any reader
+    * that resolves the table mid-rebuild. Append-mode maintenance
+    * (folding an ingest window in) still goes through
+    * [[writeFrameIndexBucketed]] directly on the CURRENT versioned
+    * table; a content update requires this rebuild, as ever. */
+  def writeFrameIndexBucketedVersioned(sets: DataFrame, table: String,
+      buckets: Int, path: Option[String] = None): String =
+    VersionedTable.rebuild(sets.sparkSession, table, path) {
+      (vTable, vPath) =>
+        writeFrameIndexBucketed(sets, vTable, buckets, vPath)
+    }
 
   /** Incremental frame-set near-dup — the production maintenance path
     * of [[videoNearDupPairs]] at 100 TB (the

@@ -98,8 +98,13 @@ object StreamingEmbedNearDup {
     * time), join on (`cell`, `blk`) — a corpus rel bucketed on both
     * ([[Dedup.writeEmbedCellRelBucketed]]) scans exchange-free per
     * micro-batch — exact cosine on collisions only. `centroids` must
-    * be the SAME quantizer the rel was built with (versioned
-    * artifacts — the [[Similarity.appendIvfIndex]] discipline). */
+    * be the SAME quantizer the rel was built with — ENFORCED: the rel
+    * carries its quantizer's fingerprint in column metadata
+    * ([[Dedup.embedCellRel]]) and a mismatched `centroids` argument is
+    * refused at plan-build time ([[Dedup.cellProbeTable]]), naming
+    * both fingerprints; nightly rebuilds go through the blue/green
+    * [[Dedup.writeEmbedCellRelBucketedVersioned]] so this stream never
+    * resolves a half-written rel. */
   def embedNearDupAgainstCellIndex(vecs: DataFrame, corpusCells: DataFrame,
       centroids: Seq[(Int, Seq[Double])], blockCol: String,
       threshold: Double): DataFrame = {

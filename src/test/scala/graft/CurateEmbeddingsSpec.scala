@@ -67,7 +67,109 @@ class CurateEmbeddingsSpec extends AnyFunSuite {
         fresh, rel, cents, "label", 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(streamed == Set((40L, 5L)))
-    spark.sql("DROP TABLE IF EXISTS ce_spec_rel")
+    // the serving name is now the blue/green VIEW over the versioned
+    // table, and the quantizer fingerprint flows through it
+    assert(spark.catalog.getTable("ce_spec_rel").tableType == "VIEW")
+    assert(rel.schema("cell").metadata.contains("graft.quantizer.hash"))
+    spark.sql("DROP VIEW IF EXISTS ce_spec_rel")
+    spark.sql("DROP TABLE IF EXISTS ce_spec_rel_v1")
+  }
+
+  test("cell rel quantizer binding: centroids from a different fit are refused, naming both fingerprints") {
+    // The rel records the fingerprint of the quantizer that assigned
+    // its cells; probe-time centroids from any OTHER fit would compute
+    // every radius bound against the wrong cell geometry and silently
+    // LOSE pairs — the one silent-wrong-answer hole in the routed
+    // surface, closed by refusal (the media build-stride discipline).
+    val corpus = Seq((1L, 0, vec(3)), (2L, 0, vec(40)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = IvfCentroids.Centroids16
+    val rel = Dedup.embedCellRel(corpus, "label", cents)
+    val fresh = Seq((10L, 0, vec(3, 0.02f)))
+      .toDF("vec_id", "label", "embedding")
+    // perturbed quantizer = a "newer fit" — refused on both consumers
+    val newerFit = cents.map { case (id, c) =>
+      (id, c.map(_ + 1e-6)) }
+    val exIncr = intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDupPairs(fresh, rel, "label", 0.9,
+        strategy = "cells", centroids = newerFit).collect()
+    }
+    assert(exIncr.getMessage.contains("quantizer mismatch"))
+    // the message names BOTH fingerprints so the operator can tell
+    // which artifact is stale
+    val fpRel = IvfCentroids.fingerprintString(
+      IvfCentroids.quantizerFingerprint(cents))
+    val fpNew = IvfCentroids.fingerprintString(
+      IvfCentroids.quantizerFingerprint(newerFit))
+    assert(exIncr.getMessage.contains(fpRel) &&
+      exIncr.getMessage.contains(fpNew))
+    val exStream = intercept[IllegalArgumentException] {
+      StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+        fresh, rel, newerFit, "label", 0.9).collect()
+    }
+    assert(exStream.getMessage.contains("quantizer mismatch"))
+    // the MATCHING quantizer still passes
+    assert(StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+      fresh, rel, cents, "label", 0.9).count() == 1)
+  }
+
+  test("versioned cell rel rebuild: view swap, previous kept, older dropped, fingerprint through the view") {
+    val cents = IvfCentroids.Centroids16
+    val out = java.nio.file.Files.createTempDirectory("ce_ver").toString
+    def corpusOf(n: Int) = (1 to n).map(i => (i.toLong, 0, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+    def rebuild(n: Int): Unit =
+      Dedup.writeEmbedCellRelBucketedVersioned(corpusOf(n), "label",
+        cents, "ce_ver_rel", 2, Some(s"$out/rel"))
+    rebuild(3)
+    assert(spark.catalog.tableExists("ce_ver_rel_v1"))
+    assert(spark.catalog.getTable("ce_ver_rel").tableType == "VIEW")
+    rebuild(4)
+    // v2 serves, v1 kept for in-flight readers
+    assert(spark.catalog.tableExists("ce_ver_rel_v2"))
+    assert(spark.catalog.tableExists("ce_ver_rel_v1"))
+    assert(spark.table("ce_ver_rel").count() == 4)
+    rebuild(5)
+    // v3 serves, v2 kept, v1 dropped — catalog AND files
+    assert(spark.catalog.tableExists("ce_ver_rel_v3"))
+    assert(spark.catalog.tableExists("ce_ver_rel_v2"))
+    assert(!spark.catalog.tableExists("ce_ver_rel_v1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/rel/v1")))
+    // quantizer fingerprint + routed-join consumption flow through the
+    // serving view (a mismatched fit is refused THROUGH the view too)
+    val served = spark.table("ce_ver_rel")
+    assert(served.schema("cell").metadata.contains("graft.quantizer.hash"))
+    val fresh = Seq((40L, 0, vec(3, 0.02f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+      fresh, served, cents, "label", 0.9).count() == 1)
+    intercept[IllegalArgumentException] {
+      StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+        fresh, served, cents.map { case (i, c) => (i, c.map(_ + 1e-6)) },
+        "label", 0.9).collect()
+    }
+    spark.sql("DROP VIEW IF EXISTS ce_ver_rel")
+    Seq("v2", "v3").foreach(v =>
+      spark.sql(s"DROP TABLE IF EXISTS ce_ver_rel_$v"))
+  }
+
+  test("versioned rebuild survives a mixed-case table name (no silent v1 overwrite)") {
+    // The catalog lowercases identifiers; version discovery matching
+    // the verbatim name would find NOTHING every night and rewrite the
+    // live _v1 the serving view points at — reintroducing exactly the
+    // half-written-table window the blue/green path exists to close.
+    val cents = IvfCentroids.Centroids16
+    val corpus = Seq((1L, 0, vec(3))).toDF("vec_id", "label", "embedding")
+    def rebuild(): String = Dedup.writeEmbedCellRelBucketedVersioned(
+      corpus, "label", cents, "Ce_Mixed_Rel", 2)
+    assert(rebuild() == "ce_mixed_rel_v1")
+    assert(rebuild() == "ce_mixed_rel_v2") // not a v1 overwrite
+    assert(spark.catalog.tableExists("ce_mixed_rel_v1"))
+    assert(spark.table("Ce_Mixed_Rel").count() == 1)
+    spark.sql("DROP VIEW IF EXISTS ce_mixed_rel")
+    Seq("v1", "v2").foreach(v =>
+      spark.sql(s"DROP TABLE IF EXISTS ce_mixed_rel_$v"))
   }
 
   test("exactCanonicalIdsVerified: a hash collision costs a comparison, not data loss") {
