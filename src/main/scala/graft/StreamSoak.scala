@@ -724,6 +724,120 @@ object StreamSoak {
       corpus.unpersist()
     }
 
+    // ---------------- embed staleness drill ------------------------ //
+    // The operational story the versioned cell-rel rebuild + quantizer
+    // binding enable, proven under a LIVE stream: a nightly rebuild
+    // (new corpus, NEW fit) swaps the serving view mid-soak; the
+    // running routed stream keeps its plan-build-resolved version —
+    // kept on disk by the blue/green writer — to completion (detector:
+    // v2 carries offset vec_ids, so max(vec_b) would jump on a silent
+    // switch), and a RESTARTED stream resolves v(N+1), refusing last
+    // night's centroids by fingerprint instead of silently losing
+    // pairs.
+    if (only.isEmpty || "embed_staleness".contains(only)) {
+      import graft.operators.{Dedup, IvfCentroids}
+      val cents1 = IvfCentroids.Centroids16
+      val cents2 = cents1.map { case (i, c) => (i, c.map(_ + 1e-6)) }
+      val tauE = 0.8
+      def synthVecs(from: Long, until: Long): DataFrame =
+        spark.range(from, until).select(
+          col("id").as("vec_id"),
+          pmod(col("id"), lit(16L)).as("label"),
+          transform(sequence(lit(0), lit(63)),
+            j => ((pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L)
+              .cast("double") / 1000.0).cast("float")).as("embedding"))
+      val nVec = math.max(nDocs / 2, 40000L)
+      val corpus1 = synthVecs(0, nVec).cache()
+      corpus1.count()
+      val corpus2 = corpus1.withColumn("vec_id", col("vec_id") + 900000000L)
+      val relDir = Files.createTempDirectory("soak_embed_bg").toString
+      val tV1 = System.nanoTime()
+      Dedup.writeEmbedCellRelBucketedVersioned(corpus1, "label", cents1,
+        "soak_embed_bg", cpus.toInt, Some(s"$relDir/rel"))
+      emit("embed_staleness_v1", "corpus_vecs" -> nVec,
+        "sec" -> f"${(System.nanoTime() - tV1) / 1e9}%.2f")
+
+      val nBatches = 4
+      val batchVecs = math.max(nVec / 50, 200L)
+      val in = Files.createTempDirectory("soak_embed_bg_in")
+      val ckpt = Files.createTempDirectory("soak_embed_bg_ck")
+      val stream = spark.readStream.schema(corpus1.schema)
+        .option("path", in.toString + "/*").format("parquet").load()
+      val q = graft.streaming.StreamingEmbedNearDup
+        .embedNearDupAgainstCellIndex(stream,
+          spark.table("soak_embed_bg"), cents1, "label", tauE)
+        .observe("embed_bg", count(lit(1)).as("n"),
+          max(col("vec_b")).as("max_b"))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        val seen = scala.collection.mutable.Set.empty[Long]
+        (1 to nBatches).foreach { b =>
+          synthVecs((b - 1) * batchVecs, b.toLong * batchVecs)
+            .withColumn("vec_id", col("vec_id") + 50000000L)
+            .write.parquet(s"$in/b$b")
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val s = (System.nanoTime() - t0) / 1e9
+          val fresh = q.recentProgress.filter(p => !seen.contains(p.batchId))
+          fresh.foreach(p => seen += p.batchId)
+          val metrics = fresh
+            .flatMap(p => Option(p.observedMetrics.get("embed_bg")))
+          val nM = metrics.map(_.getAs[Long]("n")).sum
+          val maxB = metrics.map(_.getAs[Long]("max_b")).foldLeft(-1L)(_ max _)
+          emit("embed_staleness_batch", "batch" -> b, "matches" -> nM,
+            "max_vec_b" -> maxB, "sec" -> f"$s%.2f")
+          require(nM == batchVecs,
+            s"staleness drill batch $b: expected $batchVecs twin " +
+              s"matches, got $nM")
+          require(maxB < 900000000L,
+            s"staleness drill batch $b: stream silently switched to the " +
+              s"rebuilt rel (matched vec_b=$maxB)")
+          if (b == 2) {
+            // NIGHTLY REBUILD under the live stream: new corpus ids,
+            // new quantizer fit → v2 swap; v1 must stay on disk for us
+            val tV2 = System.nanoTime()
+            val v2 = Dedup.writeEmbedCellRelBucketedVersioned(corpus2,
+              "label", cents2, "soak_embed_bg", cpus.toInt,
+              Some(s"$relDir/rel"))
+            require(spark.catalog.tableExists("soak_embed_bg_v1"),
+              "v1 must be kept for the in-flight stream")
+            emit("embed_staleness_rebuild", "version" -> v2,
+              "sec" -> f"${(System.nanoTime() - tV2) / 1e9}%.2f")
+          }
+        }
+      } finally q.stop()
+      // restart drill: the serving name now resolves v2 — last
+      // night's centroids are refused by fingerprint; the current fit
+      // serves v2 (offset ids prove it)
+      val freshStatic = synthVecs(0, batchVecs)
+        .withColumn("vec_id", col("vec_id") + 50000000L)
+      val refused =
+        try {
+          graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+            freshStatic, spark.table("soak_embed_bg"), cents1,
+            "label", tauE).count()
+          false
+        } catch {
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("quantizer mismatch")
+        }
+      val restartedMinB = graft.streaming.StreamingEmbedNearDup
+        .embedNearDupAgainstCellIndex(freshStatic,
+          spark.table("soak_embed_bg"), cents2, "label", tauE)
+        .agg(min(col("vec_b"))).head.getLong(0)
+      emit("embed_staleness_restart",
+        "stale_centroids_refused" -> refused,
+        "restarted_min_vec_b" -> restartedMinB)
+      require(refused, "stale centroids must be refused on restart")
+      require(restartedMinB >= 900000000L,
+        "restarted stream must serve the rebuilt v2 rel")
+      corpus1.unpersist()
+      spark.sql("DROP VIEW IF EXISTS soak_embed_bg")
+      Seq("v1", "v2").foreach(v =>
+        spark.sql(s"DROP TABLE IF EXISTS soak_embed_bg_$v"))
+    }
+
     spark.stop()
   }
 }

@@ -1006,10 +1006,15 @@ object Dedup {
     * so the corpus side of the block join reads exchange-free (the
     * [[Multimodal.writeFrameIndexBucketed]] discipline) — plus a self
     * block-join among the new batch; corpus embeddings are never
-    * re-paired with each other. The block join is deliberately
-    * UNSALTED: salting would destroy the corpus bucketing, and the
-    * per-block candidate volume is batch_b × corpus_b — bounded by the
-    * (small) batch side, not corpus².
+    * re-paired with each other. The vs-corpus join is SKEW-GUARDED
+    * ([[Parallelism.saltedBlockJoin]], corpus on the salted side, the
+    * small batch replicated per salt): under a constant or hot block
+    * key a plain equi-join serializes the whole batch_b × corpus_b
+    * candidate volume onto one shuffle partition (measured: 2 M
+    * unblocked vectors, one core, 622 s), while with every block under
+    * the per-task target the machinery escapes to the identical plain
+    * join and the corpus bucketing survives untouched — "dense is
+    * cheaper by flops" can never mean "one core does everything".
     *
     * batch_b × corpus_b is still LINEAR IN CORPUS per batch — dense
     * scan-and-score inside each block — so the operator carries the
@@ -1039,7 +1044,9 @@ object Dedup {
       corpus: DataFrame, blockCol: String, threshold: Double,
       strategy: String = "auto", routeBound: Long = EmbedRouteBound,
       centroids: Seq[(Int, Seq[Double])] = Nil,
-      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register,
+      densePairsPerTask: Long = Parallelism.DefaultTargetPairsPerTask)
+      : DataFrame = {
     // a prebuilt cell rel names its block column "blk"
     def blkOf(df: DataFrame) =
       if (df.columns.contains(blockCol)) col(blockCol) else col("blk")
@@ -1048,9 +1055,9 @@ object Dedup {
       col("embedding").as(s"e_$side"),
       Similarity.l2Norm(col("embedding")).as(s"n_$side"))
     val a = prep(newVecs, "a")
-    def scored(b: DataFrame, pred: org.apache.spark.sql.Column,
+    def scored(joined: DataFrame, pred: org.apache.spark.sql.Column,
         vsCorpus: Boolean): DataFrame =
-      a.join(b, Seq("blk"))
+      joined
         // zero-norm rows never qualify a cosine threshold (0/0 = NaN
         // passes `>= τ` under Spark's NaN ordering); filtered on BOTH
         // legs so dense ≡ routed row identity holds with zero-norm
@@ -1061,6 +1068,24 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .withColumn("vs_corpus", lit(vsCorpus))
         .select("vec_a", "vec_b", "cosine", "vs_corpus")
+    // The dense vs-corpus join rides [[Parallelism.saltedBlockJoin]]
+    // with the CORPUS on the salted (single-copy) side and the small
+    // batch replicated per salt: under a constant or hot block key the
+    // plain equi-join collapses onto ONE shuffle partition — measured
+    // at 2 M unblocked vectors, the whole 4×10⁹-candidate scan
+    // serialized on a single core — while the salted form splits the
+    // block r-ways at the cost of replicating only the batch. When no
+    // block's pair volume exceeds the per-task target the machinery
+    // escapes to the identical plain join (the corpus bucketing, when
+    // present, survives exactly when it should: salting only engages
+    // where a re-shuffle is the cure, not the disease). `pairBound`
+    // lets the auto branch reuse its already-computed Σ statistic to
+    // take the escape with zero extra jobs at gate scale.
+    def denseVsCorpus(pairBound: Long): DataFrame =
+      scored(Parallelism.saltedBlockJoin(prep(corpus, "b"), a,
+          Seq("blk"), "vec_b", targetPairsPerTask = densePairsPerTask,
+          pairBound = pairBound),
+        col("vec_a") =!= col("vec_b"), vsCorpus = true)
     // the routed machinery, resolved AT MOST ONCE and only when a
     // routed branch is reached (the exact path at gate scale stays
     // zero-extra-jobs beyond the dispatch stat); an on-the-fly cell
@@ -1076,7 +1101,10 @@ object Dedup {
         pin(rel)
         rel
       }
-    val chosen = strategy match {
+    // (strategy, proven upper bound on any block's na·nb for the dense
+    // leg's salted-join escape — the auto branch's Σ statistic bounds
+    // every single block; −1 = unproven, the salted join measures)
+    val (chosen, denseBound) = strategy match {
       case "auto" =>
         // Σ_blk batch_b × corpus_b from two narrow block-count scans —
         // the dispatch statistic every sibling pair generator logs
@@ -1091,7 +1119,7 @@ object Dedup {
           Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
             s"denseCandidates=$dense (Σ batch_b×corpus_b) " +
               s"routeBound=$routeBound -> exact")
-          "exact"
+          ("exact", dense)
         } else {
           // past the bound, price the routed volume too and take the
           // cheaper EXACT plan: Σ over the batch's radius-probed cells
@@ -1109,24 +1137,24 @@ object Dedup {
           Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
             s"denseCandidates=$dense routedCandidates=$routed " +
               s"(radius-probed cells) routeBound=$routeBound -> $pick")
-          pick
+          (pick, dense)
         }
-      case s @ ("exact" | "cells") => s
+      case s @ ("exact" | "cells") => (s, -1L)
       case other => throw new IllegalArgumentException(
         s"unknown incrementalEmbeddingNearDupPairs strategy '$other' " +
           "(auto|exact|cells)")
     }
     val vsCorpusLeg =
-      if (chosen == "exact")
-        scored(prep(corpus, "b"), col("vec_a") =!= col("vec_b"),
-          vsCorpus = true)
+      if (chosen == "exact") denseVsCorpus(denseBound)
       else
         cellRoutedVsCorpusPairs(newVecs, cellRel, blockCol,
             threshold, cents)
           .withColumn("vs_corpus", lit(true))
+    // the new-new self leg stays a plain block join: batch² is small
+    // by the operator's own contract, never the hot-block exposure
     vsCorpusLeg.unionByName(
-      scored(prep(newVecs, "b"), col("vec_a") < col("vec_b"),
-        vsCorpus = false))
+      scored(a.join(prep(newVecs, "b"), Seq("blk")),
+        col("vec_a") < col("vec_b"), vsCorpus = false))
   }
 
   /** SimHash signatures (30-bit, exact-arithmetic family). Near-dup

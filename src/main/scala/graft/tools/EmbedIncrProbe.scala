@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   * where the radius ball tightens and cell pruning actually pays.
   *
   * Usage: sbt "runMain graft.tools.EmbedIncrProbe <sfDir> [threshold]
-  *             [incrDenom] [oneshot=1] [routed=1] [tauHi=0.9]"
+  *             [incrDenom] [oneshot=1] [routed=1] [tauHi=0.9]
+  *             [block=label] [forceRoutedMaxN=400000]"
   *        (pass oneshot=0 at scales where the full re-pair is the
-  *        hours-long run the increment exists to avoid)
+  *        hours-long run the increment exists to avoid;
+  *        forceRoutedMaxN = corpus size up to which the routed join is
+  *        measured even when pricing favors dense — small corpora run
+  *        it anyway for the recall cross-check; probes at other scales
+  *        pass their own cap instead of editing source)
   */
 object EmbedIncrProbe {
   def main(args: Array[String]): Unit = {
@@ -40,6 +45,7 @@ object EmbedIncrProbe {
     // dense cost becomes batch × corpus and cell routing is the only
     // sub-dense candidate generator
     val blockMode = if (args.length > 6) args(6) else "label"
+    val forceRoutedMaxN = if (args.length > 7) args(7).toLong else 400000L
     val spark = graft.GraftSession.create("embed-incr-probe")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Dedup, IvfCentroids}
@@ -100,7 +106,7 @@ object EmbedIncrProbe {
       // when dense is cheaper the skip line IS the measurement — at a
       // loose τ the radius ball covers most cells and no candidate
       // generator beats the blocked dense scan, which auto detects.
-      if (routedB < denseB || n <= 400000) {
+      if (routedB < denseB || n <= forceRoutedMaxN) {
         val tj0 = System.nanoTime()
         val routedPairs = Dedup.incrementalEmbeddingNearDupPairs(
           batch, cellRel, "label", threshold, strategy = "cells",

@@ -184,12 +184,16 @@ class CurationOpsSpec extends AnyFunSuite {
       def scansIdx(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.collect { case sc: FileSourceScanExec => sc }
           .exists(_.metadata.get("Location").exists(_.contains("emb_corpus_idx")))
+      // the corpus may sit on either join side (the skew-guarded dense
+      // leg puts it on the salted/left side); find it by its scan
       val corpusSides = plan.collect {
         case j: SortMergeJoinExec
-          if j.leftKeys.exists(_.toString.contains("blk")) => j.right
+          if j.leftKeys.exists(_.toString.contains("blk")) =>
+          Seq(j.left, j.right)
         case j: ShuffledHashJoinExec
-          if j.leftKeys.exists(_.toString.contains("blk")) => j.right
-      }.filter(scansIdx)
+          if j.leftKeys.exists(_.toString.contains("blk")) =>
+          Seq(j.left, j.right)
+      }.flatten.filter(scansIdx)
       assert(corpusSides.nonEmpty, plan.toString.take(3000))
       corpusSides.foreach { side =>
         assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
@@ -248,6 +252,35 @@ class CurationOpsSpec extends AnyFunSuite {
         Dedup.embedCellRel(corpus, "label", cents).drop("cdist"),
         "label", 0.4, strategy = "cells", centroids = cents).count()
     }
+    graft.operators.OperatorCaches.releaseAll()
+  }
+
+  test("incrementalEmbeddingNearDupPairs: hot-block dense leg salts instead of serializing, identical rows") {
+    // Under a CONSTANT block key (the unblocked-corpus shape) a plain
+    // block equi-join lands the whole batch×corpus candidate volume on
+    // ONE shuffle partition. The dense vs-corpus leg rides the salted
+    // block join — corpus salted single-copy, small batch replicated —
+    // which splits the hot block r-ways; forcing a tiny per-task
+    // target on this fixture engages the salted branch (r > 1), and
+    // the rows must be IDENTICAL to the unsalted escape and to the
+    // routed path.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("one", lit(0)) // constant block: every row one key
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val plain = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "one", 0.4, strategy = "exact")
+    val salted = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "one", 0.4, strategy = "exact",
+      densePairsPerTask = 1000L)
+    assert(plain.exceptAll(salted).isEmpty &&
+      salted.exceptAll(plain).isEmpty)
+    assert(salted.count() > 0)
+    val routed = Dedup.incrementalEmbeddingNearDupPairs(
+      batch, corpus, "one", 0.4, strategy = "cells",
+      centroids = graft.operators.IvfCentroids.Centroids16)
+    assert(plain.exceptAll(routed).isEmpty &&
+      routed.exceptAll(plain).isEmpty)
     graft.operators.OperatorCaches.releaseAll()
   }
 

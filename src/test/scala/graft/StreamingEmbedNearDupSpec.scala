@@ -117,4 +117,72 @@ class StreamingEmbedNearDupSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS semb_cell_idx")
     }
   }
+
+  test("nightly rel rebuild under a live stream: running stream keeps its version, restart refuses stale centroids") {
+    // The operational story the versioned rebuild + quantizer binding
+    // enable: a nightly rebuild swaps the serving view mid-soak; the
+    // RUNNING stream resolved the previous version at plan-build and
+    // keeps reading it (complete, kept on disk) to completion, while a
+    // RESTARTED stream resolves the new version — and passing it the
+    // previous night's centroids is refused loudly instead of silently
+    // losing pairs.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "label", "embedding")
+    val fresh = emb.filter(col("vec_id") % 4 === 0)
+    val corpus1 = emb.filter(col("vec_id") % 4 =!= 0).cache()
+    // night 2's corpus carries DIFFERENT ids, so any silent switch to
+    // v2 mid-stream would change the matched pair set
+    val corpus2 = corpus1.withColumn("vec_id", col("vec_id") + 1000000L)
+    val cents1 = graft.operators.IvfCentroids.Centroids16
+    val cents2 = cents1.map { case (i, c) => (i, c.map(_ + 1e-6)) }
+    val dir = Files.createTempDirectory("semb_bg").toString
+    assert(Dedup.writeEmbedCellRelBucketedVersioned(corpus1, "label",
+      cents1, "semb_bg_rel", 4, Some(s"$dir/rel")) == "semb_bg_rel_v1")
+    val mid = 200L
+    val in = Files.createTempDirectory("semb_bg_in")
+    val ckpt = Files.createTempDirectory("semb_bg_ck")
+    fresh.filter(col("vec_id") < mid).write.parquet(s"$in/b1")
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("path", in.toString + "/*").format("parquet").load()
+    val q = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+        stream, spark.table("semb_bg_rel"), cents1, "label", 0.4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semb_bg_out")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // NIGHTLY REBUILD while the stream runs: v2 under a new fit
+      assert(Dedup.writeEmbedCellRelBucketedVersioned(corpus2, "label",
+        cents2, "semb_bg_rel", 4, Some(s"$dir/rel")) == "semb_bg_rel_v2")
+      assert(spark.catalog.tableExists("semb_bg_rel_v1"), "v1 kept")
+      fresh.filter(col("vec_id") >= mid).write.parquet(s"$in/b2")
+      q.processAllAvailable()
+      // the stream matched BOTH batches against v1 (corpus1 ids): the
+      // full expected set, none of corpus2's offset ids
+      val got = spark.table("semb_bg_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = StreamingEmbedNearDup
+        .embedNearDupAgainstIndex(fresh, corpus1, "label", 0.4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, "running stream must keep its resolved v1")
+      assert(got.forall(_._2 < 1000000L))
+    } finally q.stop()
+    // RESTART: the serving name now resolves v2 — last night's
+    // centroids are refused by the quantizer binding, naming both fits
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+        fresh, spark.table("semb_bg_rel"), cents1, "label", 0.4).collect()
+    }
+    assert(ex.getMessage.contains("quantizer mismatch"))
+    // with the current fit the restarted plan serves v2 (offset ids)
+    val restarted = StreamingEmbedNearDup.embedNearDupAgainstCellIndex(
+        fresh, spark.table("semb_bg_rel"), cents2, "label", 0.4)
+      .select("vec_b").as[Long].collect()
+    assert(restarted.nonEmpty && restarted.forall(_ >= 1000000L))
+    corpus1.unpersist()
+    spark.sql("DROP VIEW IF EXISTS semb_bg_rel")
+    Seq("v1", "v2").foreach(v =>
+      spark.sql(s"DROP TABLE IF EXISTS semb_bg_rel_$v"))
+  }
 }
