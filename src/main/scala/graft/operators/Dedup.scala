@@ -812,6 +812,28 @@ object Dedup {
     * oracle-checked plans stay on the exact path. */
   val EmbedRouteBound: Long = 100000000L
 
+  /** Measured per-candidate cost ratio of the cell-routed plan vs the
+    * SALTED dense block join, used by the `auto` pricing: routed wins
+    * only when `routedCandidates × RoutedCostFactor < denseCandidates`.
+    * Why candidates alone mislead: a routed candidate pays the probe
+    * explode, a wide (cell, blk) join row and skewed cell groups,
+    * while a salted-dense candidate is one fused dot inside a
+    * streaming merge group — measured at 2 M Zipf vectors (r17),
+    * dense scores 28–79 M candidates/s against routed's 0.2–0.4 M/s,
+    * so dense won the WALL in every cell of the shape×τ grid even at
+    * a 50–88× candidate disadvantage (unblocked τ=0.9: dense 50.5 s
+    * vs routed 263.1 s on 4.0×10⁹ vs 8.0×10⁷ candidates). 128 covers
+    * the measured dense-win band with margin while still handing the
+    * asymptotic regime to the routed plan — per-batch-row probed mass
+    * stays ~flat as cells ∝ N, so the candidate ratio grows ∝ N and
+    * crosses 128 around N ≈ 5–10 M vectors, exactly where a
+    * linear-in-corpus dense scan should lose. Both plans are EXACT, so
+    * a miscalibration costs wall, never rows. The STREAMING ingest
+    * path is unaffected: a stream side cannot be counted or salted, so
+    * [[graft.streaming.StreamingEmbedNearDup.embedNearDupAgainstCellIndex]]
+    * remains the scale entry there regardless. */
+  val RoutedCostFactor: Long = 128L
+
   /** Corpus-side CELL relation for the routed embedding-ingest path:
     * (vec_id, blk, cell, cdist, embedding, nrm) — each corpus vector's
     * HOME cell under `centroids`, assigned on the NORMALIZED vector
@@ -1023,7 +1045,11 @@ object Dedup {
     * and keeps the dense block join while the bound fits `routeBound`
     * ([[EmbedRouteBound]]); past it the ROUTED candidate volume is
     * priced too (batch probes × per-cell corpus counts, one narrow
-    * agg) and the CHEAPER plan wins — both plans are EXACT
+    * agg) and the cheaper plan wins under the MEASURED cost model — a
+    * routed candidate is ~two orders costlier than a salted-dense one
+    * ([[RoutedCostFactor]]), so routed needs a >128× candidate
+    * advantage, which the falling per-row probed mass delivers around
+    * N ≈ 5–10 M corpus vectors. Both plans are EXACT
     * ([[cellRoutedVsCorpusPairs]] probes radius-complete cells and
     * rescores exactly; spec-pinned row identity at every threshold),
     * so routing is purely a cost decision and can never lose pairs.
@@ -1133,10 +1159,15 @@ object Dedup {
                 col("embedding"), probeTable, r)).as("cell"))
             .join(sizes, "cell")
             .agg(coalesce(sum(col("nc")), lit(0L))).head.getLong(0)
-          val pick = if (routed < dense) "cells" else "exact"
+          // candidates are not walls: a routed candidate is ~two
+          // orders costlier than a salted-dense one (measured —
+          // [[RoutedCostFactor]]), so the comparison is cost-weighted
+          val pick =
+            if (routed * RoutedCostFactor < dense) "cells" else "exact"
           Parallelism.logDispatch("incrementalEmbeddingNearDupPairs",
             s"denseCandidates=$dense routedCandidates=$routed " +
-              s"(radius-probed cells) routeBound=$routeBound -> $pick")
+              s"(radius-probed cells, cost factor $RoutedCostFactor) " +
+              s"routeBound=$routeBound -> $pick")
           (pick, dense)
         }
       case s @ ("exact" | "cells") => (s, -1L)
