@@ -18,6 +18,15 @@ object Bench {
     // right for sf<=0.1 but undersizes sorts at sf10 (~GB partitions
     // spill serially); the driver contract (unset) keeps cpus.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // NOTE (r17, measured-and-rejected): AQE's byte-based partition
+    // coalescing serializes some CPU-dense small-byte stages (q80's
+    // candidate join ran on 8 post-AQE tasks carrying 12 s of CPU), and
+    // lowering spark.sql.adaptive.coalescePartitions.minPartitionSize to
+    // 64k does widen those stages — but a 3×3 alternating full-bench A/B
+    // read sum-of-mins 76.9 s (64k) vs 73.4 s (default): the extra task
+    // overhead on the many-small-shuffle queries (q95 +1.1 s, q25 +0.5 s)
+    // outweighs the q72/q80 wins. Operators that need width get it
+    // explicitly (REPARTITION_BY_NUM is AQE-exempt) instead.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

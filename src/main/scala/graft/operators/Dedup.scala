@@ -1262,11 +1262,20 @@ object Dedup {
       .cache()
     // initial labels with the first propagation round folded in:
     // component₀ = min(self, neighbors) — same cost as the bare
-    // distinct-nodes scan, one fewer loop round
+    // distinct-nodes scan, one fewer loop round.
+    //
+    // localCheckpoint(eager = false) throughout the loop (r17): the
+    // labelSum convergence probe right below is ALWAYS the next action
+    // on a fresh label frame, so it materializes the checkpoint and
+    // reads the sum in ONE job — the eager form paid a separate
+    // materialization job per round (2 jobs/round -> 1; q48 runs 5–6
+    // rounds plus init, each job ~80 ms of fixed scheduling latency at
+    // gate scale). Single-consumer-first semantics are unchanged:
+    // nothing touches `labels`/`next` before the sum runs.
     var labels = sym.groupBy(col("a"))
       .agg(min("b").as("mb"))
       .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // convergence detector: labels only ever decrease, so Σcomponent
     // strictly decreases on any change — one cheap aggregate per round
     // instead of a full next-vs-previous anti-join
@@ -1281,7 +1290,7 @@ object Dedup {
         .select(sym("a").as("id"), col("component"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the labelSum probe
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -1308,7 +1317,7 @@ object Dedup {
         .select(prop("id"),
           least(prop("component"),
             coalesce(col("pcomp"), prop("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the labelSum probe
       val nextSum = labelSum(next)
       labels.unpersist()
       prop.unpersist()
@@ -1471,9 +1480,18 @@ object Dedup {
   private def resolveEditPairs(docs: DataFrame, cand: DataFrame,
       maxDist: Int, prefilterGram: Int): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
+    // The O(len·k) DP runs fused into the second attach join's output
+    // stage, and its input rows compress ~20:1 — AQE's byte-based
+    // coalescing ran q72's 3 s-CPU DP stage on 3 tasks (r17 event-log
+    // measurement: stage wall 1.6 s, max task 1.6 s). The explicit
+    // fixed-width repartition on the join key is AQE-exempt and
+    // REPLACES the planner's exchange (hashpartitioning(doc_b, N)
+    // satisfies the join's clustering), so the DP keeps full width at
+    // no extra shuffle.
     def withText(pairs: DataFrame): DataFrame = pairs
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a"))
         .hint("shuffle_hash"), "doc_a")
+      .repartition(Parallelism.wideN(docs.sparkSession), col("doc_b"))
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b"))
         .hint("shuffle_hash"), "doc_b")
     def dp(pairs: DataFrame): DataFrame = pairs

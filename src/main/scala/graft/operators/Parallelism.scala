@@ -116,6 +116,19 @@ object Parallelism {
     df.repartition(math.max(target, df.rdd.getNumPartitions))
   }
 
+  /** Partition count for an explicit (AQE-exempt) repartition that
+    * replaces a planner exchange in front of CPU-dense per-row work:
+    * never below the session's shuffle width or the core count.
+    * Rationale (r17 event-log measurement): AQE coalesces post-shuffle
+    * partitions by COMPRESSED bytes, and candidate-pair rows compress
+    * 20–30:1, so a stage carrying seconds of DP/dot CPU can be merged
+    * onto 1–3 tasks while the rest of the machine idles. A
+    * REPARTITION_BY_NUM shuffle moves the same bytes the planner's
+    * exchange would have, but keeps its width. */
+  def wideN(spark: org.apache.spark.sql.SparkSession): Int = math.max(
+    spark.sparkContext.defaultParallelism,
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
   /** Exact skew-aware blocked self-join — the pair-volume twin of
     * [[widen]].
     *

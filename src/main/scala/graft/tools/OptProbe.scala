@@ -1,0 +1,136 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.HashExpressions
+
+/** Round-17 scratch diagnostic (NOT part of the driver contract): stage
+  * timing for the heavy bench queries, so optimization targets the
+  * measured bottleneck instead of the guessed one (guide §1).
+  */
+object OptProbe {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[optprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "q80"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    what match {
+      case "q80" => q80Stages(spark, dir, noop)
+      case "q33" => q33Stages(spark, dir, noop)
+      case other => println(s"unknown probe '$other'")
+    }
+    spark.stop()
+  }
+
+  /** q33 (IVF ANN) stage timing: index build vs probe join vs window. */
+  def q33Stages(spark: SparkSession, dir: String,
+      noop: DataFrame => Unit): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    emb.count()
+    val cents = graft.operators.IvfCentroids.forCorpus(emb)
+    println(s"[optprobe] vecs=${emb.count()} cells=${cents.size}")
+    val idx = time("1 buildIvfIndex (cache+count)")(
+      Similarity.buildIvfIndex(emb, cents, 2))
+    val assigned = idx.filter(col("pr") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val probes = idx.filter(col("pr") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val joined = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    println(s"[optprobe] candidates: ${time("2 join count")(joined.count())}")
+    val scored = joined.withColumn("cosine",
+      Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .select("query_id", "neighbor_id", "cosine")
+    time("3 score noop")(noop(scored))
+    val out = scored.withColumn("rank", row_number().over(
+      Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+    time("4 window noop")(noop(out))
+    time("5 full repeat noop")(noop(out))
+  }
+
+  /** The prefix (PPJoin) path of ngramJaccardPairs, stage by stage —
+    * mirrors Dedup.ngramJaccardPairs(strategy="prefix") exactly. */
+  def q80Stages(spark: SparkSession, dir: String,
+      noop: DataFrame => Unit): Unit = {
+    val blockCols = Seq("lang", "source")
+    val n = 3
+    val threshold = 0.5
+    val docs = Tables.documents(spark, dir)
+    // warm-up: JIT + parquet footers
+    docs.count()
+
+    val sh = graft.operators.Parallelism.widen(docs).select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        HashExpressions.shingleHashes(col("text"), n).as("sh"): _*)
+    val shC = sh.cache()
+    time("1 sh cache+count")(shC.count())
+
+    val g = shC.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        size(col("sh")).as("sz") :+ explode(col("sh")).as("g"): _*)
+    println(s"[optprobe] exploded gram rows: ${time("g count")(g.count())}")
+    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
+    println(s"[optprobe] distinct grams: ${time("dfreq count")(dfreq.count())}")
+    val ranked = g.join(dfreq, "g")
+      .groupBy((col("doc_id") +: blockCols.map(col)) :+ col("sz"): _*)
+      .agg(array_sort(collect_list(struct(col("df"), col("g"))))
+        .as("ordered"))
+      .withColumn("pfxn", expr(
+        s"greatest(1, cast(sz - ceil($threshold * sz) + 2 as int))"))
+      .cache()
+    time("2 ranked cache+count")(ranked.count())
+
+    def prefixSide(idAs: String, szAs: String) = ranked.select(
+      (col("doc_id").as(idAs) +: blockCols.map(col)) :+
+        col("sz").as(szAs) :+
+        explode(expr("slice(ordered, 1, pfxn)")).as("pe"): _*)
+      .withColumn("g", col("pe.g")).drop("pe")
+    val pa = prefixSide("doc_a", "sz_a")
+    val pb = prefixSide("doc_b", "sz_b")
+    println(s"[optprobe] docs: ${docs.count()}  prefix rows/side: ${pa.count()}")
+    println(s"[optprobe] raw join output: ${time("raw join count")(
+      pa.join(pb, blockCols :+ "g").count())}")
+    val cands = pa.join(pb, blockCols :+ "g")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * lit(threshold) <= col("sz_b") + lit(1) &&
+        col("sz_b") * lit(threshold) <= col("sz_a") + lit(1))
+      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)): _*)
+      .distinct()
+    val candsC = cands.cache()
+    println(s"[optprobe] candidates: ${time("3 cands distinct count")(candsC.count())}")
+
+    val out = candsC
+      .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
+        col("jac"): _*)
+    time("4 verify+output noop")(noop(out))
+    shC.unpersist(); ranked.unpersist(); candsC.unpersist()
+  }
+}
