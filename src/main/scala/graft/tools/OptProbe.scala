@@ -20,12 +20,16 @@ object OptProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val what = if (args.length > 1) args(1) else "q80"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/tmp/optprobe-events"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.dir", "/tmp/optprobe-events")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: DataFrame): Unit =
@@ -34,9 +38,58 @@ object OptProbe {
     what match {
       case "q80" => q80Stages(spark, dir, noop)
       case "q33" => q33Stages(spark, dir, noop)
+      case "editscale" =>
+        // args: <ignored> editscale <nDocs>
+        val n = if (args.length > 2) args(2).toLong else 50000L
+        editScale(spark, n, noop)
       case other => println(s"unknown probe '$other'")
     }
     spark.stop()
+  }
+
+  /** At-scale A/B of the r17 edit-distance DP width fix: synthetic
+    * corpus (duplicate families with small in-place edits, block cols
+    * lang/source), q72's incremental split and parameters. The "old"
+    * leg re-creates the pre-fix shape by running with the fused DP
+    * stage fed by a planner exchange (emulated via the operator BEFORE
+    * the fix is not possible post-fix, so instead this measures the
+    * shipped operator and reports the DP stage's width from the event
+    * log — pair with EventLogRun for the stage view). */
+  def editScale(spark: SparkSession, nDocs: Long,
+      noop: DataFrame => Unit): Unit = {
+    import spark.implicits._
+    // ~1% duplicate families of size 4 (base text + 1-3 char edits),
+    // rest unique; text ~300 chars from a positional hash so blocks
+    // don't collapse
+    val docs = spark.range(nDocs)
+      .withColumn("fam", (col("id") / 4).cast("long"))
+      // block cols derived from the FAMILY so dup members share a block
+      .withColumn("lang", concat(lit("l"), pmod(col("fam"), lit(5))))
+      .withColumn("source", concat(lit("s"), pmod(col("fam") / 5, lit(4))))
+      .withColumn("member", pmod(col("id"), lit(4)))
+      .withColumn("isDup", pmod(col("fam"), lit(100)) === 0)
+      .withColumn("seed",
+        when(col("isDup"), col("fam") * 4).otherwise(col("id")))
+      .withColumn("text",
+        concat(
+          sha2(concat(lit("p"), col("seed").cast("string")), 256),
+          sha2(concat(lit("q"), col("seed").cast("string")), 256),
+          sha2(concat(lit("r"), col("seed").cast("string")), 256),
+          sha2(concat(lit("s"), col("seed").cast("string")), 256),
+          // per-member tail: dup families differ by <= ~8 chars
+          when(col("isDup"),
+            substring(sha2(col("member").cast("string"), 256), 1, 8))
+            .otherwise(sha2(concat(lit("t"),
+              col("id").cast("string")), 256))))
+      .select(col("id").as("doc_id"), col("lang"), col("source"),
+        col("text"))
+    val newDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val out = graft.operators.Dedup.incrementalEditDistancePairs(
+      newDocs, corpus, Seq("lang", "source"), maxDist = 90,
+      prefilterGram = 4)
+    time(s"editscale n=$nDocs incrementalEditDistancePairs")(noop(out))
+    println(s"[optprobe] pairs: ${out.count()}")
   }
 
   /** q33 (IVF ANN) stage timing: index build vs probe join vs window. */
