@@ -1242,7 +1242,8 @@ object Dedup {
     * relies on labels being bounded below by 0).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, shortcutIter: Int = 20): DataFrame = {
+      maxIter: Int = 25, shortcutIter: Int = 20,
+      smallGraphEdges: Long = 200000L): DataFrame = {
     // symmetrize in ONE pass over the (possibly expensive-to-compute)
     // edge input — a union of e with e-reversed would scan it twice
     val sym = edges
@@ -1260,6 +1261,54 @@ object Dedup {
       // of three
       .repartition(col("b"))
       .cache()
+    // Small-graph fast path (r17): the distributed loop costs ~2 s of
+    // pure fixed latency at gate scale (6+ driver round-trips, 2
+    // shuffles/round) on graphs of a few THOUSAND edges whose exact
+    // min-label components a driver union-find computes in
+    // milliseconds. The dispatch is scale-adaptive and BOUNDED — the
+    // cellProbeTable discipline: collect at most `smallGraphEdges`
+    // symmetrized rows (default 200 k ≈ 3 MB of (long, long) — far
+    // under maxResultSize), past which the distributed loop runs
+    // untouched (a 100 TB near-dup edge set is O(nBands·N) and blows
+    // the bound immediately). Identical output by construction:
+    // union-find with min-root labeling computes the same
+    // (id, min id reachable) fixpoint the propagation loop converges
+    // to, for every node appearing in `edges` — spec-pinned against
+    // the forced distributed path (DedupOpsSpec).
+    val nSym = sym.count() // also materializes the cached edge rel
+    if (nSym <= smallGraphEdges) {
+      Parallelism.logDispatch("connectedComponents",
+        s"symEdges=$nSym <= smallGraphEdges=$smallGraphEdges " +
+          "-> driver union-find (bounded small-graph fast path)")
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      val rows = sym.collect() // bounded: nSym <= smallGraphEdges
+      var ri = 0
+      while (ri < rows.length) {
+        val row = rows(ri); ri += 1
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min root wins, so the final root of every tree IS the
+        // component's min id (roots only ever decrease)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      val ks = parent.keySet().iterator()
+      while (ks.hasNext) { val k = ks.next(); out += ((k, find(k))) }
+      sym.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return spark.createDataset(out.toSeq).toDF("id", "component")
+    }
     // initial labels with the first propagation round folded in:
     // component₀ = min(self, neighbors) — same cost as the bare
     // distinct-nodes scan, one fewer loop round.
