@@ -1309,6 +1309,9 @@ object Dedup {
       import spark.implicits._
       return spark.createDataset(out.toSeq).toDF("id", "component")
     }
+    Parallelism.logDispatch("connectedComponents",
+      s"symEdges=$nSym > smallGraphEdges=$smallGraphEdges " +
+        "-> distributed min-label propagation")
     // initial labels with the first propagation round folded in:
     // component₀ = min(self, neighbors) — same cost as the bare
     // distinct-nodes scan, one fewer loop round.
