@@ -390,8 +390,16 @@ class CurationOpsSpec extends AnyFunSuite {
       (3L, "b1", "totally different words"),
       (4L, "b2", "kitten sat here") // same text, other block → no pair
     ).toDF("doc_id", "blk", "text")
-    val out = Dedup.editDistancePairs(docs, Seq("blk"), maxDist = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val res = Dedup.editDistancePairs(docs, Seq("blk"), maxDist = 5)
+    // r17 plan pin: the fused DP stage is fed by an explicit
+    // AQE-exempt fixed-width repartition on doc_b (REPARTITION_BY_NUM),
+    // not a coalescible planner exchange — the q72 width fix (AQE's
+    // byte-based coalescing ran the 3 s-CPU DP on 3 tasks; see
+    // OPTIMIZATION_r17.md).
+    assert(res.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"),
+      "DP attach join lost its AQE-exempt width repartition")
+    val out = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 1L)))
   }
 
