@@ -75,9 +75,6 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       (name, dt, err.isDefined)
     }
-    // 0.1 ms precision keeps the 79-query line under the driver's
-    // ~2.9 KB tail-capture window (full double repr pushed it to
-    // ~3.5 KB and head-truncated q01–q14 in rounds 6 and 7)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -87,20 +84,53 @@ object Bench {
     val failedField =
       if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","cpus":$cpus,"queries":$qs$failedField,"sf":"$sfDir"}"""
     println(json)
+    // The driver captures only a ~2000-char TAIL of stdout, and at 100
+    // queries the full-name line above is ~3.3 KB — head-truncated and
+    // unparseable every round since ~r13 (BENCH_r13..r17 all have
+    // parsed:null; the 0.1 ms-precision trick that kept the 79-query
+    // line under the window stopped sufficing at 100). So a SECOND,
+    // compact line is printed LAST — short query ids (the "qNN" prefix,
+    // unique by construction) at 2-decimal precision, ~1.25 KB for 100
+    // queries — and lands complete inside the tail window. The full
+    // per-query names and 0.1 ms values stay in the first line and in
+    // the bench_out mirror below; the compact line is a projection of
+    // the same run, never a different measurement. If a short id ever
+    // collided the compact line would silently drop a query, so fall
+    // back to full names in that (never-expected) case.
+    val shortIds = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val useShort = shortIds.distinct.length == results.length
+    def shortOf(k: String) = if (useShort) k.takeWhile(_ != '_') else k
+    val qsShort = results.map { case (k, v, _) =>
+      "\"" + shortOf(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val failedShortField = if (failed.isEmpty) "" else
+      s""","failed":[${results.collect { case (k, _, true) =>
+        "\"" + shortOf(k) + "\"" }.mkString(",")}]"""
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","cpus":$cpus,"queries":$qsShort$failedShortField,"sf":"$sfDir"}""")
     // Stdout of a long run can be tail-truncated by harness plumbing
     // (r6's driver artifact lost 14 query timings that way) — also
-    // land the identical line in a file the driver can ship whole.
+    // land the full-name line in files the driver can ship whole.
     // Subset runs must not clobber the full-contract mirror the driver
-    // ships — they default to a /tmp path instead.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isEmpty) "/root/repo/bench_out.json"
-      else "/tmp/bench_subset.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: $e") }
+    // ships — they default to a /tmp path instead. Scaling runs
+    // (SPARK_GRAFT_CPUS != 32) write only a cpus-suffixed mirror: in
+    // r17 the driver's 8-cpu run overwrote the 32-cpu contract mirror
+    // minutes after it was written.
+    val outPaths: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => Seq(p)
+      case None if only.nonEmpty => Seq("/tmp/bench_subset.json")
+      case None =>
+        val suffixed = s"/root/repo/bench_out_c$cpus.json"
+        if (cpus == "32") Seq("/root/repo/bench_out.json", suffixed)
+        else Seq(suffixed)
+    }
+    outPaths.foreach { outPath =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: $e") }
+    }
     spark.stop()
   }
 }

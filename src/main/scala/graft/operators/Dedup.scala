@@ -1245,8 +1245,14 @@ object Dedup {
       maxIter: Int = 25, shortcutIter: Int = 20,
       smallGraphEdges: Long = 200000L): DataFrame = {
     // symmetrize in ONE pass over the (possibly expensive-to-compute)
-    // edge input — a union of e with e-reversed would scan it twice
+    // edge input — a union of e with e-reversed would scan it twice.
+    // Null endpoints are dropped UP FRONT (ids are documented
+    // non-negative): before r18 the two dispatch branches diverged on
+    // out-of-contract input — the driver union-find unboxed a null id
+    // to 0L (merging those rows into node 0's component) while the
+    // distributed loop silently dropped null-keyed join messages.
     val sym = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(explode(array(
         struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
         struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
@@ -1267,14 +1273,16 @@ object Dedup {
     // min-label components a driver union-find computes in
     // milliseconds. The dispatch is scale-adaptive and BOUNDED — the
     // cellProbeTable discipline: collect at most `smallGraphEdges`
-    // symmetrized rows (default 200 k ≈ 3 MB of (long, long) — far
-    // under maxResultSize), past which the distributed loop runs
-    // untouched (a 100 TB near-dup edge set is O(nBands·N) and blows
-    // the bound immediately). Identical output by construction:
-    // union-find with min-root labeling computes the same
-    // (id, min id reachable) fixpoint the propagation loop converges
-    // to, for every node appearing in `edges` — spec-pinned against
-    // the forced distributed path (DedupOpsSpec).
+    // symmetrized rows (default 200 k — ~3 MB serialized, the
+    // maxResultSize-relevant figure; the typed driver-heap footprint
+    // is ~48 B/edge ≈ 10 MB of boxed tuples at the bound), past which
+    // the distributed loop runs untouched (a 100 TB near-dup edge set
+    // is O(nBands·N) and blows the bound immediately). Identical
+    // output by construction: union-find with min-root labeling
+    // computes the same (id, min id reachable) fixpoint the
+    // propagation loop converges to, for every node appearing in
+    // `edges` — spec-pinned against the forced distributed path
+    // (JoinOpsSpec "small-graph fast path ≡ forced distributed").
     val nSym = sym.count() // also materializes the cached edge rel
     if (nSym <= smallGraphEdges) {
       Parallelism.logDispatch("connectedComponents",
@@ -1288,11 +1296,19 @@ object Dedup {
         while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      val rows = sym.collect() // bounded: nSym <= smallGraphEdges
+      // typed collect (primitive-pair encoder), not Row collect: the
+      // serialized result is ~16 B/edge so the stated ~3 MB bound is
+      // honest, and the driver holds tuples instead of heavier
+      // InternalRow-backed Rows
+      val spark0 = edges.sparkSession
+      import spark0.implicits._
+      val rows = sym.select(col("a"), col("b")).as[(Long, Long)]
+        .collect() // bounded: nSym <= smallGraphEdges
+      Parallelism.logDispatch("connectedComponents",
+        s"fast-path collect: $nSym edges ≈ ${nSym * 16 / 1024} KiB serialized")
       var ri = 0
       while (ri < rows.length) {
-        val row = rows(ri); ri += 1
-        val a = row.getLong(0); val b = row.getLong(1)
+        val (a, b) = rows(ri); ri += 1
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -1305,9 +1321,7 @@ object Dedup {
       val ks = parent.keySet().iterator()
       while (ks.hasNext) { val k = ks.next(); out += ((k, find(k))) }
       sym.unpersist()
-      val spark = edges.sparkSession
-      import spark.implicits._
-      return spark.createDataset(out.toSeq).toDF("id", "component")
+      return spark0.createDataset(out.toSeq).toDF("id", "component")
     }
     Parallelism.logDispatch("connectedComponents",
       s"symEdges=$nSym > smallGraphEdges=$smallGraphEdges " +

@@ -108,11 +108,11 @@ class JoinOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == want)
     // r17: the default run above took the bounded driver union-find
-    // fast path; the forced DISTRIBUTED loop (smallGraphEdges = 0)
+    // fast path; the forced DISTRIBUTED loop (smallGraphEdges = -1)
     // must produce the identical labeling — the fast path's
     // equivalence contract.
     val gotDist = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
-      smallGraphEdges = 0L).as[(Long, Long)].collect().toMap
+      smallGraphEdges = -1L).as[(Long, Long)].collect().toMap
     assert(gotDist == want)
   }
 
@@ -120,12 +120,12 @@ class JoinOpsSpec extends AnyFunSuite {
     // a 120-node path needs ~119 plain-propagation rounds; with
     // maxIter=5 the old code returned silently-wrong labels. The
     // pointer-jumping phase compresses the chain in O(log n) rounds.
-    // smallGraphEdges = 0 forces the distributed loop (the r17 fast
+    // smallGraphEdges = -1 forces the distributed loop (the r17 fast
     // path would otherwise solve the chain on the driver).
     val n = 120L
     val chain = (0L until n - 1).map(i => (i, i + 1))
     val got = Dedup.connectedComponents(
-      chain.toDF("a", "b"), "a", "b", maxIter = 5, smallGraphEdges = 0L)
+      chain.toDF("a", "b"), "a", "b", maxIter = 5, smallGraphEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.forall(_ == 0L), got.toSeq.sorted.take(20))
   }
@@ -135,7 +135,7 @@ class JoinOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(
         chain.toDF("a", "b"), "a", "b", maxIter = 3, shortcutIter = 0,
-        smallGraphEdges = 0L)
+        smallGraphEdges = -1L)
     }
     assert(e.getMessage.contains("did not converge"))
   }

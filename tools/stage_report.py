@@ -64,6 +64,11 @@ if True:
             }
         elif ev == "SparkListenerTaskEnd":
             sid = e["Stage ID"]
+            # failed/killed attempts would double-count into the stage
+            # aggregates (cpu, shuffle, max/med skew) on stages with
+            # retries — only successful attempts represent the stage
+            if e["Task Info"].get("Failed") or e["Task Info"].get("Killed"):
+                continue
             m = e.get("Task Metrics") or {}
             sr = m.get("Shuffle Read Metrics", {})
             sw = m.get("Shuffle Write Metrics", {})
