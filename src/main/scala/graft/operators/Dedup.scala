@@ -686,23 +686,48 @@ object Dedup {
     // that family; run exactDupGroups first and collapse clusters
     // (connectedComponents) when families are big.
     //
-    // Cache lifecycle (same idiom as minHashBandRel): the signature
-    // rel feeds the df pass, the rank join, AND both verify-attach
-    // sides — uncached, the shingle-hash pipeline would run 4×; the
-    // ranked prefix table likewise feeds both exploded join sides.
-    // Eager materialization (count) because a join's two input stages
-    // schedule concurrently and would both miss a lazy cache.
-    val shC = sh.cache()
-    pin(shC)
-    shC.count()
-    val g = shC.select(
+    // r18 job-count fuse (this path's wall at gate scale was ~15
+    // sequential 0.2–0.7 s jobs, not any one stage — three r17
+    // reshapes that kept the stage structure all washed):
+    //  - df comes from a COUNT WINDOW over the exploded gram rel
+    //    (one exchange on g) instead of a groupBy(g) aggregate joined
+    //    back (two exchanges + a join) — identical global df values;
+    //  - the signature rel is NOT separately cached: its only consumer
+    //    is now the single ranked-table build (the window df pass and
+    //    the rank agg are one pipeline), so the hashing runs once
+    //    without a cache;
+    //  - verify is FOLDED INTO the candidate join (the q21 carry
+    //    shape): each prefix side carries the doc's full sorted gram
+    //    set, jaccard runs on the size-filtered collisions in the same
+    //    codegen pass, and the pair-dedup distinct moves AFTER the
+    //    threshold filter where survivors are tiny — the slim-candidate
+    //    distinct plus two attach joins disappear. A pair colliding on
+    //    k prefix grams pays k jaccard evals instead of 1; at gate
+    //    scale that is 132 k cheap merge scans, and in the sparse-df
+    //    regime prefix is FOR (auto routes dense corpora to tiled),
+    //    collisions per pair are ≈1 by construction. The carried set
+    //    is a second aggregate over the same grouped rows
+    //    (array_sort(collect_list(g))) — bit-identical to the
+    //    shingleHashes output (sorted distinct longs).
+    // The ranked prefix table stays cached (it feeds both exploded
+    // join sides); eager materialization (count) because a join's two
+    // input stages schedule concurrently and would both miss a lazy
+    // cache.
+    val g = sh.select(
       (col("doc_id") +: blockCols.map(col)) :+
         size(col("sh")).as("sz") :+ explode(col("sh")).as("g"): _*)
-    val dfreq = g.groupBy("g").agg(count(lit(1)).as("df"))
-    val ranked = g.join(dfreq, "g")
+    val ranked = g
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy((col("doc_id") +: blockCols.map(col)) :+ col("sz"): _*)
+      // two aggregates over the same grouped rows: the rarity-ordered
+      // struct list (prefix source) AND the plain sorted gram array
+      // (the carried verify set) — same exchange, and no interpreted
+      // transform lambda to re-derive sh from ordered (PlanSpec pins a
+      // zero-lambda budget on this plan)
       .agg(array_sort(collect_list(struct(col("df"), col("g"))))
-        .as("ordered"))
+        .as("ordered"),
+        array_sort(collect_list(col("g"))).as("sh"))
       // prefix length only — the prefix GRAMS are extracted at explode
       // time below (explode the sliced struct array, then a native
       // GetStructField), which avoids a per-element transform lambda
@@ -712,27 +737,23 @@ object Dedup {
       .cache()
     pin(ranked)
     ranked.count()
-    def prefixSide(idAs: String, szAs: String) = ranked.select(
+    def prefixSide(idAs: String, szAs: String, shAs: String) = ranked.select(
       (col("doc_id").as(idAs) +: blockCols.map(col)) :+
-        col("sz").as(szAs) :+
+        col("sz").as(szAs) :+ col("sh").as(shAs) :+
         explode(expr("slice(ordered, 1, pfxn)")).as("pe"): _*)
       .withColumn("g", col("pe.g")).drop("pe")
-    val pa = prefixSide("doc_a", "sz_a")
-    val pb = prefixSide("doc_b", "sz_b")
-    val cands = pa.join(pb, blockCols :+ "g")
+    val pa = prefixSide("doc_a", "sz_a", "sh_a")
+    val pb = prefixSide("doc_b", "sz_b", "sh_b")
+    pa.join(pb, blockCols :+ "g")
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") * lit(threshold) <= col("sz_b") + lit(1) &&
         col("sz_b") * lit(threshold) <= col("sz_a") + lit(1))
-      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)): _*)
-      .distinct()
-    cands
-      .join(shC.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shC.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jac",
         HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= threshold)
       .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
         col("jac"): _*)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs inside `blockCol` blocks:
@@ -1350,12 +1371,35 @@ object Dedup {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var converged = prevSum == 0L // empty edge set
+    // Half-shuffle round (r18): the former labels.union(msgs).groupBy
+    // shape discarded labels' hash(id) partitioning at the union, so
+    // EVERY round re-shuffled the full label set alongside the
+    // messages. Aggregating the messages alone (map-side partial min,
+    // then one exchange on id) and folding them into labels with a
+    // partition-colocated LEFT join keeps labels where they are: the
+    // checkpointed frame reports the hash(id) partitioning of the
+    // groupBy/join that built it, the msgs aggregate lands on the same
+    // key and width, so EnsureRequirements adds no exchange on the
+    // label side — one runtime shuffle per round instead of two, and
+    // the shuffled bytes drop from |labels|+|msgs| rows to the
+    // partially-aggregated message minima. The shuffle_hash hint on
+    // the aggregated side avoids re-sorting labels every round; its
+    // build is the per-partition slice of ≤ |labels| slim (id, long)
+    // rows. min(labels ∪ msgs) ≡ least(label, min(msgs)) per id, and
+    // ids without messages keep their label via the left join — same
+    // fixpoint, spec-pinned (JoinOpsSpec forced-distributed ≡ fast
+    // path / long-chain / non-convergence).
+    def foldMsgs(msgs: DataFrame): DataFrame = {
+      val upd = msgs.groupBy("id").agg(min("component").as("mc"))
+      labels.join(upd.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), col("mc")).as("component"))
+    }
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("component"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      val next = foldMsgs(msgs)
         .localCheckpoint(false) // materialized by the labelSum probe
       val nextSum = labelSum(next)
       labels.unpersist()
@@ -1373,8 +1417,7 @@ object Dedup {
     while (!converged && j < shortcutIter) {
       val msgs = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("component"))
-      val prop = labels.union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
+      val prop = foldMsgs(msgs) // same half-shuffle fold as the main loop
         .localCheckpoint() // referenced twice below (base + parent side)
       val parents = prop.select(col("id").as("pid"),
         col("component").as("pcomp"))
