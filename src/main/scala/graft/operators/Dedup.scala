@@ -1372,23 +1372,32 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = prevSum == 0L // empty edge set
     // Half-shuffle round (r18): the former labels.union(msgs).groupBy
-    // shape discarded labels' hash(id) partitioning at the union, so
-    // EVERY round re-shuffled the full label set alongside the
-    // messages. Aggregating the messages alone (map-side partial min,
-    // then one exchange on id) and folding them into labels with a
-    // partition-colocated LEFT join keeps labels where they are: the
-    // checkpointed frame reports the hash(id) partitioning of the
-    // groupBy/join that built it, the msgs aggregate lands on the same
-    // key and width, so EnsureRequirements adds no exchange on the
-    // label side — one runtime shuffle per round instead of two, and
-    // the shuffled bytes drop from |labels|+|msgs| rows to the
-    // partially-aggregated message minima. The shuffle_hash hint on
-    // the aggregated side avoids re-sorting labels every round; its
-    // build is the per-partition slice of ≤ |labels| slim (id, long)
-    // rows. min(labels ∪ msgs) ≡ least(label, min(msgs)) per id, and
-    // ids without messages keep their label via the left join — same
-    // fixpoint, spec-pinned (JoinOpsSpec forced-distributed ≡ fast
-    // path / long-chain / non-convergence).
+    // shape re-shuffled the full label set alongside the messages
+    // every round. Aggregating the messages alone (map-side partial
+    // min, then one exchange on id) and folding them into labels with
+    // a partition-colocated LEFT join keeps labels where they are.
+    // min(labels ∪ msgs) ≡ least(label, min(msgs)) per id (least
+    // ignores a null mc), and ids without messages keep their label
+    // via the left join — same fixpoint, spec-pinned (JoinOpsSpec
+    // forced-distributed ≡ fast path / long-chain / non-convergence).
+    //
+    // Label lifecycle — localCheckpoint(eager = false) every round.
+    // Two findings from the r18 `OptProbe ccplan` executed-plan probe:
+    // (1) a localCheckpoint under AQE stores UnknownPartitioning in
+    // its LogicalRDD (the adaptive plan's partitioning is not final
+    // when the checkpoint captures it), so consumer joins re-shuffle
+    // the checkpointed labels — the per-round exchange count is 2
+    // (msgs aggregate + labels), not the 1 the colocated shape aims
+    // for; the fold still cuts per-round shuffle WRITES ~27% vs the
+    // union (84 → 61 MB/round on the 2 M-node ccscale fixture: labels
+    // no longer ride the union exchange alongside the messages).
+    // (2) cached labels DO report hash(id, N) and stream into the fold
+    // join with no exchange, but labels appear twice per round (msgs
+    // join + fold join) so the LOGICAL plan doubles per round and
+    // driver analysis time explodes — a cache-with-periodic-truncation
+    // variant measured 21.5–24.8 s on the ccscale fixture vs 17.3–19.4
+    // for checkpoint-every-round (jobs idle, driver planning hot).
+    // Measured and rejected; checkpoint-every-round stands.
     def foldMsgs(msgs: DataFrame): DataFrame = {
       val upd = msgs.groupBy("id").agg(min("component").as("mc"))
       labels.join(upd.hint("shuffle_hash"), Seq("id"), "left")

@@ -42,6 +42,13 @@ object OptProbe {
         // args: <ignored> editscale <nDocs>
         val n = if (args.length > 2) args(2).toLong else 50000L
         editScale(spark, n, noop)
+      case "ccscale" =>
+        // args: <ignored> ccscale <nNodes> [famSize]
+        val n = if (args.length > 2) args(2).toLong else 2000000L
+        val fam = if (args.length > 3) args(3).toInt else 8
+        ccScale(spark, n, fam, noop)
+      case "ccplan" =>
+        ccPlan(spark)
       case other => println(s"unknown probe '$other'")
     }
     spark.stop()
@@ -90,6 +97,73 @@ object OptProbe {
       prefilterGram = 4)
     time(s"editscale n=$nDocs incrementalEditDistancePairs")(noop(out))
     println(s"[optprobe] pairs: ${out.count()}")
+  }
+
+  /** At-scale A/B fixture for the r18 CC half-shuffle fold: a synthetic
+    * graph big enough to force the DISTRIBUTED loop (smallGraphEdges
+    * forced to -1 regardless) with chain families so the loop runs
+    * several propagation rounds — the regime where the per-round
+    * shuffle count is the cost. Pair with the event log to count
+    * runtime shuffles per round. Args: <ignored> ccscale <nNodes>
+    * [famSize] */
+  def ccScale(spark: SparkSession, nNodes: Long, famSize: Int,
+      noop: DataFrame => Unit): Unit = {
+    // chains of `famSize` nodes: (i, i+1) within each family — a
+    // famSize-length chain needs ~famSize-1 plain propagation rounds
+    // from the min end, so famSize 6-8 exercises 5-7 rounds without
+    // tripping the pointer-jumping phase
+    val edges = spark.range(nNodes)
+      .filter(pmod(col("id"), lit(famSize)) =!= (famSize - 1))
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    // the propagation loop runs EAGERLY inside the call (per-round
+    // checkpoints + convergence probes), so the whole call is the
+    // timed region, not just the final materialization
+    val out = time(s"ccscale n=$nNodes fam=$famSize distributed CC") {
+      val o = graft.operators.Dedup.connectedComponents(
+        edges, "a", "b", smallGraphEdges = -1L)
+      noop(o); o
+    }
+    println(s"[optprobe] labeled nodes: ${out.count()}")
+  }
+
+  /** One CC fold round in isolation, with the EXECUTED plan printed —
+    * diagnoses whether the labels side of the foldMsgs join really
+    * stays un-exchanged (the r18 half-shuffle claim). */
+  def ccPlan(spark: SparkSession): Unit = {
+    val edges = spark.range(200000L)
+      .filter(pmod(col("id"), lit(8)) =!= 7)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).cache()
+    sym.count()
+    val labels0 = sym.groupBy(col("a"))
+      .agg(min("b").as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("component"))
+    def round(labels: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val msgs = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val upd = msgs.groupBy("id").agg(min("component").as("mc"))
+      val nextQ = labels.join(upd.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), col("mc")).as("component"))
+      nextQ.write.format("noop").mode("overwrite").save()
+      val plan = nextQ.queryExecution.executedPlan.toString
+      val nEx = "(?m)^.*Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      println(s"[ccplan] $tag: runtime exchanges in round plan = $nEx")
+      println(plan.split("\n").filter(l =>
+        l.contains("Exchange") || l.contains("Scan ExistingRDD") ||
+        l.contains("InMemoryTableScan") || l.contains("HashJoin") ||
+        l.contains("AQEShuffleRead")).mkString("\n"))
+    }
+    val lazyCk = labels0.localCheckpoint(false)
+    lazyCk.agg(sum("component")).first()
+    round(lazyCk, "lazy-checkpoint labels")
+    val cached = labels0.cache()
+    cached.count()
+    round(cached, "cached labels")
+    cached.unpersist()
   }
 
   /** q33 (IVF ANN) stage timing: index build vs probe join vs window. */
