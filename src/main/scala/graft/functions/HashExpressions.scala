@@ -148,6 +148,106 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** [[SortedJaccard]] with EARLY ABANDON below a fixed threshold — the
+    * verify step of every candidate-pair join, where the overwhelming
+    * majority of candidates are NON-duplicates whose merge scans run to
+    * the end only to be filtered out. Same bound arithmetic as the
+    * tiled kernels' `jaccardOrBelow` (pinned q20≡q82 / q21≡q86): a
+    * size-ratio prefilter (jac ≤ |min|/|max|) plus an every-64-steps
+    * optimistic bound ((inter + rem) / (na + nb − inter − rem) with
+    * rem = min remaining — the best the pair can still reach). When
+    * the bound proves jac < t the expression returns −1.0, which the
+    * caller's `jac ≥ t` filter drops exactly as it would have dropped
+    * the true value; when the pair qualifies the loop never abandons
+    * and the result is bit-identical to [[SortedJaccard]]. Only valid
+    * under a downstream `jac ≥ t` filter with the SAME t — never let
+    * the −1.0 escape into query output. */
+  case class SortedJaccardGeq(left: Expression, right: Expression,
+      threshold: Double)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[TypeBridge.AbstractType] = Seq(ArrayType(LongType), ArrayType(LongType))
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sorted_jaccard_geq"
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val mn = ctx.freshName("mn"); val mx = ctx.freshName("mx")
+        val steps = ctx.freshName("steps"); val rem = ctx.freshName("rem")
+        val done = ctx.freshName("done")
+        s"""
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $mn = ($na < $nb) ? $na : $nb;
+           |int $mx = ($na < $nb) ? $nb : $na;
+           |boolean $done = false;
+           |${ev.value} = -1.0;
+           |if ($mx > 0 && ((double) $mn) / ((double) $mx) < $threshold) {
+           |  $done = true;
+           |}
+           |int $i = 0; int $j = 0; int $inter = 0; int $steps = 0;
+           |while (!$done && $i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $inter++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |  $steps++;
+           |  if (($steps & 63) == 0) {
+           |    int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+           |    if (((double) ($inter + $rem)) /
+           |        ((double) ($na + $nb - $inter - $rem)) < $threshold) {
+           |      $done = true;
+           |    }
+           |  }
+           |}
+           |if (!$done) {
+           |  int $uni = $na + $nb - $inter;
+           |  ${ev.value} = ($uni == 0) ? 0.0 : ((double) $inter) / ((double) $uni);
+           |}
+         """.stripMargin
+      })
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      val mn = math.min(na, nb)
+      val mx = math.max(na, nb)
+      if (mx > 0 && mn.toDouble / mx.toDouble < threshold)
+        return java.lang.Double.valueOf(-1.0)
+      var i = 0
+      var j = 0
+      var inter = 0
+      var steps = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+        steps += 1
+        if ((steps & 63) == 0) {
+          val rem = math.min(na - i, nb - j)
+          if ((inter + rem).toDouble / (na + nb - inter - rem).toDouble
+              < threshold)
+            return java.lang.Double.valueOf(-1.0)
+        }
+      }
+      val uni = na + nb - inter
+      java.lang.Double.valueOf(
+        if (uni == 0) 0.0 else inter.toDouble / uni.toDouble)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedJaccardGeq =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** k-minima minhash signature over a long-array column in one pass
     * (same (A·h+B) mod P permutation family as
     * [[TextFunctions.minHashSignature]]; empty input → P sentinels). */
@@ -1481,6 +1581,14 @@ object HashExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Early-abandon jaccard for use under a `jac >= t` filter with the
+    * same t; falls back to the exact form when t <= 0 (where the
+    * abandon sentinel −1.0 could wrongly pass the filter). */
+  def sortedJaccardGeq(a: Column, b: Column, t: Double): Column =
+    if (t > 0)
+      ColumnBridge.column(SortedJaccardGeq(
+        ColumnBridge.expression(a), ColumnBridge.expression(b), t))
+    else sortedJaccard(a, b)
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

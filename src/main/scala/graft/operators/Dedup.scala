@@ -145,7 +145,11 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, threshold: Double,
       pin: DataFrame => Unit, strategy: String,
       maxOutputPairs: Long = -1L): DataFrame = {
-    val bandRel = minHashBandRel(docs, pin)
+    // lazy band rel: every path below starts with a single-job full
+    // scan (guard bound / auto stats / forced-carry fit count / tiled
+    // per-block counts) that populates the signature cache — the
+    // eager count job is redundant here
+    val bandRel = minHashBandRel(docs, pin, eager = false)
     if (maxOutputPairs > 0L) {
       val bound = bandRel.groupBy("band_idx", "band_hash")
         .agg(count(lit(1)).as("n"))
@@ -221,7 +225,8 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jac",
-        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+        HashExpressions.sortedJaccardGeq(col("hs_a"), col("hs_b"),
+          threshold))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
       .distinct()
@@ -244,18 +249,30 @@ object Dedup {
     *
     * The signature intermediate is computed ONCE, cached, and handed to
     * `pin` (a downstream self-join would otherwise re-run the hashing
-    * pipeline per side); materialized eagerly because a join's two
-    * input stages are scheduled concurrently and would both miss a
-    * lazy cache (same race as Similarity's IVF index build). */
+    * pipeline per side); materialized eagerly by default because a
+    * join's two input stages are scheduled concurrently and would both
+    * miss a lazy cache (same race as Similarity's IVF index build).
+    *
+    * `eager = false` (r18) skips the materialization count for callers
+    * whose FIRST action is a single-job full scan of the rel — the
+    * strategy-dispatch stats pass of [[minHashLshPairs]] /
+    * [[incrementalNearDupPairs]], a forced-carry fit count, or the
+    * tiled kernels' per-block count pass all populate the cache in one
+    * job, so the separate count job (plus one extra cached-scan pass)
+    * is pure overhead. Callers whose first consumer schedules two
+    * concurrent scan stages over the rel (e.g. [[lshDupGroups]]'s
+    * verify-attach joins inside the CC edge job) must keep the eager
+    * default. */
   def minHashBandRel(docs: DataFrame,
-      pin: DataFrame => Unit = OperatorCaches.register): DataFrame = {
+      pin: DataFrame => Unit = OperatorCaches.register,
+      eager: Boolean = true): DataFrame = {
     val sigs = Parallelism.widen(docs)
       .select(col("doc_id"),
         HashExpressions.shingleHashes(col("text"), 5).as("hs"))
       .withColumn("bands", bandHashes(HashExpressions.minHashSig(col("hs"))))
       .cache()
     pin(sigs)
-    sigs.count()
+    if (eager) sigs.count()
     sigs.select(col("doc_id"), col("hs"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
   }
@@ -289,7 +306,9 @@ object Dedup {
     // work; the increment is never paired against corpus-corpus (the
     // bipartite kernel keeps that property: corpus rows are never
     // probe-side).
-    val newBands = minHashBandRel(newDocs, pin)
+    // lazy as in minHashLshPairs: the guard/stats/fit/kernel pass is
+    // always the first action and populates the cache in one job
+    val newBands = minHashBandRel(newDocs, pin, eager = false)
     if (maxOutputPairs > 0L) {
       // same guard as minHashLshPairs, bipartite form: candidates per
       // bucket are na·nbCorpus (increment × indexed corpus) plus
@@ -379,7 +398,8 @@ object Dedup {
     a.join(bH, Seq("band_idx", "band_hash"))
       .filter(col("vs_corpus") || col("doc_a") < col("doc_b"))
       .withColumn("jac",
-        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+        HashExpressions.sortedJaccardGeq(col("hs_a"), col("hs_b"),
+          threshold))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac", "vs_corpus")
       .distinct()
@@ -457,8 +477,8 @@ object Dedup {
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .filter(HashExpressions.sortedJaccard(col("hs_a"), col("hs_b"))
-        >= threshold)
+      .filter(HashExpressions.sortedJaccardGeq(col("hs_a"), col("hs_b"),
+        threshold) >= threshold)
       .select("doc_a", "doc_b")
   }
 
@@ -662,6 +682,12 @@ object Dedup {
       // skew); see [[Parallelism.saltedBlockJoin]]
       return Parallelism.saltedBlockJoin(a, b, blockCols, "doc_a")
         .filter(col("doc_a") < col("doc_b"))
+        // plain sortedJaccard, NOT the early-abandon Geq form: block
+        // pairs share the block's vocabulary, so the optimistic bound
+        // stays above t for most of the merge and the per-step
+        // bookkeeping costs more than the rare abandon saves (q20
+        // alternating A/B: Geq 1.71 s vs plain 1.58 s median-of-5);
+        // LSH-band and prefix candidates abandon early and win there
         .withColumn("jac",
           HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jac") >= threshold)
@@ -737,22 +763,30 @@ object Dedup {
       .cache()
     pin(ranked)
     ranked.count()
-    def prefixSide(idAs: String, szAs: String, shAs: String) = ranked.select(
-      (col("doc_id").as(idAs) +: blockCols.map(col)) :+
-        col("sz").as(szAs) :+ col("sh").as(shAs) :+
+    // ONE prefix-side subtree, per-side renames ABOVE the join: with
+    // per-side aliases below the join the planner's two exchanges
+    // differ in output names and ReuseExchange never fires — the
+    // identical exploded-prefix rel was shuffled TWICE (2 × ~52 MB at
+    // gate scale). Structurally identical children canonicalize equal,
+    // so the second side becomes a ReusedExchange of the first: one
+    // exchange write, two reads.
+    val pside = ranked.select(
+      (col("doc_id") +: blockCols.map(col)) :+
+        col("sz") :+ col("sh") :+
         explode(expr("slice(ordered, 1, pfxn)")).as("pe"): _*)
       .withColumn("g", col("pe.g")).drop("pe")
-    val pa = prefixSide("doc_a", "sz_a", "sh_a")
-    val pb = prefixSide("doc_b", "sz_b", "sh_b")
+    val pa = pside.as("pa")
+    val pb = pside.as("pb")
     pa.join(pb, blockCols :+ "g")
-      .filter(col("doc_a") < col("doc_b") &&
-        col("sz_a") * lit(threshold) <= col("sz_b") + lit(1) &&
-        col("sz_b") * lit(threshold) <= col("sz_a") + lit(1))
+      .filter(col("pa.doc_id") < col("pb.doc_id") &&
+        col("pa.sz") * lit(threshold) <= col("pb.sz") + lit(1) &&
+        col("pb.sz") * lit(threshold) <= col("pa.sz") + lit(1))
       .withColumn("jac",
-        HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+        HashExpressions.sortedJaccardGeq(col("pa.sh"), col("pb.sh"),
+          threshold))
       .filter(col("jac") >= threshold)
-      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+
-        col("jac"): _*)
+      .select((col("pa.doc_id").as("doc_a") +: col("pb.doc_id").as("doc_b") +:
+        blockCols.map(col)) :+ col("jac"): _*)
       .distinct()
   }
 

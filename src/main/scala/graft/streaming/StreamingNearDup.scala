@@ -59,7 +59,8 @@ object StreamingNearDup {
     sRel.join(cRel, Seq("band_idx", "band_hash"))
       .filter(col("band_idx") === firstSharedBand)
       .withColumn("jac",
-        HashExpressions.sortedJaccard(col("hs_a"), col("hs_b")))
+        HashExpressions.sortedJaccardGeq(col("hs_a"), col("hs_b"),
+          threshold))
       .filter(col("jac") >= threshold)
       .select("doc_a", "doc_b", "jac")
   }

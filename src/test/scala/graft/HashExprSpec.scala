@@ -277,4 +277,48 @@ class HashExprSpec extends AnyFunSuite {
       _.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)).toSet
     assert(got == expect)
   }
+
+  test("sortedJaccardGeq: exact above t, provably-below t when abandoned") {
+    // the r18 early-abandon verify: survivors of a `jac >= t` filter
+    // must be BIT-identical to SortedJaccard; abandoned pairs must
+    // truly be below t (their exact value would fail the filter too)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val na = 1 + rnd.nextInt(400)
+      val nb = 1 + rnd.nextInt(400)
+      // overlapping universes of varying density so jaccard spans 0..1
+      val uni = 1 + rnd.nextInt(500)
+      val a = Seq.fill(na)(rnd.nextInt(uni).toLong).distinct.sorted
+      val b = Seq.fill(nb)(rnd.nextInt(uni).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    for (t <- Seq(0.3, 0.5, 0.6, 0.9)) {
+      val got = df.select(col("id"),
+        HashExpressions.sortedJaccard(col("a"), col("b")).as("exact"),
+        HashExpressions.sortedJaccardGeq(col("a"), col("b"), t).as("geq"))
+        .collect()
+      got.foreach { r =>
+        val (exact, geq) = (r.getDouble(1), r.getDouble(2))
+        if (exact >= t)
+          assert(java.lang.Double.doubleToLongBits(exact) ==
+            java.lang.Double.doubleToLongBits(geq),
+            s"id=${r.getLong(0)} t=$t: survivor drifted $exact vs $geq")
+        else assert(geq < t,
+          s"id=${r.getLong(0)} t=$t: below-threshold pair passed ($geq)")
+      }
+      // interpreted eval must agree with the codegen'd path
+      val expr = HashExpressions.SortedJaccardGeq(null, null, t)
+      rows.foreach { case (id, a, b) =>
+        val iv = expr.nullSafeEval(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+          .asInstanceOf[Double]
+        val cg = got.find(_.getLong(0) == id).get.getDouble(2)
+        assert(java.lang.Double.doubleToLongBits(iv) ==
+          java.lang.Double.doubleToLongBits(cg),
+          s"id=$id t=$t: codegen/interpreted drift $cg vs $iv")
+      }
+    }
+  }
 }
