@@ -763,17 +763,32 @@ object Dedup {
       .cache()
     pin(ranked)
     ranked.count()
-    // ONE prefix-side subtree, per-side renames ABOVE the join: with
-    // per-side aliases below the join the planner's two exchanges
-    // differ in output names and ReuseExchange never fires — the
-    // identical exploded-prefix rel was shuffled TWICE (2 × ~52 MB at
-    // gate scale). Structurally identical children canonicalize equal,
-    // so the second side becomes a ReusedExchange of the first: one
-    // exchange write, two reads.
+    // ONE prefix-side subtree, per-side renames ABOVE the join
+    // (attempted ReuseExchange bait — with per-side aliases below the
+    // join the planner's two exchanges differ in output names; written
+    // this way the subtrees canonicalize equal, but the r18 event-log
+    // check shows AQE still materializes BOTH ~52 MB exchange stages
+    // at sf0.1, so the reuse does NOT fire under adaptive execution.
+    // Kept: the single-subtree shape is simpler and measured neutral).
+    //
+    // posexplode, not explode: the prefix POSITION feeds the PPJoin
+    // position filter below — for a collision at 0-based positions
+    // (pa, pb) of the full rarity orders (the prefix IS the first pfxn
+    // elements, so slice positions are full-array positions), the
+    // overlap can not exceed min(sz_a − pa, sz_b − pb) when the
+    // collision is the pair's FIRST common gram (everything common
+    // sits at or after it on both sides). jaccard ≥ t needs overlap ≥
+    // t/(1+t)·(sz_a+sz_b), so rows whose positional bound falls short
+    // are dropped BEFORE the merge scan; every qualifying pair keeps
+    // at least its first-collision row (where the bound is valid and
+    // sufficient) and the trailing distinct collapses survivors as
+    // before. The 1e-6 slack absorbs fp rounding of the bound — a
+    // false KEEP costs one extra merge, a false drop would lose a
+    // pair, so the inequality must be relaxed, never tightened.
     val pside = ranked.select(
       (col("doc_id") +: blockCols.map(col)) :+
         col("sz") :+ col("sh") :+
-        explode(expr("slice(ordered, 1, pfxn)")).as("pe"): _*)
+        posexplode(expr("slice(ordered, 1, pfxn)")).as(Seq("p", "pe")): _*)
       .withColumn("g", col("pe.g")).drop("pe")
     val pa = pside.as("pa")
     val pb = pside.as("pb")
@@ -781,6 +796,9 @@ object Dedup {
       .filter(col("pa.doc_id") < col("pb.doc_id") &&
         col("pa.sz") * lit(threshold) <= col("pb.sz") + lit(1) &&
         col("pb.sz") * lit(threshold) <= col("pa.sz") + lit(1))
+      .filter(least(col("pa.sz") - col("pa.p"), col("pb.sz") - col("pb.p"))
+        >= lit(threshold / (1.0 + threshold)) *
+           (col("pa.sz") + col("pb.sz")) - lit(1e-6))
       .withColumn("jac",
         HashExpressions.sortedJaccardGeq(col("pa.sh"), col("pb.sh"),
           threshold))
